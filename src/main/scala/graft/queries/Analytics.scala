@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** General analytics surface over the TPC-H-ish driver tables —
+  * aggregation, multi-way joins, window functions, sort/limit,
+  * semi/anti joins, set operations, rollup, and event-time windowed
+  * aggregation. The reference has none of these (SURVEY.md §2.9);
+  * they are required for a complete engine and are all expressed
+  * declaratively so Catalyst plans them (broadcast for the small
+  * dimensions, partial aggregation map-side, pushdown to parquet).
+  *
+  * Float-safety for the DuckDB oracle: every aggregated double is
+  * wrapped in round(_, N) so accumulation-order differences between
+  * engines (≈1e-9 relative) cannot flip the hash; raw unaggregated
+  * doubles pass through untouched (bit-identical in parquet).
+  */
+object Analytics {
+
+  def entries: Seq[Entry] = Seq(
+
+    // TPC-H Q1-shaped pricing summary: single-table scan+agg, the
+    // canonical partial-agg / codegen benchmark query.
+    Entry("q1_pricing_summary",
+      (spark, dir) => {
+        val li = Registry.table(spark, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity")).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("sum_disc_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+              (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+            round(avg(col("l_quantity")), 6).as("avg_qty"),
+            round(avg(col("l_extendedprice")), 6).as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_extendedprice), 6) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-31'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // TPC-H Q3-shaped: 3-way join + agg + top-k with deterministic
+    // tiebreak. customer is broadcast-size relative to lineitem.
+    Entry("q3_top_orders",
+      (spark, dir) => {
+        val c = Registry.table(spark, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+        val o = Registry.table(spark, dir, "orders")
+        val li = Registry.table(spark, dir, "lineitem")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // TPC-H Q5-shaped: 6-table join through the full star schema.
+    // region/nation/supplier/customer all broadcast under AQE.
+    Entry("q5_nation_revenue",
+      (spark, dir) => {
+        val r = Registry.table(spark, dir, "region")
+        val n = Registry.table(spark, dir, "nation")
+        val c = Registry.table(spark, dir, "customer")
+        val o = Registry.table(spark, dir, "orders")
+        val li = Registry.table(spark, dir, "lineitem")
+        val s = Registry.table(spark, dir, "supplier")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // Distinct aggregation (exact) per group.
+    Entry("q_distinct_agg",
+      (spark, dir) => {
+        Registry.table(spark, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Analytic window function: most expensive lineitem per order.
+    Entry("q_window_rank",
+      (spark, dir) => {
+        val w = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+        Registry.table(spark, dir, "lineitem")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+          .orderBy(col("l_orderkey"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) = 1
+        |ORDER BY l_orderkey""".stripMargin)),
+
+    // Global sort + limit with deterministic tiebreak.
+    Entry("q_sort_limit",
+      (spark, dir) => {
+        Registry.table(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // Left-semi join (EXISTS).
+    Entry("q_semi_join",
+      (spark, dir) => {
+        val c = Registry.table(spark, dir, "customer")
+        val o = Registry.table(spark, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // Left-anti join (NOT EXISTS).
+    Entry("q_anti_join",
+      (spark, dir) => {
+        val c = Registry.table(spark, dir, "customer")
+        val o = Registry.table(spark, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // Set operations: EXCEPT / INTERSECT over event audiences.
+    Entry("q_except",
+      (spark, dir) => {
+        val ev = Registry.table(spark, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"))
+        clicks.except(buys).orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin)),
+
+    Entry("q_intersect",
+      (spark, dir) => {
+        val ev = Registry.table(spark, dir, "events")
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"))
+        signups.intersect(errors).orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id FROM events WHERE event_type = 'signup'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin)),
+
+    // Hierarchical rollup over the region→nation dimension.
+    Entry("q_rollup",
+      (spark, dir) => {
+        val r = Registry.table(spark, dir, "region")
+        val n = Registry.table(spark, dir, "nation")
+        val c = Registry.table(spark, dir, "customer")
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_customers"),
+            round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+          .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+      },
+      Some("""SELECT r_name, n_name, count(*) AS n_customers,
+        |  round(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)),
+
+    // Event-time tumbling-window aggregation (the batch shape of the
+    // streaming windowed agg; see graft.streaming for the readStream
+    // form).
+    Entry("q_time_window",
+      (spark, dir) => {
+        Registry.table(spark, dir, "events")
+          .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 4).as("sum_value"))
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin))
+  )
+}
