@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, shingling, token hashing, language ID, quality
+  * scoring, fingerprinting. All pure Column expressions (whole-stage
+  * codegen'd, no UDFs) so they run at scan speed and push down through
+  * Catalyst; each has an exact DuckDB-SQL equivalent used by the
+  * correctness oracle (see graft.queries.TextOps/DedupOps).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (documents are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Stable 32-bit token hash shared with the DuckDB oracle:
+    * first 8 hex chars of md5, read as an integer (0..2^32-1). */
+  def tokenHash(tok: Column): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
+
+  /** 60-bit document fingerprint (15 md5 hex chars — stays positive in
+    * a signed 64-bit int in every engine). */
+  def fingerprint64(text: Column): Column =
+    conv(substring(md5(text), 1, 15), 16, 10).cast("long")
+
+  /** Token 3-gram shingles (1-based element_at to mirror DuckDB's
+    * 1-based list indexing); short texts fall back to the whole text
+    * as a single shingle. */
+  def shingles3(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) >= 3,
+      transform(sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+          element_at(t, i + 2))))
+      .otherwise(array(text))
+  }
+
+  /** Per-language stopword lists for the n-gram-free language-ID
+    * heuristic. Deterministic and tiny by design: language ID at 100 TB
+    * must be a scan-local expression, not a model call. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una"),
+    "zh" -> Seq("的", "是", "不", "我", "了"))
+
+  /** Count of tokens that appear in `words`. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(w => w: Any): _*)))
+      .cast("long")
+
+  /** Highest-scoring language, ties broken by list order (en first),
+    * 'und' (undetermined) when no stopword hits at all. */
+  def langId(text: Column): Column = {
+    val hits = stopwords.map { case (lang, ws) => lang -> stopwordHits(text, ws) }
+    val maxHits = greatest(hits.map(_._2): _*)
+    hits.foldRight(lit("und")) { case ((lang, h), acc) =>
+      when(h === maxHits && maxHits > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Heuristic quality score in [0,1]: half lexical diversity
+    * (distinct/total tokens), half length saturation (chars/200 capped).
+    * Rounded to 6 so oracle float comparison is exact. */
+  def qualityScore(text: Column): Column = {
+    val t = tokens(text)
+    val distinctRatio =
+      size(array_distinct(t)).cast("double") / size(t).cast("double")
+    val lenScore = least(lit(1.0), length(text).cast("double") / lit(200.0))
+    round(lit(0.5) * distinctRatio + lit(0.5) * lenScore, 6)
+  }
+}

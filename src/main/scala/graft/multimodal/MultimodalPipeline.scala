@@ -1,0 +1,58 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Spark-side plumbing for multimodal (image/audio/video) columns:
+  * media is carried as an opaque `binary` payload column with typed
+  * metadata alongside, partition-parallel and codegen-friendly.
+  *
+  * The actual codec work (JPEG decode, resample, frame decode) is NOT
+  * implementable in this container (no media libraries), so
+  * [[decodeStub]] is a clearly-marked deterministic fake; the schema,
+  * chunking, and batch shapes around it are real, so swapping the stub
+  * for a real codec (e.g. an `mapInArrow` stage feeding a native
+  * decoder) changes no query shape.
+  */
+object MultimodalPipeline {
+
+  /** Attach a binary `payload` column (utf-8 bytes of `src` here; in a
+    * real pipeline this is the raw media column read from parquet). */
+  def withPayload(df: DataFrame, src: Column): DataFrame =
+    df.withColumn("payload", src.cast("binary"))
+
+  /** STUB decode: a real implementation would decode `payload` into
+    * pixels/samples. Deterministic fake: the payload length and md5
+    * act as the "decoded" surrogate so downstream stages are testable. */
+  def decodeStub(payload: Column): Column =
+    struct(octet_length(payload).as("decoded_len"),
+      md5(payload).as("decoded_md5"))
+
+  /** Sample up to `maxFrames` fixed-size frames from the payload —
+    * the video-frame-extraction shape: one output row per frame with
+    * a content hash. Pure Column expressions (sequence + posexplode),
+    * so it scales with the scan. */
+  def sampleFrames(df: DataFrame, src: Column, frameBytes: Int,
+                   maxFrames: Int): DataFrame = {
+    val nFrames = least(lit(maxFrames - 1),
+      floor((length(src) - lit(1)) / lit(frameBytes)).cast("int"))
+    val frames = transform(sequence(lit(0), nFrames),
+      i => src.substr(i * frameBytes + 1, lit(frameBytes)))
+    df.select(col("doc_id"), posexplode(frames).as(Seq("frame_idx", "frame")))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        md5(col("frame")).as("frame_md5"),
+        length(col("frame")).cast("long").as("frame_len"))
+  }
+
+  /** STUB feature extraction: a real pipeline would run a model over
+    * decoded media; here a deterministic 4-dim count vector from the
+    * raw bytes keeps the (id, array<bigint>) feature shape real. */
+  def featureStub(df: DataFrame, src: Column): DataFrame =
+    df.select(col("doc_id"),
+      array(
+        length(src).cast("long"),
+        size(split(src, " ")).cast("long"),
+        (length(src) - length(regexp_replace(src, "[aeiou]", ""))).cast("long"),
+        (length(src) - length(regexp_replace(src, "[0-9]", ""))).cast("long")
+      ).as("features"))
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SketchFunctions, TextFunctions}
+
+/** Document deduplication at training-data-pipeline scale:
+  *
+  *  - exact (hash groupBy — one shuffle on the fingerprint),
+  *  - n-gram Jaccard via an exploded *equi-join on shingles* with a
+  *    document-frequency cutoff (never an O(n²) cross product: pair
+  *    candidates are generated only where a discriminative shingle is
+  *    shared, which is the shape that survives 100 TB),
+  *  - MinHash signatures + LSH banding (candidates = equi-join on
+  *    (band index, band value) buckets),
+  *  - SimHash 32-bit signatures.
+  *
+  * Every step is integer/md5 math mirrored exactly by the DuckDB
+  * oracle SQL (generated from the same Scala constants).
+  */
+object DedupOps {
+
+  /** Max document frequency for a shingle to count as discriminative. */
+  val maxShingleDf = 50
+  /** Jaccard threshold for reporting a near-duplicate pair. */
+  val jaccardThreshold = 0.5
+
+  // ---- shared Spark-side pieces -------------------------------------
+
+  /** (doc_id, sh): one row per distinct shingle per document. */
+  private def explodedShingles(spark: SparkSession, dir: String): DataFrame =
+    Registry.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(TextFunctions.shingles3(col("text")))).as("sh"))
+
+  // ---- shared DuckDB fragments --------------------------------------
+
+  private val tokSql = "string_split(text, ' ')"
+  private val shinglesListSql =
+    s"""CASE WHEN len($tokSql) >= 3
+       | THEN list_transform(generate_series(1, len($tokSql) - 2),
+       |   i -> concat_ws(' ', $tokSql[i], $tokSql[i+1], $tokSql[i+2]))
+       | ELSE [text] END""".stripMargin
+  private val shCte =
+    s"""sh AS (SELECT doc_id, unnest(list_distinct($shinglesListSql)) AS sh
+       | FROM documents)""".stripMargin
+  private val thSql = "CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT)"
+
+  private def minhashAggSql: String =
+    SketchFunctions.minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * th + $b) % ${SketchFunctions.P}) AS h$i"
+    }.mkString(", ")
+
+  private val sigCte =
+    s"""sig AS (SELECT doc_id, $minhashAggSql
+       | FROM (SELECT doc_id, $thSql AS th FROM sh) GROUP BY doc_id)""".stripMargin
+
+  def entries: Seq[Entry] = Seq(
+
+    Entry("dedup_exact",
+      (spark, dir) => {
+        Registry.table(spark, dir, "documents")
+          .groupBy(md5(col("text")).as("fp"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+          .orderBy(col("fp"))
+      },
+      Some("""SELECT md5(text) AS fp, count(*) AS n_docs,
+        |  min(doc_id) AS keep_doc_id
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin)),
+
+    Entry("dedup_shingle_jaccard",
+      (spark, dir) => {
+        val sh = explodedShingles(spark, dir)
+        val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        val filt = sh.join(df.filter(col("df") <= maxShingleDf), "sh")
+          .select(col("doc_id"), col("sh"))
+        val sizes = filt.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val shared = filt.as("a")
+          .join(filt.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("shared"))
+        val na = sizes.select(col("doc_id").as("d1"), col("n").as("n1"))
+        val nb = sizes.select(col("doc_id").as("d2"), col("n").as("n2"))
+        shared.join(na, "d1").join(nb, "d2")
+          .withColumn("jaccard", round(col("shared").cast("double") /
+            (col("n1") + col("n2") - col("shared")), 6))
+          .filter(col("jaccard") >= jaccardThreshold)
+          .select(col("d1"), col("d2"), col("jaccard"))
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some(s"""WITH $shCte,
+        |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+        |filt AS (SELECT s.doc_id, s.sh FROM sh s JOIN df USING (sh)
+        |         WHERE df <= $maxShingleDf),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM filt GROUP BY doc_id),
+        |shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+        |  FROM filt a JOIN filt b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |  round(shared::DOUBLE / (na.n + nb.n - shared), 6) AS jaccard
+        |FROM shared
+        |JOIN sizes na ON na.doc_id = d1
+        |JOIN sizes nb ON nb.doc_id = d2
+        |WHERE round(shared::DOUBLE / (na.n + nb.n - shared), 6) >= $jaccardThreshold
+        |ORDER BY d1, d2""".stripMargin)),
+
+    Entry("dedup_minhash_sig",
+      (spark, dir) => {
+        SketchFunctions.minhashSignature(explodedShingles(spark, dir), "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $shCte, $sigCte
+        |SELECT * FROM sig ORDER BY doc_id""".stripMargin)),
+
+    Entry("dedup_minhash_pairs",
+      (spark, dir) => {
+        val sig = SketchFunctions.withBands(
+          SketchFunctions.minhashSignature(explodedShingles(spark, dir), "doc_id"))
+        val bands = (0 until SketchFunctions.numBands).map { j =>
+          sig.select(col("doc_id"), lit(j).as("bi"), col(s"b$j").as("bv"))
+        }.reduce(_ unionAll _)
+        bands.as("a")
+          .join(bands.as("b"), col("a.bi") === col("b.bi") &&
+            col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("n_bands"))
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some {
+        val bandSelects = (0 until SketchFunctions.numBands).map { j =>
+          s"SELECT doc_id, $j AS bi, concat_ws('_', h${2 * j}, h${2 * j + 1}) AS bv FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH $shCte, $sigCte,
+           |bands AS ($bandSelects)
+           |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_bands
+           |FROM bands a JOIN bands b
+           |  ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin
+      }),
+
+    Entry("dedup_simhash",
+      (spark, dir) => {
+        val toks = Registry.table(spark, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), TextFunctions.tokenHash(col("tok")).as("th"))
+        SketchFunctions.simhash32(toks, "doc_id").orderBy(col("doc_id"))
+      },
+      Some {
+        val sums = (0 until 32).map { j =>
+          s"sum(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+        }.mkString(", ")
+        val packed = (0 until 32).map { j =>
+          s"(CASE WHEN s$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)"
+        }.mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS tok FROM documents),
+           |th AS (SELECT doc_id,
+           |  CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS th FROM tok),
+           |s AS (SELECT doc_id, $sums FROM th GROUP BY doc_id)
+           |SELECT doc_id, $packed AS simhash32 FROM s ORDER BY doc_id""".stripMargin
+      })
+  )
+}

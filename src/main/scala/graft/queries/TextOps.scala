@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §7.4
+  * milestone 5 / BASELINE.json north star): token stats, fingerprints,
+  * language ID, quality scoring. All scan-local Column expressions —
+  * at 100 TB these run inside the parquet scan with no shuffle at all.
+  */
+object TextOps {
+
+  // DuckDB fragments mirroring TextFunctions (same md5-derived hashes).
+  private val tokSql = "string_split(text, ' ')"
+  private def fp64Sql(expr: String) =
+    s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  def entries: Seq[Entry] = Seq(
+
+    Entry("t_token_stats",
+      (spark, dir) => {
+        val d = Registry.table(spark, dir, "documents")
+        d.select(col("doc_id"), col("n_chars"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens"),
+            size(array_distinct(TextFunctions.tokens(col("text"))))
+              .cast("long").as("n_distinct_tokens"),
+            TextFunctions.fingerprint64(col("text")).as("fp64"),
+            md5(col("text")).as("fp_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, n_chars,
+        |  len($tokSql) AS n_tokens,
+        |  len(list_distinct($tokSql)) AS n_distinct_tokens,
+        |  ${fp64Sql("text")} AS fp64,
+        |  md5(text) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Entry("t_lang_id",
+      (spark, dir) => {
+        val d = Registry.table(spark, dir, "documents")
+        d.select(col("doc_id"), col("lang"),
+            TextFunctions.langId(col("text")).as("lang_pred"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val hits = TextFunctions.stopwords.map { case (lang, ws) =>
+          val inList = ws.map(w => s"'$w'").mkString(", ")
+          lang -> s"len(list_filter($tokSql, t -> t IN ($inList)))"
+        }
+        val defs = hits.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n  ")
+        val gmax = hits.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+        val cases = hits.map { case (l, _) =>
+          s"WHEN gmax > 0 AND s_$l = gmax THEN '$l'"
+        }.mkString(" ")
+        s"""WITH h AS (SELECT doc_id, lang, $defs FROM documents),
+           |g AS (SELECT *, $gmax AS gmax FROM h)
+           |SELECT doc_id, lang,
+           |  CASE $cases ELSE 'und' END AS lang_pred
+           |FROM g ORDER BY doc_id""".stripMargin
+      }),
+
+    Entry("t_quality",
+      (spark, dir) => {
+        val d = Registry.table(spark, dir, "documents")
+        d.select(col("doc_id"),
+            TextFunctions.qualityScore(col("text")).as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+        |  round(0.5 * (len(list_distinct($tokSql))::DOUBLE / len($tokSql)::DOUBLE)
+        |      + 0.5 * least(1.0, length(text)::DOUBLE / 200.0), 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

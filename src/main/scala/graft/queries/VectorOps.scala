@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.VectorFunctions
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors): brute-force cosine top-k as the exactness baseline, and a
+  * sign-LSH bucketed variant as the scale path (at 100 TB the bucket
+  * id becomes the shuffle/partition key, so each query probes one
+  * bucket instead of the whole corpus).
+  *
+  * All vector math is sequential-order double arithmetic expressed
+  * identically in Spark (`aggregate(zip_with(..))`) and DuckDB
+  * (`list_inner_product`), so cosines hash-match bit-for-bit; outputs
+  * additionally round to 6 decimals.
+  */
+object VectorOps {
+
+  val numPlanes = 8
+  val dims = 64
+  val nearDupThreshold = 0.45 // driver embeddings are near-orthogonal
+  val queryCount = 20
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Registry.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+
+  private val embSql =
+    "SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings"
+  private def cosSql(a: String, b: String) =
+    s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+
+  /** DuckDB literal for plane p (same integers as VectorFunctions). */
+  private def planeSql(p: Int): String =
+    VectorFunctions.planeComponents(p, dims).mkString("[", ", ", "]::DOUBLE[]")
+
+  private val bucketSql: String =
+    (0 until numPlanes).map { p =>
+      s"(CASE WHEN list_inner_product(${planeSql(p)}, e) > 0 THEN ${1L << p}::BIGINT ELSE 0::BIGINT END)"
+    }.mkString(" + ")
+
+  def entries: Seq[Entry] = Seq(
+
+    Entry("v_norms",
+      (spark, dir) => {
+        emb(spark, dir)
+          .select(col("vec_id"), col("label"),
+            round(VectorFunctions.norm(col("e")), 6).as("norm"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""SELECT vec_id, label,
+        |  round(sqrt(list_inner_product(e, e)), 6) AS norm
+        |FROM ($embSql) ORDER BY vec_id""".stripMargin)),
+
+    Entry("dedup_embedding_near",
+      (spark, dir) => {
+        val a = emb(spark, dir).select(col("vec_id").as("v1"), col("e").as("e1"))
+        val b = emb(spark, dir).select(col("vec_id").as("v2"), col("e").as("e2"))
+        a.join(b, col("v1") < col("v2"))
+          .withColumn("sim",
+            round(VectorFunctions.cosine(col("e1"), col("e2")), 6))
+          .filter(col("sim") >= nearDupThreshold)
+          .select(col("v1"), col("v2"), col("sim"))
+          .orderBy(col("v1"), col("v2"))
+      },
+      Some(s"""WITH v AS ($embSql)
+        |SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |  round(${cosSql("a.e", "b.e")}, 6) AS sim
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE round(${cosSql("a.e", "b.e")}, 6) >= $nearDupThreshold
+        |ORDER BY v1, v2""".stripMargin)),
+
+    Entry("ann_topk_bruteforce",
+      (spark, dir) => {
+        val q = emb(spark, dir).filter(col("vec_id") < queryCount)
+          .select(col("vec_id").as("query_id"), col("e").as("qe"))
+        val n = emb(spark, dir)
+          .select(col("vec_id").as("neighbor_id"), col("e").as("ne"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        q.join(n, col("query_id") =!= col("neighbor_id"))
+          .withColumn("sim",
+            round(VectorFunctions.cosine(col("qe"), col("ne")), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH v AS ($embSql)
+        |SELECT q.vec_id AS query_id,
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY round(${cosSql("q.e", "n.e")}, 6) DESC, n.vec_id) AS INT) AS rank,
+        |  n.vec_id AS neighbor_id,
+        |  round(${cosSql("q.e", "n.e")}, 6) AS sim
+        |FROM v q JOIN v n ON q.vec_id < $queryCount AND q.vec_id <> n.vec_id
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)),
+
+    Entry("ann_lsh_topk",
+      (spark, dir) => {
+        val b = emb(spark, dir).withColumn("bucket",
+          VectorFunctions.lshBucket(col("e"), numPlanes, dims))
+        val q = b.filter(col("vec_id") < queryCount)
+          .select(col("vec_id").as("query_id"), col("e").as("qe"),
+            col("bucket"))
+        val n = b.select(col("vec_id").as("neighbor_id"), col("e").as("ne"),
+          col("bucket").as("nbucket"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        q.join(n, col("bucket") === col("nbucket") &&
+            col("query_id") =!= col("neighbor_id"))
+          .withColumn("sim",
+            round(VectorFunctions.cosine(col("qe"), col("ne")), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            col("sim"), col("bucket"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH v AS ($embSql),
+        |b AS (SELECT vec_id, e, $bucketSql AS bucket FROM v)
+        |SELECT q.vec_id AS query_id,
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY round(${cosSql("q.e", "n.e")}, 6) DESC, n.vec_id) AS INT) AS rank,
+        |  n.vec_id AS neighbor_id,
+        |  round(${cosSql("q.e", "n.e")}, 6) AS sim,
+        |  q.bucket AS bucket
+        |FROM b q JOIN b n ON q.bucket = n.bucket
+        |  AND q.vec_id < $queryCount AND q.vec_id <> n.vec_id
+        |QUALIFY rank <= 3
+        |ORDER BY query_id, rank""".stripMargin))
+  )
+}
