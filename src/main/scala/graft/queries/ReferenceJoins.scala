@@ -62,6 +62,15 @@ object ReferenceJoins {
       |FROM events WHERE event_type IN ('click','purchase','view') AND user_id % 5 <> 0
       |QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
 
+  /** Shared with StreamingOps: the streaming J1 must converge to
+    * exactly this batch answer. */
+  private[queries] val j1OracleSql: String =
+    s"""WITH x AS ($xSql), y AS ($ySql)
+       |SELECT coalesce(x.user_id, y.y_user_id) AS user_id,
+       |  x_event_id, x_type, x_ts, y_event_id, y_type, y_ts
+       |FROM x FULL OUTER JOIN y ON x.user_id = y.y_user_id
+       |ORDER BY user_id, x_type ASC NULLS FIRST, y_type ASC NULLS FIRST""".stripMargin
+
   def entries: Seq[Entry] = Seq(
 
     Entry("j1_full_outer",
@@ -74,11 +83,7 @@ object ReferenceJoins {
           .orderBy(col("user_id"), asc_nulls_first("x_type"),
             asc_nulls_first("y_type"))
       },
-      Some(s"""WITH x AS ($xSql), y AS ($ySql)
-        |SELECT coalesce(x.user_id, y.y_user_id) AS user_id,
-        |  x_event_id, x_type, x_ts, y_event_id, y_type, y_ts
-        |FROM x FULL OUTER JOIN y ON x.user_id = y.y_user_id
-        |ORDER BY user_id, x_type ASC NULLS FIRST, y_type ASC NULLS FIRST""".stripMargin)),
+      Some(j1OracleSql)),
 
     Entry("j2_left_outer",
       (spark, dir) => {

@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.streaming.VersionedStreamJoin
+
+/** A typed event row for the streaming paths: `ts_us` is the event
+  * timestamp in epoch microseconds (the version — unique per
+  * (user, type) in the driver data at every SF). */
+final case class Ev(event_id: Long, user_id: Long, event_type: String,
+                    ts_us: Long, value: Double)
+
+/** Streaming operators, driven synchronously: the parquet events are
+  * replayed through a [[MemoryStream]] in deterministic event-id-order
+  * chunks (so the engine sees multiple microbatches, exercising state
+  * across triggers), and the final answer is checked against the SAME
+  * batch DuckDB oracle as the batch operators — the streaming engine
+  * must *converge* to the batch result (the reference's own
+  * verification idea, JoinSpec.scala:153-154, strengthened from
+  * count-equality to full hash-equality).
+  */
+object StreamingOps {
+
+  private val chunks = 8
+
+  private def loadEvents(spark: SparkSession, dir: String): Array[Ev] = {
+    import spark.implicits._
+    Registry.table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("ts_us"), col("value"))
+      .as[Ev].collect().sortBy(_.event_id)
+  }
+
+  /** Feed `rows` through a MemoryStream in order, `chunks` adds with a
+    * microbatch boundary after each, run to completion, return the
+    * memory-sink table. */
+  private def runStream[T](spark: SparkSession, rows: Seq[T],
+                           build: MemoryStream[T] => DataFrame,
+                           mode: String)(
+                            implicit enc: org.apache.spark.sql.Encoder[T]): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[T]
+    val sinkName = s"graft_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = build(stream).writeStream
+      .outputMode(mode).format("memory").queryName(sinkName).start()
+    try {
+      val size = math.max(1, (rows.length + chunks - 1) / chunks)
+      rows.grouped(size).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(sinkName)
+  }
+
+  def entries: Seq[Entry] = Seq(
+
+    // Streaming J1 over the same X/Y event split as j1_full_outer;
+    // converged result (max emission seq per key) must hash-match the
+    // batch oracle exactly.
+    Entry("s1_stream_full_outer",
+      (spark, dir) => {
+        import spark.implicits._
+        val evs = loadEvents(spark, dir)
+        val xs = evs.filter(e => (e.event_type == "signup" || e.event_type == "error")
+          && e.user_id % 3 != 0)
+        val ys = evs.filter(e => (e.event_type == "click" || e.event_type == "purchase"
+          || e.event_type == "view") && e.user_id % 5 != 0)
+        // one tagged-union stream: interleave by replaying both sides
+        // from a single chunked source of Either-like rows
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val sx = MemoryStream[Ev]
+        val sy = MemoryStream[Ev]
+        val joinedDs = VersionedStreamJoin.fullOuter[Ev, Ev](
+          sx.toDS(), sy.toDS(),
+          x => x.user_id.toString, y => y.user_id.toString,
+          x => x.event_type, y => y.event_type,
+          x => x.ts_us, y => y.ts_us)
+        val sinkName = s"graft_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val q = joinedDs.toDF().writeStream
+          .outputMode("update").format("memory").queryName(sinkName).start()
+        try {
+          val sizeX = math.max(1, (xs.length + chunks - 1) / chunks)
+          val sizeY = math.max(1, (ys.length + chunks - 1) / chunks)
+          xs.grouped(sizeX).zipAll(ys.grouped(sizeY), Array.empty[Ev], Array.empty[Ev])
+            .foreach { case (cx, cy) =>
+              if (cx.nonEmpty) sx.addData(cx.toIndexedSeq)
+              if (cy.nonEmpty) sy.addData(cy.toIndexedSeq)
+              q.processAllAvailable()
+            }
+        } finally q.stop()
+        val raw = spark.table(sinkName)
+        val wMax = Window.partitionBy(col("key"))
+        val converged = raw
+          .withColumn("max_seq", max(col("seq")).over(wMax))
+          .filter(col("seq") === col("max_seq"))
+        converged.select(
+            col("key").cast("long").as("user_id"),
+            col("x.event_id").as("x_event_id"),
+            col("x.event_type").as("x_type"),
+            expr("timestamp_micros(x.ts_us)").as("x_ts"),
+            col("y.event_id").as("y_event_id"),
+            col("y.event_type").as("y_type"),
+            expr("timestamp_micros(y.ts_us)").as("y_ts"))
+          .orderBy(col("user_id"), asc_nulls_first("x_type"),
+            asc_nulls_first("y_type"))
+      },
+      Some(ReferenceJoins.j1OracleSql)),
+
+    // Streaming windowed aggregation (complete mode): per-day,
+    // per-type counts/sums accumulated across 8 microbatches must
+    // equal the batch group-by.
+    Entry("s2_stream_window_agg",
+      (spark, dir) => {
+        import spark.implicits._
+        val evs = loadEvents(spark, dir)
+        runStream[Ev](spark, evs.toIndexedSeq, st =>
+          st.toDF()
+            .withColumn("ts", expr("timestamp_micros(ts_us)"))
+            .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+            .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value")),
+          "complete")
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin))
+  )
+}

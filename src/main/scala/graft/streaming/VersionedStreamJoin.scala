@@ -1,0 +1,150 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core.VersionedDedup
+
+/** One emitted join row, stamped with the per-key emission sequence so
+  * downstream consumers can (a) apply the reference's latest-wins dedup
+  * contract, or (b) filter to the converged result (max seq per key). */
+final case class Emitted[X, Y](key: String, seq: Long,
+                               x: Option[X], y: Option[Y])
+
+/** Internal tagged-union envelope — the Spark-explicit form of the
+  * reference's internal `TaggedUnion[X,Y]` cogroup input (reference:
+  * versionDeduplicator.scala:61, VersioningEvictor.scala:15). */
+final case class Tagged[X, Y](key: String, x: Option[X], y: Option[Y])
+
+/** Per-key join state: latest version per id on each side. Upsert on
+  * write means the state IS the reference's compacted window buffer —
+  * the VersioningEvictor/deduplicateMutable machinery (E1/D3,
+  * VersioningEvictor.scala:10-29) becomes unnecessary by construction,
+  * and D3's Y-side eviction bug (versionDeduplicator.scala:100) has
+  * nothing to port. */
+final case class JoinState[X, Y](xs: Map[String, X], ys: Map[String, Y],
+                                 seq: Long)
+
+/** Streaming versioned joins over CDC-style upsert streams — the
+  * reference's continuously-updated J1–J4 (joins.scala:10-70)
+  * re-expressed on Structured Streaming.
+  *
+  * Shape: map both streams into [[Tagged]], union, `groupByKey(key)`,
+  * `flatMapGroupsWithState` (update mode). On every microbatch each
+  * touched key upserts arrivals into latest-wins per-id state and
+  * re-emits its full join result — per-microbatch granularity instead
+  * of the reference's per-record `CountTrigger.of(1)`
+  * (joins.scala:19); the reference's own dedup-based verification
+  * contract (raw ≥ expected, deduped == expected, JoinSpec.scala:153-154)
+  * is insensitive to that difference (SURVEY.md §4.2).
+  *
+  * At scale: state is hash-partitioned by join key across executors
+  * (the Exchange under groupByKey); each key holds only latest
+  * versions, so state size is bounded by live entities, not stream
+  * length. Skewed keys are the caller's concern (salt the key or
+  * pre-aggregate) as with any keyed stateful op.
+  */
+object VersionedStreamJoin {
+
+  /** J1: full-outer — emits (None,Some)/(Some,None) for unmatched
+    * sides, else the per-key cross product of latest versions
+    * (reference cgfFullOuter, cogroupFunctions.scala:7-30). */
+  def fullOuter[X, Y](
+      dsx: Dataset[X], dsy: Dataset[Y],
+      keyFromX: X => String, keyFromY: Y => String,
+      idFromX: X => String, idFromY: Y => String,
+      tsFromX: X => Long, tsFromY: Y => Long)(
+      implicit ex: Encoder[X], ey: Encoder[Y],
+      et: Encoder[Tagged[X, Y]], es: Encoder[String],
+      ej: Encoder[JoinState[X, Y]],
+      ee: Encoder[Emitted[X, Y]]): Dataset[Emitted[X, Y]] =
+    joined(dsx, dsy, keyFromX, keyFromY, idFromX, idFromY, tsFromX, tsFromY) {
+      (key, seq, xs, ys) =>
+        if (xs.isEmpty) ys.valuesIterator.map(y => Emitted(key, seq, None, Some(y)))
+        else if (ys.isEmpty) xs.valuesIterator.map(x => Emitted(key, seq, Some(x), None))
+        else for (x <- xs.valuesIterator; y <- ys.values)
+          yield Emitted(key, seq, Some(x), Some(y))
+    }
+
+  /** J2: left-outer — at most one x per key (latest by ts over the
+    * whole key, the reference quirk, cogroupFunctions.scala:31-47);
+    * keys with no x emit nothing. */
+  def leftOuter[X, Y](
+      dsx: Dataset[X], dsy: Dataset[Y],
+      keyFromX: X => String, keyFromY: Y => String,
+      idFromX: X => String, idFromY: Y => String,
+      tsFromX: X => Long, tsFromY: Y => Long)(
+      implicit ex: Encoder[X], ey: Encoder[Y],
+      et: Encoder[Tagged[X, Y]], es: Encoder[String],
+      ej: Encoder[JoinState[X, Y]],
+      ee: Encoder[Emitted[X, Y]]): Dataset[Emitted[X, Y]] =
+    joined(dsx, dsy, keyFromX, keyFromY, idFromX, idFromY, tsFromX, tsFromY) {
+      (key, seq, xs, ys) =>
+        VersionedDedup.latestOne(xs.valuesIterator, tsFromX) match {
+          case None => Iterator.empty
+          case Some(x) =>
+            if (ys.isEmpty) Iterator.single(Emitted(key, seq, Some(x), None))
+            else ys.valuesIterator.map(y => Emitted(key, seq, Some(x), Some(y)))
+        }
+    }
+
+  /** J5 analog: inner — emits only when both sides are populated. */
+  def inner[X, Y](
+      dsx: Dataset[X], dsy: Dataset[Y],
+      keyFromX: X => String, keyFromY: Y => String,
+      idFromX: X => String, idFromY: Y => String,
+      tsFromX: X => Long, tsFromY: Y => Long)(
+      implicit ex: Encoder[X], ey: Encoder[Y],
+      et: Encoder[Tagged[X, Y]], es: Encoder[String],
+      ej: Encoder[JoinState[X, Y]],
+      ee: Encoder[Emitted[X, Y]]): Dataset[Emitted[X, Y]] =
+    joined(dsx, dsy, keyFromX, keyFromY, idFromX, idFromY, tsFromX, tsFromY) {
+      (key, seq, xs, ys) =>
+        for (x <- xs.valuesIterator; y <- ys.values)
+          yield Emitted(key, seq, Some(x), Some(y))
+    }
+
+  /** Shared core: tagged union → keyed latest-wins upsert state →
+    * per-trigger re-expansion via `expand`. */
+  private def joined[X, Y](
+      dsx: Dataset[X], dsy: Dataset[Y],
+      keyFromX: X => String, keyFromY: Y => String,
+      idFromX: X => String, idFromY: Y => String,
+      tsFromX: X => Long, tsFromY: Y => Long)(
+      expand: (String, Long, Map[String, X], Map[String, Y]) => Iterator[Emitted[X, Y]])(
+      implicit ex: Encoder[X], ey: Encoder[Y],
+      et: Encoder[Tagged[X, Y]], es: Encoder[String],
+      ej: Encoder[JoinState[X, Y]],
+      ee: Encoder[Emitted[X, Y]]): Dataset[Emitted[X, Y]] = {
+
+    val tagged = dsx.map(x => Tagged[X, Y](keyFromX(x), Some(x), None))
+      .union(dsy.map(y => Tagged[X, Y](keyFromY(y), None, Some(y))))
+
+    tagged.groupByKey(_.key).flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (key: String, rows: Iterator[Tagged[X, Y]],
+       state: GroupState[JoinState[X, Y]]) =>
+        val st = state.getOption.getOrElse(
+          JoinState[X, Y](Map.empty, Map.empty, 0L))
+        var xs = st.xs
+        var ys = st.ys
+        rows.foreach { t =>
+          t.x.foreach { x =>
+            val id = idFromX(x)
+            // strict >: on equal ts the earlier-arrived version wins,
+            // matching the reference (versionDeduplicator.scala:17,25)
+            if (!xs.contains(id) || tsFromX(x) > tsFromX(xs(id)))
+              xs = xs.updated(id, x)
+          }
+          t.y.foreach { y =>
+            val id = idFromY(y)
+            if (!ys.contains(id) || tsFromY(y) > tsFromY(ys(id)))
+              ys = ys.updated(id, y)
+          }
+        }
+        val seq = st.seq + 1
+        state.update(JoinState(xs, ys, seq))
+        expand(key, seq, xs, ys)
+    }
+  }
+}

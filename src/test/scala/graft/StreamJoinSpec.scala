@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.GenJoin._
+import graft.streaming.{Emitted, VersionedStreamJoin}
+
+/** Streaming versioned join: chunked MemoryStream replay with
+  * stale-version churn, verified with the reference's dedup-tolerant
+  * contract (raw emissions ≥ expected; latest-wins dedup == expected —
+  * JoinSpec.scala:153-154) AND exact convergence (max-seq emissions
+  * per key == the batch answer). */
+class StreamJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  val numSamples = 100
+
+  test("streaming AB full outer converges to the batch answer modulo dedup") {
+    val truth = sampleExactlyN(genABNonempty(leftOptional = true, fanoutMax = 2),
+      seed = 123L, numSamples)
+    // stale versions first in the replay order — later chunks carry
+    // the fresh versions that must supersede them
+    val asFresh = truth.flatMap(_._1)
+    val bsFresh = truth.flatMap(_._2)
+    val as = asFresh.map(a => a.copy(ts = a.ts - 17L)) ++ asFresh
+    val bs = bsFresh.map(b => b.copy(ts = b.ts - 17L)) ++ bsFresh
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sx = MemoryStream[A]
+    val sy = MemoryStream[B]
+    val joined = VersionedStreamJoin.fullOuter[A, B](
+      sx.toDS(), sy.toDS(),
+      _.id.toString, _.ida.toString, _.id.toString, _.id.toString,
+      _.ts, _.ts)
+    val q = joined.toDF().writeStream.outputMode("update")
+      .format("memory").queryName("stream_ab").start()
+    try {
+      val chunks = 8
+      val sa = math.max(1, (as.length + chunks - 1) / chunks)
+      val sb = math.max(1, (bs.length + chunks - 1) / chunks)
+      as.grouped(sa).zipAll(bs.grouped(sb), Nil, Nil).foreach { case (ca, cb) =>
+        if (ca.nonEmpty) sx.addData(ca)
+        if (cb.nonEmpty) sy.addData(cb)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val raw = spark.table("stream_ab").as[Emitted[A, B]].collect()
+
+    // expected (same derivation as the batch spec; B dedups per
+    // (key=ida, id) like the engine's D2 state)
+    val latestA = as.groupBy(_.id).map { case (k, g) => k -> g.maxBy(_.ts) }
+    val latestB = bs.groupBy(b => (b.ida, b.id)).values.map(_.maxBy(_.ts)).toSeq
+    val bByKey = latestB.groupBy(_.ida)
+    val keys = latestA.keySet ++ bByKey.keySet
+    val expected: Set[(Option[A], Option[B])] = keys.flatMap { k =>
+      (latestA.get(k), bByKey.getOrElse(k, Seq.empty)) match {
+        case (None, bs2)      => bs2.map(b => (None, Some(b)))
+        case (Some(a), Seq()) => Seq((Some(a), None))
+        case (Some(a), bs2)   => bs2.map(b => (Some(a), Some(b)))
+      }
+    }
+
+    // contract 1 (reference): raw emission count >= converged size
+    assert(raw.length >= expected.size)
+
+    // contract 2 (reference OmnicientDeduplicator): latest-wins dedup
+    // of the raw emissions by (row identity, version = ts sum) recovers
+    // every expected row. Transient rows (e.g. (Some(a), None) emitted
+    // before any b arrived, superseded later under a *different*
+    // identity) legitimately survive an identity-keyed dedup — the
+    // exact gap that kept the reference's fanout>1 B⋈C test ignored
+    // (JoinSpec.scala:289) — so this asserts containment; contract 3
+    // below is the exact check.
+    val deduped = omniDedup[Emitted[A, B]](raw.toSeq, e => {
+      val ident = (e.key, e.x.map(_.id), e.y.map(_.id)).toString
+      val version = e.x.map(_.ts).getOrElse(0L) + e.y.map(_.ts).getOrElse(0L)
+      (ident, version)
+    }).map(e => (e.x, e.y)).toSet
+    assert(expected.subsetOf(deduped))
+
+    // contract 3 (stronger): the final emission per key IS the answer
+    val maxSeq = raw.groupBy(_.key).map { case (k, g) => k -> g.map(_.seq).max }
+    val converged = raw.filter(e => e.seq == maxSeq(e.key))
+      .map(e => (e.x, e.y)).toSet
+    assert(converged == expected)
+  }
+
+  test("streaming left outer drops keyless-x rows and keeps latest x per key") {
+    val xs = Seq(A(1, 10L), A(1, 30L), A(1, 20L))
+    val ys = Seq(B(7, 5L, 1), B(7, 9L, 1), B(8, 4L, 2)) // ida=2 has no A
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sx = MemoryStream[A]
+    val sy = MemoryStream[B]
+    val joined = VersionedStreamJoin.leftOuter[A, B](
+      sx.toDS(), sy.toDS(),
+      _.id.toString, _.ida.toString, _.id.toString, _.id.toString,
+      _.ts, _.ts)
+    val q = joined.toDF().writeStream.outputMode("update")
+      .format("memory").queryName("stream_loj").start()
+    try {
+      sx.addData(xs); sy.addData(ys); q.processAllAvailable()
+    } finally q.stop()
+    val raw = spark.table("stream_loj").as[Emitted[A, B]].collect()
+    val maxSeq = raw.groupBy(_.key).map { case (k, g) => k -> g.map(_.seq).max }
+    val converged = raw.filter(e => e.seq == maxSeq(e.key))
+      .map(e => (e.x, e.y)).toSet
+    assert(converged == Set((Some(A(1, 30L)), Some(B(7, 9L, 1)))))
+  }
+}
