@@ -27,17 +27,27 @@ object TextFunctions {
   def fingerprint64(text: Column): Column =
     conv(substring(md5(text), 1, 15), 16, 10).cast("long")
 
-  /** Token 3-gram shingles (1-based element_at to mirror DuckDB's
-    * 1-based list indexing); short texts fall back to the whole text
-    * as a single shingle. */
-  def shingles3(text: Column): Column = {
-    val t = tokens(text)
-    when(size(t) >= 3,
-      transform(sequence(lit(1), size(t) - 2),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
-          element_at(t, i + 2))))
-      .otherwise(array(text))
-  }
+  /** Token 3-gram shingles over an already-materialized token-array
+    * column (1-based element_at to mirror DuckDB's 1-based list
+    * indexing); short texts fall back to the whole text joined back as
+    * a single shingle.
+    *
+    * PERF: `toks` MUST be a materialized attribute (a column produced
+    * by a previous projection), never the raw `split(text, ' ')`
+    * expression — Catalyst inlines expression arguments into every
+    * `element_at` call inside the lambda, turning shingling into
+    * O(tokens² · textlen) re-splitting. Use [[withTokens]] first. */
+  def shingles3FromTokens(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2))))
+      .otherwise(array(concat_ws(" ", toks)))
+
+  /** Project a materialized token array (see shingles3FromTokens). */
+  def withTokens(df: org.apache.spark.sql.DataFrame, text: Column,
+                 as: String = "toks"): org.apache.spark.sql.DataFrame =
+    df.withColumn(as, tokens(text))
 
   /** Per-language stopword lists for the n-gram-free language-ID
     * heuristic. Deterministic and tiny by design: language ID at 100 TB

@@ -10,9 +10,13 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Sequential dot product: aggregate(zip_with(a,b,*), 0.0, +). */
+  /** Sequential dot product — native codegen expression (see
+    * [[DotProductExpr]]; the HOF `aggregate(zip_with(..))` form is
+    * interpreted and ~50× slower in all-pairs joins). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.Bridge.column(
+      DotProductExpr(org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

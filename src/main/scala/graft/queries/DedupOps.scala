@@ -28,11 +28,23 @@ object DedupOps {
 
   // ---- shared Spark-side pieces -------------------------------------
 
-  /** (doc_id, sh): one row per distinct shingle per document. */
+  /** (doc_id, sh): one row per distinct shingle per document.
+    *
+    * Two deliberate scale moves: (1) repartition the scan before the
+    * CPU-heavy shingling so it parallelizes across all cores instead
+    * of the single input-file partition (at 100 TB the scan has
+    * thousands of splits and this is free); (2) materialize the token
+    * array in its own projection so the shingle lambda reads an
+    * attribute, not a re-evaluated split (see
+    * TextFunctions.shingles3FromTokens perf note). */
   private def explodedShingles(spark: SparkSession, dir: String): DataFrame =
     Registry.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(array_distinct(TextFunctions.shingles3(col("text")))).as("sh"))
+        explode(array_distinct(
+          TextFunctions.shingles3FromTokens(col("toks")))).as("sh"))
 
   // ---- shared DuckDB fragments --------------------------------------
 
@@ -71,7 +83,12 @@ object DedupOps {
 
     Entry("dedup_shingle_jaccard",
       (spark, dir) => {
-        val sh = explodedShingles(spark, dir)
+        // materialize once: the shingle explode feeds the df filter,
+        // both self-join sides, and the size table — without this the
+        // planner re-evaluates the (CPU-heavy) shingling 8 times
+        // (observed via explain: 8 Generate nodes). The 100 TB analog
+        // is checkpointing the exploded feature table before the join.
+        val sh = explodedShingles(spark, dir).localCheckpoint()
         val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         val filt = sh.join(df.filter(col("df") <= maxShingleDf), "sh")
           .select(col("doc_id"), col("sh"))
@@ -116,8 +133,11 @@ object DedupOps {
 
     Entry("dedup_minhash_pairs",
       (spark, dir) => {
+        // materialized for the same reason as dedup_shingle_jaccard:
+        // the 4-band union + self-join would re-derive the signature 8×
         val sig = SketchFunctions.withBands(
           SketchFunctions.minhashSignature(explodedShingles(spark, dir), "doc_id"))
+          .localCheckpoint()
         val bands = (0 until SketchFunctions.numBands).map { j =>
           sig.select(col("doc_id"), lit(j).as("bi"), col(s"b$j").as("bv"))
         }.reduce(_ unionAll _)
@@ -143,6 +163,8 @@ object DedupOps {
     Entry("dedup_simhash",
       (spark, dir) => {
         val toks = Registry.table(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .repartition(spark.sparkContext.defaultParallelism)
           .select(col("doc_id"),
             explode(TextFunctions.tokens(col("text"))).as("tok"))
           .select(col("doc_id"), TextFunctions.tokenHash(col("tok")).as("th"))

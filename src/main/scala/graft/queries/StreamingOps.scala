@@ -26,6 +26,20 @@ object StreamingOps {
 
   private val chunks = 8
 
+  /** State-store parallelism for the replay runs. Each microbatch
+    * writes one checkpoint delta file per state partition, and on a
+    * local filesystem without native Hadoop libs every file costs an
+    * exec'd `chmod` (measured: the dominant cost of these queries).
+    * 8 partitions is ample for ~150 join keys; a real cluster against
+    * object storage would size this to executor count instead. */
+  private val streamShufflePartitions = "8"
+
+  private def withStreamConf[T](spark: SparkSession)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def loadEvents(spark: SparkSession, dir: String): Array[Ev] = {
     import spark.implicits._
     Registry.table(spark, dir, "events")
@@ -40,21 +54,22 @@ object StreamingOps {
   private def runStream[T](spark: SparkSession, rows: Seq[T],
                            build: MemoryStream[T] => DataFrame,
                            mode: String)(
-                            implicit enc: org.apache.spark.sql.Encoder[T]): DataFrame = {
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val stream = MemoryStream[T]
-    val sinkName = s"graft_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-    val q = build(stream).writeStream
-      .outputMode(mode).format("memory").queryName(sinkName).start()
-    try {
-      val size = math.max(1, (rows.length + chunks - 1) / chunks)
-      rows.grouped(size).foreach { chunk =>
-        stream.addData(chunk)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
-    spark.table(sinkName)
-  }
+                            implicit enc: org.apache.spark.sql.Encoder[T]): DataFrame =
+    withStreamConf(spark) {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val stream = MemoryStream[T]
+      val sinkName = s"graft_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      val q = build(stream).writeStream
+        .outputMode(mode).format("memory").queryName(sinkName).start()
+      try {
+        val size = math.max(1, (rows.length + chunks - 1) / chunks)
+        rows.grouped(size).foreach { chunk =>
+          stream.addData(chunk)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      spark.table(sinkName)
+    }
 
   def entries: Seq[Entry] = Seq(
 
@@ -62,15 +77,14 @@ object StreamingOps {
     // converged result (max emission seq per key) must hash-match the
     // batch oracle exactly.
     Entry("s1_stream_full_outer",
-      (spark, dir) => {
+      (spark, dir) => withStreamConf(spark) {
         import spark.implicits._
         val evs = loadEvents(spark, dir)
         val xs = evs.filter(e => (e.event_type == "signup" || e.event_type == "error")
           && e.user_id % 3 != 0)
         val ys = evs.filter(e => (e.event_type == "click" || e.event_type == "purchase"
           || e.event_type == "view") && e.user_id % 5 != 0)
-        // one tagged-union stream: interleave by replaying both sides
-        // from a single chunked source of Either-like rows
+        // two tagged sides replayed in deterministic interleaved chunks
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
         val sx = MemoryStream[Ev]
         val sy = MemoryStream[Ev]

@@ -24,10 +24,17 @@ object VectorOps {
   val nearDupThreshold = 0.45 // driver embeddings are near-orthogonal
   val queryCount = 20
 
+  /** Embeddings with the L2 norm materialized per row — pair-level
+    * cosines then cost one dot product instead of three (sqrt per row
+    * vs per pair is bitwise-identical, so the DuckDB oracle formula is
+    * unchanged). Repartitioned so vector math parallelizes beyond the
+    * single input-file split. */
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Registry.table(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", VectorFunctions.norm(col("e")))
 
   private val embSql =
     "SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings"
@@ -49,7 +56,7 @@ object VectorOps {
       (spark, dir) => {
         emb(spark, dir)
           .select(col("vec_id"), col("label"),
-            round(VectorFunctions.norm(col("e")), 6).as("norm"))
+            round(col("nrm"), 6).as("norm"))
           .orderBy(col("vec_id"))
       },
       Some(s"""SELECT vec_id, label,
@@ -58,11 +65,14 @@ object VectorOps {
 
     Entry("dedup_embedding_near",
       (spark, dir) => {
-        val a = emb(spark, dir).select(col("vec_id").as("v1"), col("e").as("e1"))
-        val b = emb(spark, dir).select(col("vec_id").as("v2"), col("e").as("e2"))
+        val a = emb(spark, dir).select(col("vec_id").as("v1"),
+          col("e").as("e1"), col("nrm").as("n1"))
+        val b = emb(spark, dir).select(col("vec_id").as("v2"),
+          col("e").as("e2"), col("nrm").as("n2"))
         a.join(b, col("v1") < col("v2"))
           .withColumn("sim",
-            round(VectorFunctions.cosine(col("e1"), col("e2")), 6))
+            round(VectorFunctions.dot(col("e1"), col("e2")) /
+              (col("n1") * col("n2")), 6))
           .filter(col("sim") >= nearDupThreshold)
           .select(col("v1"), col("v2"), col("sim"))
           .orderBy(col("v1"), col("v2"))
@@ -77,14 +87,17 @@ object VectorOps {
     Entry("ann_topk_bruteforce",
       (spark, dir) => {
         val q = emb(spark, dir).filter(col("vec_id") < queryCount)
-          .select(col("vec_id").as("query_id"), col("e").as("qe"))
+          .select(col("vec_id").as("query_id"), col("e").as("qe"),
+            col("nrm").as("qn"))
         val n = emb(spark, dir)
-          .select(col("vec_id").as("neighbor_id"), col("e").as("ne"))
+          .select(col("vec_id").as("neighbor_id"), col("e").as("ne"),
+            col("nrm").as("nn"))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("sim").desc, col("neighbor_id"))
         q.join(n, col("query_id") =!= col("neighbor_id"))
           .withColumn("sim",
-            round(VectorFunctions.cosine(col("qe"), col("ne")), 6))
+            round(VectorFunctions.dot(col("qe"), col("ne")) /
+              (col("qn") * col("nn")), 6))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
           .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
@@ -106,15 +119,16 @@ object VectorOps {
           VectorFunctions.lshBucket(col("e"), numPlanes, dims))
         val q = b.filter(col("vec_id") < queryCount)
           .select(col("vec_id").as("query_id"), col("e").as("qe"),
-            col("bucket"))
+            col("nrm").as("qn"), col("bucket"))
         val n = b.select(col("vec_id").as("neighbor_id"), col("e").as("ne"),
-          col("bucket").as("nbucket"))
+          col("nrm").as("nn"), col("bucket").as("nbucket"))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("sim").desc, col("neighbor_id"))
         q.join(n, col("bucket") === col("nbucket") &&
             col("query_id") =!= col("neighbor_id"))
           .withColumn("sim",
-            round(VectorFunctions.cosine(col("qe"), col("ne")), 6))
+            round(VectorFunctions.dot(col("qe"), col("ne")) /
+              (col("qn") * col("nn")), 6))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
           .select(col("query_id"), col("rank"), col("neighbor_id"),

@@ -16,6 +16,8 @@ class StreamJoinSpec extends SparkTestBase {
   val numSamples = 100
 
   test("streaming AB full outer converges to the batch answer modulo dedup") {
+    val monitor = new graft.streaming.ThroughputMonitor
+    spark.streams.addListener(monitor)
     val truth = sampleExactlyN(genABNonempty(leftOptional = true, fanoutMax = 2),
       seed = 123L, numSamples)
     // stale versions first in the replay order — later chunks carry
@@ -84,6 +86,17 @@ class StreamJoinSpec extends SparkTestBase {
     val converged = raw.filter(e => e.seq == maxSeq(e.key))
       .map(e => (e.x, e.y)).toSet
     assert(converged == expected)
+
+    // M1 monitoring analog: the listener observed every input row and
+    // live join state (reference StreamMonitor, SURVEY.md §2.7).
+    // Listener delivery is async — wait bounded for the bus to drain.
+    val expectedRows = (as.length + bs.length).toLong
+    val deadline = System.currentTimeMillis + 15000
+    while (monitor.totalInputRows < expectedRows &&
+      System.currentTimeMillis < deadline) Thread.sleep(100)
+    spark.streams.removeListener(monitor)
+    assert(monitor.totalInputRows == expectedRows)
+    assert(monitor.snapshot.exists(_.stateRows > 0))
   }
 
   test("streaming left outer drops keyless-x rows and keeps latest x per key") {
