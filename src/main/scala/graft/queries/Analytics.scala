@@ -166,46 +166,53 @@ object Analytics {
         |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin)),
 
-    // Left-anti join (NOT EXISTS).
+    // Left-anti join (NOT EXISTS) — customers with no open ('P')
+    // orders (every customer has *some* order, so the unfiltered
+    // variant would be degenerate).
     Entry("q_anti_join",
       (spark, dir) => {
         val c = Registry.table(spark, dir, "customer")
         val o = Registry.table(spark, dir, "orders")
+          .filter(col("o_orderstatus") === "P")
         c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
           .select(col("c_custkey"), col("c_name"))
           .orderBy(col("c_custkey"))
       },
       Some("""SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin)),
 
-    // Set operations: EXCEPT / INTERSECT over event audiences.
+    // Set operations: EXCEPT / INTERSECT over high-value event
+    // audiences (value thresholds keep the sets partial — at sf>=0.01
+    // every user has every event type, so unfiltered audiences would
+    // make these trivially empty/total).
     Entry("q_except",
       (spark, dir) => {
         val ev = Registry.table(spark, dir, "events")
-        val clicks = ev.filter(col("event_type") === "click")
-          .select(col("user_id"))
-        val buys = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"))
-        clicks.except(buys).orderBy(col("user_id"))
+        val bigBuyers = ev.filter(col("event_type") === "purchase" &&
+          col("value") > 300).select(col("user_id"))
+        val bigClickers = ev.filter(col("event_type") === "click" &&
+          col("value") > 300).select(col("user_id"))
+        bigBuyers.except(bigClickers).orderBy(col("user_id"))
       },
-      Some("""SELECT user_id FROM events WHERE event_type = 'click'
+      Some("""SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 300
         |EXCEPT
-        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |SELECT user_id FROM events WHERE event_type = 'click' AND value > 300
         |ORDER BY user_id""".stripMargin)),
 
     Entry("q_intersect",
       (spark, dir) => {
         val ev = Registry.table(spark, dir, "events")
-        val signups = ev.filter(col("event_type") === "signup")
-          .select(col("user_id"))
-        val errors = ev.filter(col("event_type") === "error")
-          .select(col("user_id"))
+        val signups = ev.filter(col("event_type") === "signup" &&
+          col("value") > 100).select(col("user_id"))
+        val errors = ev.filter(col("event_type") === "error" &&
+          col("value") > 100).select(col("user_id"))
         signups.intersect(errors).orderBy(col("user_id"))
       },
-      Some("""SELECT user_id FROM events WHERE event_type = 'signup'
+      Some("""SELECT user_id FROM events WHERE event_type = 'signup' AND value > 100
         |INTERSECT
-        |SELECT user_id FROM events WHERE event_type = 'error'
+        |SELECT user_id FROM events WHERE event_type = 'error' AND value > 100
         |ORDER BY user_id""".stripMargin)),
 
     // Hierarchical rollup over the region→nation dimension.

@@ -11,6 +11,11 @@ import graft.core.VersionedDedup
 final case class Emitted[X, Y](key: String, seq: Long,
                                x: Option[X], y: Option[Y])
 
+/** One emitted nested join row (J3/J4 shapes): both sides' latest
+  * versions as sequences, ordered by primary id for determinism. */
+final case class EmittedSeq[X, Y](key: String, seq: Long,
+                                  xs: Seq[X], ys: Seq[Y])
+
 /** Internal tagged-union envelope — the Spark-explicit form of the
   * reference's internal `TaggedUnion[X,Y]` cogroup input (reference:
   * versionDeduplicator.scala:61, VersioningEvictor.scala:15). */
@@ -104,18 +109,56 @@ object VersionedStreamJoin {
           yield Emitted(key, seq, Some(x), Some(y))
     }
 
-  /** Shared core: tagged union → keyed latest-wins upsert state →
-    * per-trigger re-expansion via `expand`. */
-  private def joined[X, Y](
+  /** J3: left-outer nested — per trigger, the key's single latest x
+    * (per-key dedup quirk) with all latest ys as a Seq (empty allowed);
+    * keys with no x emit nothing (reference joins.scala:39-54, C3). */
+  def leftOuterSeq[X, Y](
       dsx: Dataset[X], dsy: Dataset[Y],
       keyFromX: X => String, keyFromY: Y => String,
       idFromX: X => String, idFromY: Y => String,
       tsFromX: X => Long, tsFromY: Y => Long)(
-      expand: (String, Long, Map[String, X], Map[String, Y]) => Iterator[Emitted[X, Y]])(
       implicit ex: Encoder[X], ey: Encoder[Y],
       et: Encoder[Tagged[X, Y]], es: Encoder[String],
       ej: Encoder[JoinState[X, Y]],
-      ee: Encoder[Emitted[X, Y]]): Dataset[Emitted[X, Y]] = {
+      ee: Encoder[EmittedSeq[X, Y]]): Dataset[EmittedSeq[X, Y]] =
+    joined[X, Y, EmittedSeq[X, Y]](dsx, dsy, keyFromX, keyFromY,
+      idFromX, idFromY, tsFromX, tsFromY) { (key, seq, xs, ys) =>
+      VersionedDedup.latestOne(xs.valuesIterator, tsFromX) match {
+        case None    => Iterator.empty
+        case Some(x) => Iterator.single(EmittedSeq(key, seq, Seq(x),
+          ys.toSeq.sortBy(_._1).map(_._2)))
+      }
+    }
+
+  /** J4: per-key cogroup — all latest versions on both sides as Seqs,
+    * either possibly empty (reference joins.scala:56-70, C4). */
+  def fullOuterSeq[X, Y](
+      dsx: Dataset[X], dsy: Dataset[Y],
+      keyFromX: X => String, keyFromY: Y => String,
+      idFromX: X => String, idFromY: Y => String,
+      tsFromX: X => Long, tsFromY: Y => Long)(
+      implicit ex: Encoder[X], ey: Encoder[Y],
+      et: Encoder[Tagged[X, Y]], es: Encoder[String],
+      ej: Encoder[JoinState[X, Y]],
+      ee: Encoder[EmittedSeq[X, Y]]): Dataset[EmittedSeq[X, Y]] =
+    joined[X, Y, EmittedSeq[X, Y]](dsx, dsy, keyFromX, keyFromY,
+      idFromX, idFromY, tsFromX, tsFromY) { (key, seq, xs, ys) =>
+      Iterator.single(EmittedSeq(key, seq,
+        xs.toSeq.sortBy(_._1).map(_._2), ys.toSeq.sortBy(_._1).map(_._2)))
+    }
+
+  /** Shared core: tagged union → keyed latest-wins upsert state →
+    * per-trigger re-expansion via `expand`. */
+  private def joined[X, Y, U](
+      dsx: Dataset[X], dsy: Dataset[Y],
+      keyFromX: X => String, keyFromY: Y => String,
+      idFromX: X => String, idFromY: Y => String,
+      tsFromX: X => Long, tsFromY: Y => Long)(
+      expand: (String, Long, Map[String, X], Map[String, Y]) => Iterator[U])(
+      implicit ex: Encoder[X], ey: Encoder[Y],
+      et: Encoder[Tagged[X, Y]], es: Encoder[String],
+      ej: Encoder[JoinState[X, Y]],
+      ee: Encoder[U]): Dataset[U] = {
 
     val tagged = dsx.map(x => Tagged[X, Y](keyFromX(x), Some(x), None))
       .union(dsy.map(y => Tagged[X, Y](keyFromY(y), None, Some(y))))

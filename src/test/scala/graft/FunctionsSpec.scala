@@ -21,8 +21,10 @@ class FunctionsSpec extends SparkTestBase {
   ).toDF("doc_id", "text")
 
   test("identical docs get identical minhash signatures; near dups share most") {
-    val exploded = docs.select(col("doc_id"),
-      explode(array_distinct(TextFunctions.shingles3(col("text")))).as("sh"))
+    val exploded = TextFunctions.withTokens(docs, col("text"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          TextFunctions.shingles3FromTokens(col("toks")))).as("sh"))
     val sig = SketchFunctions.minhashSignature(exploded, "doc_id")
       .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
     assert(sig(1L) == sig(2L))

@@ -99,6 +99,42 @@ class StreamJoinSpec extends SparkTestBase {
     assert(monitor.snapshot.exists(_.stateRows > 0))
   }
 
+  test("streaming leftOuterSeq and fullOuterSeq converge to nested latest versions") {
+    import graft.streaming.EmittedSeq
+    val xs = Seq(A(1, 10L), A(1, 30L), A(2, 5L))
+    val ys = Seq(B(7, 5L, 1), B(7, 9L, 1), B(8, 4L, 1), B(9, 2L, 3)) // idb=3 keyless
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val sx3 = MemoryStream[A]; val sy3 = MemoryStream[B]
+    val q3 = VersionedStreamJoin.leftOuterSeq[A, B](sx3.toDS(), sy3.toDS(),
+        _.id.toString, _.ida.toString, _.id.toString, _.id.toString, _.ts, _.ts)
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("stream_los").start()
+    try { sx3.addData(xs); sy3.addData(ys); q3.processAllAvailable() }
+    finally q3.stop()
+    val los = spark.table("stream_los").as[EmittedSeq[A, B]].collect()
+    val losConv = los.groupBy(_.key).map { case (_, g) => g.maxBy(_.seq) }
+      .map(e => (e.xs, e.ys)).toSet
+    assert(losConv == Set(
+      (Seq(A(1, 30L)), Seq(B(7, 9L, 1), B(8, 4L, 1))),
+      (Seq(A(2, 5L)), Seq.empty[B])))
+
+    val sx4 = MemoryStream[A]; val sy4 = MemoryStream[B]
+    val q4 = VersionedStreamJoin.fullOuterSeq[A, B](sx4.toDS(), sy4.toDS(),
+        _.id.toString, _.ida.toString, _.id.toString, _.id.toString, _.ts, _.ts)
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("stream_fos").start()
+    try { sx4.addData(xs); sy4.addData(ys); q4.processAllAvailable() }
+    finally q4.stop()
+    val fos = spark.table("stream_fos").as[EmittedSeq[A, B]].collect()
+    val fosConv = fos.groupBy(_.key).map { case (_, g) => g.maxBy(_.seq) }
+      .map(e => (e.xs, e.ys)).toSet
+    assert(fosConv == Set(
+      (Seq(A(1, 30L)), Seq(B(7, 9L, 1), B(8, 4L, 1))),
+      (Seq(A(2, 5L)), Seq.empty[B]),
+      (Seq.empty[A], Seq(B(9, 2L, 3)))))
+  }
+
   test("streaming left outer drops keyless-x rows and keeps latest x per key") {
     val xs = Seq(A(1, 10L), A(1, 30L), A(1, 20L))
     val ys = Seq(B(7, 5L, 1), B(7, 9L, 1), B(8, 4L, 2)) // ida=2 has no A
