@@ -236,6 +236,49 @@ object Analytics {
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)),
 
+    // SQL surface: the same engine through spark.sql over registered
+    // views (TPC-H Q6 shape — scan + tight filter + agg; the predicate
+    // set pushes fully into the parquet scan).
+    Entry("q6_sql_revenue",
+      (spark, dir) => {
+        Registry.table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+        spark.sql("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+          |  count(*) AS n_items
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01'
+          |  AND l_discount BETWEEN 0.05 AND 0.07
+          |  AND l_quantity < 24""".stripMargin)
+      },
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin)),
+
+    // Skew-salted join: must produce exactly the plain-join answer
+    // (the oracle IS the unsalted join) while spreading each hot
+    // orderkey over 8 reducers — the explicit skew-mitigation pattern
+    // for known-pathological keys at scale.
+    Entry("q_salted_join",
+      (spark, dir) => {
+        val li = Registry.table(spark, dir, "lineitem")
+        val o = Registry.table(spark, dir, "orders")
+        graft.core.SkewTools.saltedEquiJoin(li, o,
+            Seq("l_orderkey"), Seq("o_orderkey"),
+            spread = col("l_linenumber"), factor = 8)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice")), 2).as("sum_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_items,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // Event-time tumbling-window aggregation (the batch shape of the
     // streaming windowed agg; see graft.streaming for the readStream
     // form).

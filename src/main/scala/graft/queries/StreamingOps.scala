@@ -141,6 +141,36 @@ object StreamingOps {
       },
       Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
         |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
+
+    // True file-source streaming: readStream over the events parquet
+    // (one file per trigger), watermarked event-time windowed count,
+    // complete mode — converges to the same batch group-by. This is
+    // the production shape: at scale the source is a growing directory
+    // and maxFilesPerTrigger bounds each microbatch.
+    Entry("s3_stream_file_agg",
+      (spark, dir) => withStreamConf(spark) {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING"
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+        val agg = src
+          .withWatermark("ets", "1 hour")
+          .groupBy(window(col("ets"), "1 day").getField("start").as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val sinkName = s"graft_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName(sinkName).start()
+        try q.processAllAvailable() finally q.stop()
+        spark.table(sinkName).orderBy(col("day"), col("event_type"))
+      },
+      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+        |  count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin))
   )
 }
