@@ -99,6 +99,70 @@ class StreamJoinSpec extends SparkTestBase {
     assert(monitor.snapshot.exists(_.stateRows > 0))
   }
 
+  test("reference contract verbatim: noseq fanout<=1, join-key version-sum dedup equals expected") {
+    // The reference's primary AB test shape (JoinSpec.scala:135-155):
+    // at most one B per A, dedup key = the join key, version = sum of
+    // constituent ts — transient half-rows (emitted before the other
+    // side arrived) are superseded because ts are large positive.
+    val truth = sampleExactlyN(genABNonempty(leftOptional = true, fanoutMax = 1),
+      seed = 123L, numSamples)
+    val as = truth.flatMap(_._1)
+    val bs = truth.flatMap(_._2)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sx = MemoryStream[A]
+    val sy = MemoryStream[B]
+    val joined = VersionedStreamJoin.fullOuter[A, B](
+      sx.toDS(), sy.toDS(),
+      _.id.toString, _.ida.toString, _.id.toString, _.id.toString,
+      _.ts, _.ts)
+    val q = joined.toDF().writeStream.outputMode("update")
+      .format("memory").queryName("stream_ref").start()
+    try {
+      val chunks = 8
+      val sa = math.max(1, (as.length + chunks - 1) / chunks)
+      val sb = math.max(1, (bs.length + chunks - 1) / chunks)
+      as.grouped(sa).zipAll(bs.grouped(sb), Nil, Nil).foreach { case (ca, cb) =>
+        if (ca.nonEmpty) sx.addData(ca)
+        if (cb.nonEmpty) sy.addData(cb)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val raw = spark.table("stream_ref").as[Emitted[A, B]].collect()
+
+    val latestA = as.groupBy(_.id).map { case (k, g) => k -> g.maxBy(_.ts) }
+    val bByKey = bs.groupBy(b => (b.ida, b.id)).values.map(_.maxBy(_.ts))
+      .toSeq.groupBy(_.ida)
+    val keys = latestA.keySet ++ bByKey.keySet
+    val expected: Set[(Option[A], Option[B])] = keys.flatMap { k =>
+      (latestA.get(k), bByKey.getOrElse(k, Seq.empty)) match {
+        case (None, bs2)      => bs2.map(b => (None, Some(b)))
+        case (Some(a), Seq()) => Seq((Some(a), None))
+        case (Some(a), bs2)   => bs2.map(b => (Some(a), Some(b)))
+      }
+    }
+
+    assert(raw.length >= expected.size) // raw >= expected
+    val deduped = omniDedup[Emitted[A, B]](raw.toSeq, e =>
+      (e.key, e.x.map(_.ts).getOrElse(0L) + e.y.map(_.ts).getOrElse(0L)))
+      .map(e => (e.x, e.y)).toSet
+    assert(deduped == expected) // deduped == expected, the reference assertion
+  }
+
+  test("generators: FK integrity and outer-arm coverage (reference JoinSpec:122-133)") {
+    val truth = sampleExactlyN(genABNonempty(leftOptional = true, fanoutMax = 2),
+      seed = 123L, numSamples)
+    // FK by construction: every B in a unit with a present A references it
+    truth.foreach {
+      case (Some(a), bs) => assert(bs.forall(_.ida == a.id))
+      case (None, bs)    => assert(bs.nonEmpty) // nonempty filter held
+    }
+    // all three arms exercised
+    assert(truth.exists(_._1.isEmpty))
+    assert(truth.exists(t => t._1.isDefined && t._2.isEmpty))
+    assert(truth.exists(t => t._1.isDefined && t._2.nonEmpty))
+  }
+
   test("streaming leftOuterSeq and fullOuterSeq converge to nested latest versions") {
     import graft.streaming.EmittedSeq
     val xs = Seq(A(1, 10L), A(1, 30L), A(2, 5L))
