@@ -12,10 +12,16 @@ final case class Entry(name: String,
                        oracle: Option[String])
 
 object Registry {
-  def all: Seq[Entry] =
-    ReferenceJoins.entries ++ Analytics.entries ++ TextOps.entries ++
-      DedupOps.entries ++ VectorOps.entries ++ MultimodalOps.entries ++
-      StreamingOps.entries
+  lazy val all: Seq[Entry] = {
+    val entries =
+      ReferenceJoins.entries ++ Analytics.entries ++ TextOps.entries ++
+        DedupOps.entries ++ VectorOps.entries ++ MultimodalOps.entries ++
+        StreamingOps.entries
+    val dup = entries.groupBy(_.name).collect { case (n, es) if es.size > 1 => n }
+    require(dup.isEmpty,
+      s"duplicate query names would be silently dropped by the driver's Map: $dup")
+    entries
+  }
 
   /** Shared parquet loader for the driver testdata layout.
     *

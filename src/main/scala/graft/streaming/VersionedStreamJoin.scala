@@ -51,6 +51,33 @@ final case class JoinState[X, Y](xs: Map[String, X], ys: Map[String, Y],
   */
 object VersionedStreamJoin {
 
+  /** Optional key-retirement TTL (processing time since the key's last
+    * update). The reference never expires state (`GlobalWindows`,
+    * SURVEY.md §2.9 late-data note), so the default preserves that:
+    * `None` = keep state forever. At 100 TB a generous TTL bounds
+    * state to recently-active entities; a late-but-newer version for a
+    * retired key simply rebuilds the key from scratch (upsert
+    * semantics make that safe — it can only miss join partners that
+    * were themselves retired). Set via [[withTtl]] around the join
+    * builders; scoped thread-locally so concurrent queries are
+    * unaffected. */
+  private val ttlMs = new ThreadLocal[Option[Long]] {
+    override def initialValue(): Option[Long] = None
+  }
+
+  /** Run `body` with all VersionedStreamJoin builders inside it
+    * configured to retire idle keys after `ms` of processing time.
+    *
+    * Caveats for TTL mode: (1) the engine runs continuous (empty)
+    * microbatches to fire timeouts, so `processAllAvailable()` never
+    * observes quiescence — poll the sink or use explicit triggers;
+    * (2) a retired key's emission `seq` restarts at 1, so
+    * converged-result consumers must treat it as a fresh key. */
+  def withTtl[T](ms: Long)(body: => T): T = {
+    ttlMs.set(Some(ms))
+    try body finally ttlMs.set(None)
+  }
+
   /** J1: full-outer — emits (None,Some)/(Some,None) for unmatched
     * sides, else the per-key cross product of latest versions
     * (reference cgfFullOuter, cogroupFunctions.scala:7-30). */
@@ -163,31 +190,44 @@ object VersionedStreamJoin {
     val tagged = dsx.map(x => Tagged[X, Y](keyFromX(x), Some(x), None))
       .union(dsy.map(y => Tagged[X, Y](keyFromY(y), None, Some(y))))
 
+    val ttl = ttlMs.get() // captured at build time, serialized into the op
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+
     tagged.groupByKey(_.key).flatMapGroupsWithState(
-      OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      OutputMode.Update, timeoutConf) {
       (key: String, rows: Iterator[Tagged[X, Y]],
        state: GroupState[JoinState[X, Y]]) =>
-        val st = state.getOption.getOrElse(
-          JoinState[X, Y](Map.empty, Map.empty, 0L))
-        var xs = st.xs
-        var ys = st.ys
-        rows.foreach { t =>
-          t.x.foreach { x =>
-            val id = idFromX(x)
-            // strict >: on equal ts the earlier-arrived version wins,
-            // matching the reference (versionDeduplicator.scala:17,25)
-            if (!xs.contains(id) || tsFromX(x) > tsFromX(xs(id)))
-              xs = xs.updated(id, x)
+        if (state.hasTimedOut) {
+          // key retirement: drop the compacted maps; a later record
+          // for this key rebuilds from scratch
+          state.remove()
+          Iterator.empty
+        } else {
+          val st = state.getOption.getOrElse(
+            JoinState[X, Y](Map.empty, Map.empty, 0L))
+          var xs = st.xs
+          var ys = st.ys
+          rows.foreach { t =>
+            t.x.foreach { x =>
+              val id = idFromX(x)
+              // strict >: on equal ts the earlier-arrived version wins,
+              // matching the reference (versionDeduplicator.scala:17,25)
+              if (!xs.contains(id) || tsFromX(x) > tsFromX(xs(id)))
+                xs = xs.updated(id, x)
+            }
+            t.y.foreach { y =>
+              val id = idFromY(y)
+              if (!ys.contains(id) || tsFromY(y) > tsFromY(ys(id)))
+                ys = ys.updated(id, y)
+            }
           }
-          t.y.foreach { y =>
-            val id = idFromY(y)
-            if (!ys.contains(id) || tsFromY(y) > tsFromY(ys(id)))
-              ys = ys.updated(id, y)
-          }
+          val seq = st.seq + 1
+          state.update(JoinState(xs, ys, seq))
+          ttl.foreach(state.setTimeoutDuration)
+          expand(key, seq, xs, ys)
         }
-        val seq = st.seq + 1
-        state.update(JoinState(xs, ys, seq))
-        expand(key, seq, xs, ys)
     }
   }
 }
