@@ -60,6 +60,25 @@ object TextOps {
            |FROM g ORDER BY doc_id""".stripMargin
       }),
 
+    // BPE-ish regex tokenization (GPT2-style pattern simplified to the
+    // corpus's charset): letter runs, digit runs, punctuation runs,
+    // whitespace — the pre-tokenizer shape of byte-pair encoders,
+    // counted per document. Same RE2-compatible pattern both engines.
+    Entry("t_token_bpe",
+      (spark, dir) => {
+        val pat = " ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+| +"
+        val d = Registry.table(spark, dir, "documents")
+        d.select(col("doc_id"),
+            size(expr(s"regexp_extract_all(text, '$pat', 0)"))
+              .cast("long").as("n_bpe_tokens"),
+            TextFunctions.tokenCount(col("text")).as("n_ws_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        |  len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+| +', 0)) AS n_bpe_tokens,
+        |  len(string_split(text, ' ')) AS n_ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     Entry("t_quality",
       (spark, dir) => {
         val d = Registry.table(spark, dir, "documents")
