@@ -67,9 +67,9 @@ object VersionedJoins {
     val ys = y.latestPerKeyId
       .groupBy(rightKeyNames.map(col): _*)
       .agg(collectExpr.as(collectedName))
+    val emptyArr = array().cast(ys.schema(collectedName).dataType)
     joinOn(x.latestPerKey, ys, leftKeyNames, rightKeyNames, "left_outer")
-      .withColumn(collectedName,
-        coalesce(col(collectedName), array().cast("array<long>")))
+      .withColumn(collectedName, coalesce(col(collectedName), emptyArr))
   }
 
   /** J4: per-key cogroup — both sides collected to arrays of latest
@@ -82,9 +82,11 @@ object VersionedJoins {
       .agg(collectLeft.as(leftName))
     val ys = y.latestPerKeyId.groupBy(rightKeyNames.map(col): _*)
       .agg(collectRight.as(rightName))
+    val emptyL = array().cast(xs.schema(leftName).dataType)
+    val emptyR = array().cast(ys.schema(rightName).dataType)
     joinOn(xs, ys, leftKeyNames, rightKeyNames, "full_outer")
-      .withColumn(leftName, coalesce(col(leftName), array().cast("array<long>")))
-      .withColumn(rightName, coalesce(col(rightName), array().cast("array<long>")))
+      .withColumn(leftName, coalesce(col(leftName), emptyL))
+      .withColumn(rightName, coalesce(col(rightName), emptyR))
   }
 
   /** J5 (reference C5, promoted to first-class): latest-version inner join. */
