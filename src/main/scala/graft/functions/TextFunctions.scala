@@ -49,6 +49,39 @@ object TextFunctions {
                  as: String = "toks"): org.apache.spark.sql.DataFrame =
     df.withColumn(as, tokens(text))
 
+  // -- winnowing document fingerprints (rolling hash + window min) ----
+
+  /** char k-gram size / winnow window (Schleimer et al. parameters). */
+  val winnowK = 8
+  val winnowW = 4
+  /** polynomial rolling-hash base/modulus; 64-bit-safe integer math
+    * reproduced exactly by the DuckDB oracle. */
+  val winnowP = 1000000007L
+  val winnowB = 257L
+  /** B^(k-1-j) mod P for j = 0..k-1. */
+  val winnowPowers: Seq[Long] = (0 until winnowK).map { j =>
+    var acc = 1L
+    (0 until (winnowK - 1 - j)).foreach(_ => acc = acc * winnowB % winnowP)
+    acc
+  }
+
+  /** Winnowing fingerprint set: polynomial rolling hashes of all char
+    * k-grams, then the min of each sliding w-window, deduped + sorted.
+    * The classic robust document fingerprint — any shared substring of
+    * length ≥ k+w−1 guarantees a shared fingerprint. Pure Column
+    * expressions over a materialized text value; scan-local. */
+  def winnowFingerprints(text: Column): Column = {
+    val nGrams = greatest(lit(1), length(text) - lit(winnowK - 1))
+    val hashes = transform(sequence(lit(1), nGrams), i =>
+      winnowPowers.zipWithIndex.map { case (p, j) =>
+        ascii(text.substr(i + lit(j), lit(1))) * lit(p)
+      }.reduce(_ + _) % lit(winnowP))
+    val nWins = greatest(lit(1), size(hashes) - lit(winnowW - 1))
+    val wins = transform(sequence(lit(1), nWins), i =>
+      array_min(slice(hashes, i, lit(winnowW))))
+    sort_array(array_distinct(wins))
+  }
+
   /** Per-language stopword lists for the n-gram-free language-ID
     * heuristic. Deterministic and tiny by design: language ID at 100 TB
     * must be a scan-local expression, not a model call. */

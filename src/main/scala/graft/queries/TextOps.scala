@@ -79,6 +79,35 @@ object TextOps {
         |  len(string_split(text, ' ')) AS n_ws_tokens
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Winnowing fingerprints (rolling-hash k-grams + window-min
+    // selection): the canonical robust document fingerprint; shared
+    // substrings of length >= k+w-1 guarantee shared fingerprints.
+    Entry("t_winnow_fingerprint",
+      (spark, dir) => {
+        val d = Registry.table(spark, dir, "documents")
+        d.select(col("doc_id"),
+            TextFunctions.winnowFingerprints(col("text")).as("fps"))
+          .withColumn("n_fps", size(col("fps")).cast("long"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        import TextFunctions.{winnowK => k, winnowW => w, winnowP => p}
+        val gram = TextFunctions.winnowPowers.zipWithIndex.map {
+          case (pw, j) => s"ascii(substr(text, i + $j, 1))::BIGINT * $pw"
+        }.mkString(" + ")
+        s"""WITH h AS (SELECT doc_id,
+           |  list_transform(generate_series(1, greatest(1, length(text) - ${k - 1})),
+           |    i -> ($gram) % $p) AS hs
+           |  FROM documents),
+           |w AS (SELECT doc_id,
+           |  list_transform(generate_series(1, greatest(1, len(hs) - ${w - 1})),
+           |    i -> list_min(hs[i:i+${w - 1}])) AS wins
+           |  FROM h)
+           |SELECT doc_id, list_sort(list_distinct(wins)) AS fps,
+           |  len(list_distinct(wins)) AS n_fps
+           |FROM w ORDER BY doc_id""".stripMargin
+      }),
+
     Entry("t_quality",
       (spark, dir) => {
         val d = Registry.table(spark, dir, "documents")
