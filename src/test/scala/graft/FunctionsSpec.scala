@@ -82,6 +82,22 @@ class FunctionsSpec extends SparkTestBase {
     assert(frames.map(_.getLong(3)).toSeq == Seq(64L, 64L, 22L))
   }
 
+  test("winnowing: shared long substring guarantees shared fingerprints; disjoint texts share none") {
+    val common = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, common + " alpha beta gamma delta epsilon zeta"),
+      (2L, "totally different prefix here then " + common),
+      (3L, "zxqwv jkl mnop qrstu abcde fghij klmno pqrst uvwxy")
+    ).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+        graft.functions.TextFunctions.winnowFingerprints(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // guarantee: any shared substring of length >= k+w-1 (= 11 chars)
+    // yields at least one shared fingerprint
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    assert((fps(1L) & fps(3L)).isEmpty)
+  }
+
   test("dedup quirk: equal-ts versions keep first-encountered (strict >)") {
     import graft.core.VersionedDedup
     val rows = Iterator(("id1", 5L, "first"), ("id1", 5L, "second"))
