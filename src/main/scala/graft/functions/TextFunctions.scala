@@ -65,17 +65,28 @@ object TextFunctions {
     acc
   }
 
-  /** Winnowing fingerprint set: polynomial rolling hashes of all char
-    * k-grams, then the min of each sliding w-window, deduped + sorted.
-    * The classic robust document fingerprint — any shared substring of
-    * length ≥ k+w−1 guarantees a shared fingerprint. Pure Column
-    * expressions over a materialized text value; scan-local. */
-  def winnowFingerprints(text: Column): Column = {
+  /** Stage 1 of winnowing: polynomial rolling hashes of all char
+    * k-grams of `text`, as an array column.
+    *
+    * PERF: project this into its own column and pass that ATTRIBUTE to
+    * [[winnowFromHashes]] — composing the two stages as one expression
+    * inlines this whole array into every window element of stage 2,
+    * turning winnowing O(n·k) → O(n²·k) interpreted (observed: a
+    * single task burning 30+ min at sf0.1). Same pitfall as
+    * [[shingles3FromTokens]]. */
+  def winnowHashes(text: Column): Column = {
     val nGrams = greatest(lit(1), length(text) - lit(winnowK - 1))
-    val hashes = transform(sequence(lit(1), nGrams), i =>
+    transform(sequence(lit(1), nGrams), i =>
       winnowPowers.zipWithIndex.map { case (p, j) =>
         ascii(text.substr(i + lit(j), lit(1))) * lit(p)
       }.reduce(_ + _) % lit(winnowP))
+  }
+
+  /** Stage 2 of winnowing over a MATERIALIZED hash-array attribute:
+    * min of each sliding w-window, deduped + sorted — the classic
+    * robust document fingerprint (any shared substring of length ≥
+    * k+w−1 guarantees a shared fingerprint). */
+  def winnowFromHashes(hashes: Column): Column = {
     val nWins = greatest(lit(1), size(hashes) - lit(winnowW - 1))
     val wins = transform(sequence(lit(1), nWins), i =>
       array_min(slice(hashes, i, lit(winnowW))))

@@ -85,8 +85,12 @@ object TextOps {
     Entry("t_winnow_fingerprint",
       (spark, dir) => {
         val d = Registry.table(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .repartition(spark.sparkContext.defaultParallelism)
         d.select(col("doc_id"),
-            TextFunctions.winnowFingerprints(col("text")).as("fps"))
+            TextFunctions.winnowHashes(col("text")).as("hs"))
+          .select(col("doc_id"),
+            TextFunctions.winnowFromHashes(col("hs")).as("fps"))
           .withColumn("n_fps", size(col("fps")).cast("long"))
           .orderBy(col("doc_id"))
       },

@@ -89,8 +89,11 @@ class FunctionsSpec extends SparkTestBase {
       (2L, "totally different prefix here then " + common),
       (3L, "zxqwv jkl mnop qrstu abcde fghij klmno pqrst uvwxy")
     ).toDF("doc_id", "text")
-    val fps = df.select(col("doc_id"),
-        graft.functions.TextFunctions.winnowFingerprints(col("text")))
+    val fps = df
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.winnowHashes(col("text")).as("hs"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.winnowFromHashes(col("hs")))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     // guarantee: any shared substring of length >= k+w-1 (= 11 chars)
     // yields at least one shared fingerprint
