@@ -292,6 +292,52 @@ object Analytics {
       },
       Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
         |  count(*) AS n, round(sum(value), 4) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin))
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
+
+    // Sliding windows (2-day window, 1-day slide): every event lands in
+    // exactly two epoch-aligned windows; the oracle unrolls that
+    // membership explicitly.
+    Entry("q_sliding_window",
+      (spark, dir) => {
+        Registry.table(spark, dir, "events")
+          .groupBy(window(col("ts"), "2 days", "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("wstart"), col("event_type"), col("n"))
+          .orderBy(col("wstart"), col("event_type"))
+      },
+      Some("""SELECT wstart, event_type, count(*) AS n FROM (
+        |  SELECT unnest([CAST(date_trunc('day', ts) AS TIMESTAMP),
+        |                 CAST(date_trunc('day', ts) AS TIMESTAMP) - INTERVAL 1 DAY]) AS wstart,
+        |         event_type
+        |  FROM events)
+        |GROUP BY wstart, event_type ORDER BY wstart, event_type""".stripMargin)),
+
+    // Session windows (30-minute inactivity gap) per user — Spark's
+    // session_window vs the classic gaps-and-islands derivation in the
+    // oracle (new session iff the gap since the previous event >= 30
+    // min; session end = last event + gap, exclusive).
+    Entry("q_session_window",
+      (spark, dir) => {
+        Registry.table(spark, dir, "events")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 4).as("sum_value"))
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("n_events"), col("sum_value"))
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some("""WITH f AS (SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid FROM f)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin))
   )
 }
