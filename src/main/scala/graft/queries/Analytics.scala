@@ -125,14 +125,20 @@ object Analytics {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // Analytic window function: most expensive lineitem per order.
+    // max_by over a struct instead of a row_number window: the
+    // aggregate gets a map-side partial (no per-partition full sort),
+    // one shuffle on the group key only. Tiebreak (-l_linenumber)
+    // mirrors the window's `price DESC, linenumber ASC`.
     Entry("q_window_rank",
       (spark, dir) => {
-        val w = Window.partitionBy(col("l_orderkey"))
-          .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
         Registry.table(spark, dir, "lineitem")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+          .groupBy(col("l_orderkey"))
+          .agg(max_by(
+            struct(col("l_linenumber"), col("l_extendedprice")),
+            struct(col("l_extendedprice"), -col("l_linenumber"))).as("top"))
+          .select(col("l_orderkey"),
+            col("top.l_linenumber").as("l_linenumber"),
+            col("top.l_extendedprice").as("l_extendedprice"))
           .orderBy(col("l_orderkey"))
       },
       Some("""SELECT l_orderkey, l_linenumber, l_extendedprice

@@ -46,18 +46,24 @@ object MultimodalOps {
 
     // Deterministic stub "feature extraction" from raw bytes — the
     // embedding-from-media shape with a fake feature vector.
+    // The feature vector is serialized to a comma-joined string in the
+    // final projection (fixed order, so lossless): the driver's
+    // comparator cannot sort/hash array cells.
     Entry("m_feature_stub",
       (spark, dir) => {
         val d = Registry.table(spark, dir, "documents")
         MultimodalPipeline.featureStub(d, col("text"))
+          .select(col("doc_id"),
+            concat_ws(",", col("features").cast("array<string>"))
+              .as("features"))
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id,
-        |  [strlen(text),
+        |  array_to_string([strlen(text),
         |   len(string_split(text, ' ')),
         |   strlen(text) - strlen(regexp_replace(text, '[aeiou]', '', 'g')),
         |   strlen(text) - strlen(regexp_replace(text, '[0-9]', '', 'g'))
-        |  ]::BIGINT[] AS features
+        |  ]::BIGINT[], ',') AS features
         |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -98,6 +98,10 @@ object ReferenceJoins {
         |FROM x LEFT OUTER JOIN y ON x.user_id = y.y_user_id
         |ORDER BY user_id, y_type ASC NULLS FIRST""".stripMargin)),
 
+    // The nested Seq output is serialized to a comma-joined string in
+    // the final projection: the driver's comparator sorts rows with
+    // pandas and cannot hash array cells. The arrays are sort_array'd
+    // first, so the string is deterministic and order-faithful.
     Entry("j3_left_outer_seq",
       (spark, dir) => {
         VersionedJoins.leftOuterSeq(xTable(spark, dir), yTable(spark, dir),
@@ -105,14 +109,17 @@ object ReferenceJoins {
             sort_array(collect_list(col("y_event_id"))), "y_event_ids")
           .withColumn("y_n", size(col("y_event_ids")).cast("long"))
           .select(col("user_id"), col("x_event_id"), col("x_type"),
-            col("x_ts"), col("y_event_ids"), col("y_n"))
+            col("x_ts"),
+            concat_ws(",", col("y_event_ids").cast("array<string>"))
+              .as("y_event_ids"),
+            col("y_n"))
           .orderBy(col("user_id"))
       },
       Some(s"""WITH x AS ($xKeySql), y AS ($ySql),
         |ya AS (SELECT y_user_id, list(y_event_id ORDER BY y_event_id) AS y_event_ids
         |       FROM y GROUP BY y_user_id)
         |SELECT x.user_id, x_event_id, x_type, x_ts,
-        |  coalesce(y_event_ids, []) AS y_event_ids,
+        |  coalesce(array_to_string(y_event_ids, ','), '') AS y_event_ids,
         |  coalesce(len(y_event_ids), 0) AS y_n
         |FROM x LEFT OUTER JOIN ya ON x.user_id = ya.y_user_id
         |ORDER BY user_id""".stripMargin)),
@@ -124,7 +131,10 @@ object ReferenceJoins {
             sort_array(collect_list(col("x_event_id"))), "x_event_ids",
             sort_array(collect_list(col("y_event_id"))), "y_event_ids")
           .select(coalesce(col("user_id"), col("y_user_id")).as("user_id"),
-            col("x_event_ids"), col("y_event_ids"))
+            concat_ws(",", col("x_event_ids").cast("array<string>"))
+              .as("x_event_ids"),
+            concat_ws(",", col("y_event_ids").cast("array<string>"))
+              .as("y_event_ids"))
           .orderBy(col("user_id"))
       },
       Some(s"""WITH x AS ($xSql), y AS ($ySql),
@@ -133,8 +143,8 @@ object ReferenceJoins {
         |ya AS (SELECT y_user_id, list(y_event_id ORDER BY y_event_id) AS y_event_ids
         |       FROM y GROUP BY y_user_id)
         |SELECT coalesce(xa.user_id, ya.y_user_id) AS user_id,
-        |  coalesce(x_event_ids, []) AS x_event_ids,
-        |  coalesce(y_event_ids, []) AS y_event_ids
+        |  coalesce(array_to_string(x_event_ids, ','), '') AS x_event_ids,
+        |  coalesce(array_to_string(y_event_ids, ','), '') AS y_event_ids
         |FROM xa FULL OUTER JOIN ya ON xa.user_id = ya.y_user_id
         |ORDER BY user_id""".stripMargin)),
 

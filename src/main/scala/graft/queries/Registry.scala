@@ -34,7 +34,10 @@ object Registry {
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // set-if-unset: repeated global-conf writes are thread-hostile if
+      // queries ever run concurrently in one session
+      if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(path)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(path)

@@ -87,11 +87,17 @@ object TextOps {
         val d = Registry.table(spark, dir, "documents")
           .select(col("doc_id"), col("text"))
           .repartition(spark.sparkContext.defaultParallelism)
+        // fps serialized to a comma-joined string: the driver's
+        // comparator cannot sort/hash array cells. The fingerprint set
+        // is sorted first, so the string form is deterministic.
         d.select(col("doc_id"),
             TextFunctions.winnowHashes(col("text")).as("hs"))
           .select(col("doc_id"),
             TextFunctions.winnowFromHashes(col("hs")).as("fps"))
           .withColumn("n_fps", size(col("fps")).cast("long"))
+          .select(col("doc_id"),
+            concat_ws(",", col("fps").cast("array<string>")).as("fps"),
+            col("n_fps"))
           .orderBy(col("doc_id"))
       },
       Some {
@@ -107,7 +113,8 @@ object TextOps {
            |  list_transform(generate_series(1, greatest(1, len(hs) - ${w - 1})),
            |    i -> list_min(hs[i:i+${w - 1}])) AS wins
            |  FROM h)
-           |SELECT doc_id, list_sort(list_distinct(wins)) AS fps,
+           |SELECT doc_id,
+           |  array_to_string(list_sort(list_distinct(wins)), ',') AS fps,
            |  len(list_distinct(wins)) AS n_fps
            |FROM w ORDER BY doc_id""".stripMargin
       }),
