@@ -42,4 +42,20 @@ object VectorFunctions {
       val plane = array(planeComponents(p, dims).map(v => lit(v.toDouble)): _*)
       when(dot(plane, vec) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Banded sign-LSH: `bands` independent bucket ids, band k built from
+    * planes [k*rows, (k+1)*rows). Two vectors are join candidates when
+    * they agree on ANY band (the minhash-banding OR-construction applied
+    * to random hyperplanes) — per-pair catch probability
+    * 1−(1−p^rows)^bands where p = 1−θ/π. Returned as an
+    * `array<int>` indexed by band, ready for posexplode into
+    * (band, bucket) join keys. */
+  def bandBuckets(vec: Column, bands: Int, rows: Int, dims: Int): Column =
+    array((0 until bands).map { k =>
+      (0 until rows).map { r =>
+        val plane = array(planeComponents(k * rows + r, dims)
+          .map(v => lit(v.toDouble)): _*)
+        when(dot(plane, vec) > 0, lit(1 << r)).otherwise(lit(0))
+      }.reduce(_ + _).cast("int")
+    }: _*)
 }

@@ -161,6 +161,55 @@ object ReferenceJoins {
         |FROM x JOIN y ON x.user_id = y.y_user_id
         |ORDER BY user_id, x_type, y_type""".stripMargin)),
 
+    // J6: the reference's 3-level chain A 1—N B 1—N C
+    // (GenJoinInput.scala:32-34, dissociateABC JoinSpec.scala:42-56)
+    // as two CHAINED versioned full-outer joins in one pipeline, over
+    // the driver's real FK chain customer → orders → lineitem. The
+    // versions are degenerate here (each id has one version — churn
+    // dedup is covered by J1–J5 over events); what this exercises is
+    // the operator algebra closing over its own output: the AB result
+    // feeds the second join as a VersionedTable keyed on a DIFFERENT
+    // column (o_orderkey), so Catalyst plans two key-partitioned
+    // exchanges — exactly the chain shape at 100 TB. Customers without
+    // orders carry a null o_orderkey through the second join
+    // (never matching, preserved by the outer arm); at scale such
+    // null-FK rows all land in one shuffle partition, so a skewed real
+    // deployment would AQE-split or pre-filter them.
+    Entry("j6_chain_abc",
+      (spark, dir) => {
+        val cust = Registry.table(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_name"))
+        val ord = Registry.table(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            col("o_totalprice"))
+        val li = Registry.table(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        val a = VersionedTable(cust, Seq(col("c_custkey")),
+          Seq(col("c_custkey")), col("c_custkey"), col("c_custkey"))
+        val b = VersionedTable(ord, Seq(col("o_custkey")),
+          Seq(col("o_orderkey")), col("o_orderdate"), col("o_orderkey"))
+        val ab = VersionedJoins.fullOuter(a, b, Seq("c_custkey"), Seq("o_custkey"))
+        val abT = VersionedTable(ab, Seq(col("o_orderkey")),
+          Seq(col("c_custkey"), col("o_orderkey")), col("o_orderdate"),
+          col("c_custkey"))
+        val c = VersionedTable(li, Seq(col("l_orderkey")),
+          Seq(col("l_orderkey"), col("l_linenumber")), col("l_linenumber"),
+          col("l_linenumber"))
+        VersionedJoins.fullOuter(abT, c, Seq("o_orderkey"), Seq("l_orderkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_totalprice"), col("l_linenumber"), col("l_extendedprice"))
+          .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey"),
+            asc_nulls_first("l_linenumber"))
+      },
+      Some("""WITH ab AS (
+        |  SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+        |  FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey)
+        |SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+        |  l_linenumber, l_extendedprice
+        |FROM ab FULL OUTER JOIN lineitem ON o_orderkey = l_orderkey
+        |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST,
+        |  l_linenumber ASC NULLS FIRST""".stripMargin)),
+
     Entry("d1_latest_by_key",
       (spark, dir) => {
         val ev = Registry.table(spark, dir, "events")

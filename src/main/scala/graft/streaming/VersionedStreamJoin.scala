@@ -18,8 +18,12 @@ final case class EmittedSeq[X, Y](key: String, seq: Long,
 
 /** Internal tagged-union envelope — the Spark-explicit form of the
   * reference's internal `TaggedUnion[X,Y]` cogroup input (reference:
-  * versionDeduplicator.scala:61, VersioningEvictor.scala:15). */
-final case class Tagged[X, Y](key: String, x: Option[X], y: Option[Y])
+  * versionDeduplicator.scala:61, VersioningEvictor.scala:15).
+  * `ets` carries the record's version as an event-time instant
+  * (version interpreted as epoch millis) so event-time TTL mode can
+  * hang a watermark on the union. */
+final case class Tagged[X, Y](key: String, x: Option[X], y: Option[Y],
+                              ets: java.sql.Timestamp)
 
 /** Per-key join state: latest version per id on each side. Upsert on
   * write means the state IS the reference's compacted window buffer —
@@ -51,31 +55,57 @@ final case class JoinState[X, Y](xs: Map[String, X], ys: Map[String, Y],
   */
 object VersionedStreamJoin {
 
-  /** Optional key-retirement TTL (processing time since the key's last
-    * update). The reference never expires state (`GlobalWindows`,
-    * SURVEY.md §2.9 late-data note), so the default preserves that:
-    * `None` = keep state forever. At 100 TB a generous TTL bounds
-    * state to recently-active entities; a late-but-newer version for a
-    * retired key simply rebuilds the key from scratch (upsert
-    * semantics make that safe — it can only miss join partners that
-    * were themselves retired). Set via [[withTtl]] around the join
-    * builders; scoped thread-locally so concurrent queries are
-    * unaffected. */
-  private val ttlMs = new ThreadLocal[Option[Long]] {
-    override def initialValue(): Option[Long] = None
+  /** Key-retirement clock for [[withTtl]] / [[withEventTimeTtl]]. */
+  sealed trait TtlMode
+  /** Wall-clock idle time (GroupStateTimeout.ProcessingTimeTimeout). */
+  case object ProcessingTimeTtl extends TtlMode
+  /** Watermark-aligned: a key idle while the event-time watermark
+    * advances `ttl` past its last update is retired — the Spark analog
+    * of Flink watermark-driven state cleanup (reference watermark
+    * assignment: GenJoinInput.scala:36-52). Versions are interpreted
+    * as epoch-millisecond event times; `watermarkDelay` is the bounded
+    * out-of-orderness (the reference uses 10,000 ms). */
+  final case class EventTimeTtl(watermarkDelay: String) extends TtlMode
+
+  private final case class TtlConf(ms: Long, mode: TtlMode)
+
+  /** Optional key-retirement TTL. The reference never expires state
+    * (`GlobalWindows`, SURVEY.md §2.9 late-data note), so the default
+    * preserves that: no TTL = keep state forever. At 100 TB a generous
+    * TTL bounds state to recently-active entities; a late-but-newer
+    * version for a retired key simply rebuilds the key from scratch
+    * (upsert semantics make that safe — it can only miss join partners
+    * that were themselves retired). Scoped thread-locally so
+    * concurrent queries are unaffected. */
+  private val ttlConf = new ThreadLocal[Option[TtlConf]] {
+    override def initialValue(): Option[TtlConf] = None
   }
 
   /** Run `body` with all VersionedStreamJoin builders inside it
     * configured to retire idle keys after `ms` of processing time.
     *
-    * Caveats for TTL mode: (1) the engine runs continuous (empty)
-    * microbatches to fire timeouts, so `processAllAvailable()` never
-    * observes quiescence — poll the sink or use explicit triggers;
-    * (2) a retired key's emission `seq` restarts at 1, so
+    * Caveats for processing-time TTL: (1) the engine runs continuous
+    * (empty) microbatches to fire timeouts, so `processAllAvailable()`
+    * never observes quiescence — poll the sink or use explicit
+    * triggers; (2) a retired key's emission `seq` restarts at 1, so
     * converged-result consumers must treat it as a fresh key. */
   def withTtl[T](ms: Long)(body: => T): T = {
-    ttlMs.set(Some(ms))
-    try body finally ttlMs.set(None)
+    ttlConf.set(Some(TtlConf(ms, ProcessingTimeTtl)))
+    try body finally ttlConf.set(None)
+  }
+
+  /** Run `body` with builders configured for watermark-aligned
+    * retirement: a key is dropped once the event-time watermark (built
+    * from record versions as epoch millis, minus `watermarkDelay`)
+    * passes `ms` beyond the batch that last updated it. Unlike
+    * processing-time TTL this fires only when data advances the
+    * watermark — no background batches, so `processAllAvailable()`
+    * works and tests need no sleeps. Late records for a retired key
+    * rebuild it from scratch. */
+  def withEventTimeTtl[T](ms: Long, watermarkDelay: String = "0 milliseconds")(
+      body: => T): T = {
+    ttlConf.set(Some(TtlConf(ms, EventTimeTtl(watermarkDelay))))
+    try body finally ttlConf.set(None)
   }
 
   /** J1: full-outer — emits (None,Some)/(Some,None) for unmatched
@@ -187,13 +217,21 @@ object VersionedStreamJoin {
       ej: Encoder[JoinState[X, Y]],
       ee: Encoder[U]): Dataset[U] = {
 
-    val tagged = dsx.map(x => Tagged[X, Y](keyFromX(x), Some(x), None))
-      .union(dsy.map(y => Tagged[X, Y](keyFromY(y), None, Some(y))))
+    val taggedRaw = dsx
+      .map(x => Tagged[X, Y](keyFromX(x), Some(x), None,
+        new java.sql.Timestamp(tsFromX(x))))
+      .union(dsy.map(y => Tagged[X, Y](keyFromY(y), None, Some(y),
+        new java.sql.Timestamp(tsFromY(y)))))
 
-    val ttl = ttlMs.get() // captured at build time, serialized into the op
-    val timeoutConf =
-      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
-      else GroupStateTimeout.NoTimeout
+    val ttl = ttlConf.get() // captured at build time, serialized into the op
+    val (tagged, timeoutConf) = ttl match {
+      case Some(TtlConf(_, EventTimeTtl(delay))) =>
+        (taggedRaw.withWatermark("ets", delay),
+          GroupStateTimeout.EventTimeTimeout)
+      case Some(TtlConf(_, ProcessingTimeTtl)) =>
+        (taggedRaw, GroupStateTimeout.ProcessingTimeTimeout)
+      case None => (taggedRaw, GroupStateTimeout.NoTimeout)
+    }
 
     tagged.groupByKey(_.key).flatMapGroupsWithState(
       OutputMode.Update, timeoutConf) {
@@ -225,7 +263,14 @@ object VersionedStreamJoin {
           }
           val seq = st.seq + 1
           state.update(JoinState(xs, ys, seq))
-          ttl.foreach(state.setTimeoutDuration)
+          ttl.foreach {
+            case TtlConf(ms, ProcessingTimeTtl) => state.setTimeoutDuration(ms)
+            case TtlConf(ms, _: EventTimeTtl) =>
+              // anchored at the current watermark: the key retires once
+              // the watermark advances `ms` past the batch that last
+              // touched it (watermark-driven cleanup, not wall clock)
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ms)
+          }
           expand(key, seq, xs, ys)
         }
     }

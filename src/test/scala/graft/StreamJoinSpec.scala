@@ -199,6 +199,89 @@ class StreamJoinSpec extends SparkTestBase {
       (Seq.empty[A], Seq(B(9, 2L, 3)))))
   }
 
+  test("streaming BC full outer with fanout>1 converges (the reference's ignored case, JoinSpec.scala:289)") {
+    // The reference ignored its streaming B⋈C fanout>1 test because its
+    // identity-keyed dedup oracle can't kill transient half-rows; the
+    // max-seq convergence contract (contract 3 above) is immune, so the
+    // case is streamable and checked exactly here.
+    val truth = sampleExactlyN(genBC(fanoutMax = 2), seed = 42L, numSamples)
+    val bsFresh = truth.map(_._1)
+    val csFresh = truth.flatMap(_._2)
+    // stale-version churn: early chunks carry superseded versions
+    val bs = bsFresh.map(b => b.copy(ts = b.ts - 17L)) ++ bsFresh
+    val cs = csFresh.map(c => c.copy(ts = c.ts - 17L)) ++ csFresh
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sb = MemoryStream[B]
+    val sc = MemoryStream[C]
+    val joined = VersionedStreamJoin.fullOuter[B, C](
+      sb.toDS(), sc.toDS(),
+      _.id.toString, _.idb.toString, _.id.toString, _.id.toString,
+      _.ts, _.ts)
+    val q = joined.toDF().writeStream.outputMode("update")
+      .format("memory").queryName("stream_bc").start()
+    try {
+      val chunks = 8
+      val szb = math.max(1, (bs.length + chunks - 1) / chunks)
+      val szc = math.max(1, (cs.length + chunks - 1) / chunks)
+      bs.grouped(szb).zipAll(cs.grouped(szc), Nil, Nil).foreach { case (cb, cc) =>
+        if (cb.nonEmpty) sb.addData(cb)
+        if (cc.nonEmpty) sc.addData(cc)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val raw = spark.table("stream_bc").as[Emitted[B, C]].collect()
+
+    val latestB = bs.groupBy(_.id).map { case (k, g) => k -> g.maxBy(_.ts) }
+    val cByKey = cs.groupBy(c => (c.idb, c.id)).values.map(_.maxBy(_.ts))
+      .toSeq.groupBy(_.idb)
+    val keys = latestB.keySet ++ cByKey.keySet
+    val expected: Set[(Option[B], Option[C])] = keys.flatMap { k =>
+      (latestB.get(k), cByKey.getOrElse(k, Seq.empty)) match {
+        case (None, cs2)      => cs2.map(c => (None, Some(c)))
+        case (Some(b), Seq()) => Seq((Some(b), None))
+        case (Some(b), cs2)   => cs2.map(c => (Some(b), Some(c)))
+      }
+    }
+    assert(raw.length >= expected.size)
+    val maxSeq = raw.groupBy(_.key).map { case (k, g) => k -> g.map(_.seq).max }
+    val converged = raw.filter(e => e.seq == maxSeq(e.key))
+      .map(e => (e.x, e.y)).toSet
+    assert(converged == expected)
+  }
+
+  test("event-time TTL retires keys by watermark advance (no wall-clock sleeps)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sx = MemoryStream[A]
+    val sy = MemoryStream[B]
+    // versions double as epoch-ms event times in this mode
+    val joined = VersionedStreamJoin.withEventTimeTtl(500L) {
+      VersionedStreamJoin.fullOuter[A, B](sx.toDS(), sy.toDS(),
+        _.id.toString, _.ida.toString, _.id.toString, _.id.toString,
+        _.ts, _.ts)
+    }
+    val q = joined.toDF().writeStream.outputMode("update")
+      .format("memory").queryName("stream_ettl").start()
+    def rows() = spark.table("stream_ettl").as[Emitted[A, B]].collect()
+    try {
+      // batch 1: key "1" updates; its timeout = watermark(0) + 500
+      sx.addData(Seq(A(1, 1000L)))
+      q.processAllAvailable()
+      // batch 2: unrelated key advances the watermark to 10_000 > 500;
+      // key "1" fires its timeout and is removed
+      sx.addData(Seq(A(2, 10000L)))
+      q.processAllAvailable()
+      // batch 3: key "1" rebuilds from scratch — the emission must NOT
+      // see the retired A(1, 1000L)
+      sy.addData(Seq(B(60, 20000L, 1)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rebuilt = rows().filter(e => e.key == "1" && e.y.contains(B(60, 20000L, 1)))
+    assert(rebuilt.nonEmpty && rebuilt.forall(_.x.isEmpty))
+    // the pre-retirement emission is still in the raw update log
+    assert(rows().exists(e => e.key == "1" && e.x.contains(A(1, 1000L))))
+  }
+
   test("state TTL retires idle keys; later records rebuild from scratch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val sx = MemoryStream[A]
