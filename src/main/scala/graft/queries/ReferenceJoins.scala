@@ -165,9 +165,16 @@ object ReferenceJoins {
     // (GenJoinInput.scala:32-34, dissociateABC JoinSpec.scala:42-56)
     // as two CHAINED versioned full-outer joins in one pipeline, over
     // the driver's real FK chain customer → orders → lineitem. The
-    // versions are degenerate here (each id has one version — churn
-    // dedup is covered by J1–J5 over events); what this exercises is
-    // the operator algebra closing over its own output: the AB result
+    // customer/orders versions are degenerate (one version per id),
+    // but the driver's lineitem table carries REAL churn: duplicate
+    // (l_orderkey, l_linenumber) identities with different payloads
+    // (11,785 dup groups at sf0.01). The C side therefore versions
+    // lineitem by l_shipdate with l_extendedprice as the deterministic
+    // tiebreak — (l_orderkey, l_linenumber, l_shipdate,
+    // l_extendedprice) is verified unique at sf0.01 AND sf0.1, so the
+    // survivor is well-defined — and the oracle mirrors the identical
+    // dedup in a QUALIFY CTE. What this exercises beyond J1–J5: the
+    // operator algebra closing over its own output — the AB result
     // feeds the second join as a VersionedTable keyed on a DIFFERENT
     // column (o_orderkey), so Catalyst plans two key-partitioned
     // exchanges — exactly the chain shape at 100 TB. Customers without
@@ -183,7 +190,8 @@ object ReferenceJoins {
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
             col("o_totalprice"))
         val li = Registry.table(spark, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+            col("l_extendedprice"))
         val a = VersionedTable(cust, Seq(col("c_custkey")),
           Seq(col("c_custkey")), col("c_custkey"), col("c_custkey"))
         val b = VersionedTable(ord, Seq(col("o_custkey")),
@@ -193,8 +201,8 @@ object ReferenceJoins {
           Seq(col("c_custkey"), col("o_orderkey")), col("o_orderdate"),
           col("c_custkey"))
         val c = VersionedTable(li, Seq(col("l_orderkey")),
-          Seq(col("l_orderkey"), col("l_linenumber")), col("l_linenumber"),
-          col("l_linenumber"))
+          Seq(col("l_orderkey"), col("l_linenumber")), col("l_shipdate"),
+          col("l_extendedprice"))
         VersionedJoins.fullOuter(abT, c, Seq("o_orderkey"), Seq("l_orderkey"))
           .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
             col("o_totalprice"), col("l_linenumber"), col("l_extendedprice"))
@@ -203,10 +211,14 @@ object ReferenceJoins {
       },
       Some("""WITH ab AS (
         |  SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
-        |  FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey)
+        |  FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey),
+        |li AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |  QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate DESC, l_extendedprice DESC) = 1)
         |SELECT c_custkey, c_name, o_orderkey, o_totalprice,
         |  l_linenumber, l_extendedprice
-        |FROM ab FULL OUTER JOIN lineitem ON o_orderkey = l_orderkey
+        |FROM ab FULL OUTER JOIN li ON o_orderkey = l_orderkey
         |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST,
         |  l_linenumber ASC NULLS FIRST""".stripMargin)),
 
