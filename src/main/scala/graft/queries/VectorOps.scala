@@ -134,17 +134,33 @@ object VectorOps {
     // ~97% of the comparison space.
     Entry("dedup_embedding_lsh",
       (spark, dir) => {
-        val v = emb(spark, dir).withColumn("bb",
-          VectorFunctions.bandBuckets(col("e"), lshBands, lshRowsPerBand, dims))
-        val keyed = v.select(col("vec_id"), col("e"), col("nrm"),
-          posexplode(col("bb")).as(Seq("band", "bucket")))
-        val a = keyed.select(col("band"), col("bucket"),
-          col("vec_id").as("v1"), col("e").as("e1"), col("nrm").as("n1"))
-        val b = keyed.select(col("band").as("band2"), col("bucket").as("bucket2"),
-          col("vec_id").as("v2"), col("e").as("e2"), col("nrm").as("n2"))
-        a.join(b, col("band") === col("band2") &&
+        val base = emb(spark, dir)
+        // Candidate generation and pair-dedup run over SLIM
+        // (band, bucket, vec_id) rows only — at this LSH-hostile
+        // threshold most pairs collide in ~2 of the 8 bands, so letting
+        // the 64-dim vectors ride through the candidate join and the
+        // dropDuplicates exchange multiplies shuffle volume ~50×
+        // (measured 264s vs ~15s at sf0.1). Vectors are re-fetched by
+        // two id equi-joins AFTER the id-pair dedup — the same shape as
+        // this query's own DuckDB oracle (`cand AS (SELECT DISTINCT …)`)
+        // and of dedup_minhash_pairs. At 100 TB the id-pair dedup is the
+        // only O(candidates) shuffle; the vector fetches are slim
+        // id-keyed joins AQE can broadcast when the pair set is small.
+        val keyed = base.select(col("vec_id"), posexplode(
+            VectorFunctions.bandBuckets(col("e"), lshBands, lshRowsPerBand, dims))
+          .as(Seq("band", "bucket")))
+        val a = keyed.select(col("band"), col("bucket"), col("vec_id").as("v1"))
+        val b = keyed.select(col("band").as("band2"),
+          col("bucket").as("bucket2"), col("vec_id").as("v2"))
+        val cand = a.join(b, col("band") === col("band2") &&
             col("bucket") === col("bucket2") && col("v1") < col("v2"))
+          .select(col("v1"), col("v2"))
           .dropDuplicates("v1", "v2") // a pair may collide in >1 band
+        val va = base.select(col("vec_id").as("v1"),
+          col("e").as("e1"), col("nrm").as("n1"))
+        val vb = base.select(col("vec_id").as("v2"),
+          col("e").as("e2"), col("nrm").as("n2"))
+        cand.join(va, "v1").join(vb, "v2")
           .withColumn("sim",
             round(VectorFunctions.dot(col("e1"), col("e2")) /
               (col("n1") * col("n2")), 6))
