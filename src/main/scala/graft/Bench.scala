@@ -23,20 +23,29 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val only = args.toSet
+    // Min-of-N per query: this host's co-tenant noise swings a single
+    // timing up to 5x; the minimum of 3 runs is a stable estimate of
+    // the real cost (SPARK_GRAFT_BENCH_RUNS=1 for a quick pass).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
       .map { case (name, fn) =>
         if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
           try fn(spark, sfDir).explain("formatted")
           catch { case _: Throwable => () }
-        val t0 = System.nanoTime()
-        val n = try fn(spark, sfDir).count()
-                catch { case e: Throwable =>
-                  System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-                  -1L
-                }
-        val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name%-28s $dt%8.2fs  rows=$n")
+        val times = (1 to runs).map { i =>
+          val t0 = System.nanoTime()
+          val n = try fn(spark, sfDir).count()
+                  catch { case e: Throwable =>
+                    System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+                    -1L
+                  }
+          val dt = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench] $name%-28s run $i/$runs $dt%8.2fs  rows=$n")
+          dt
+        }
+        val dt = times.min
+        System.err.println(f"[bench] $name%-28s min $dt%8.2fs")
         name -> dt
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
