@@ -62,14 +62,30 @@ object ReferenceJoins {
       |FROM events WHERE event_type IN ('click','purchase','view') AND user_id % 5 <> 0
       |QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
 
-  /** Shared with StreamingOps: the streaming J1 must converge to
-    * exactly this batch answer. */
+  /** Shared with StreamingOps: the streaming J1/J2/J3 variants must
+    * converge to exactly these batch answers. */
   private[queries] val j1OracleSql: String =
     s"""WITH x AS ($xSql), y AS ($ySql)
        |SELECT coalesce(x.user_id, y.y_user_id) AS user_id,
        |  x_event_id, x_type, x_ts, y_event_id, y_type, y_ts
        |FROM x FULL OUTER JOIN y ON x.user_id = y.y_user_id
        |ORDER BY user_id, x_type ASC NULLS FIRST, y_type ASC NULLS FIRST""".stripMargin
+
+  private[queries] val j2OracleSql: String =
+    s"""WITH x AS ($xKeySql), y AS ($ySql)
+       |SELECT x.user_id, x_event_id, x_type, x_ts, y_event_id, y_type, y_ts
+       |FROM x LEFT OUTER JOIN y ON x.user_id = y.y_user_id
+       |ORDER BY user_id, y_type ASC NULLS FIRST""".stripMargin
+
+  private[queries] val j3OracleSql: String =
+    s"""WITH x AS ($xKeySql), y AS ($ySql),
+       |ya AS (SELECT y_user_id, list(y_event_id ORDER BY y_event_id) AS y_event_ids
+       |       FROM y GROUP BY y_user_id)
+       |SELECT x.user_id, x_event_id, x_type, x_ts,
+       |  coalesce(array_to_string(y_event_ids, ','), '') AS y_event_ids,
+       |  coalesce(len(y_event_ids), 0) AS y_n
+       |FROM x LEFT OUTER JOIN ya ON x.user_id = ya.y_user_id
+       |ORDER BY user_id""".stripMargin
 
   def entries: Seq[Entry] = Seq(
 
@@ -93,10 +109,7 @@ object ReferenceJoins {
             col("x_ts"), col("y_event_id"), col("y_type"), col("y_ts"))
           .orderBy(col("user_id"), asc_nulls_first("y_type"))
       },
-      Some(s"""WITH x AS ($xKeySql), y AS ($ySql)
-        |SELECT x.user_id, x_event_id, x_type, x_ts, y_event_id, y_type, y_ts
-        |FROM x LEFT OUTER JOIN y ON x.user_id = y.y_user_id
-        |ORDER BY user_id, y_type ASC NULLS FIRST""".stripMargin)),
+      Some(j2OracleSql)),
 
     // The nested Seq output is serialized to a comma-joined string in
     // the final projection: the driver's comparator sorts rows with
@@ -115,14 +128,7 @@ object ReferenceJoins {
             col("y_n"))
           .orderBy(col("user_id"))
       },
-      Some(s"""WITH x AS ($xKeySql), y AS ($ySql),
-        |ya AS (SELECT y_user_id, list(y_event_id ORDER BY y_event_id) AS y_event_ids
-        |       FROM y GROUP BY y_user_id)
-        |SELECT x.user_id, x_event_id, x_type, x_ts,
-        |  coalesce(array_to_string(y_event_ids, ','), '') AS y_event_ids,
-        |  coalesce(len(y_event_ids), 0) AS y_n
-        |FROM x LEFT OUTER JOIN ya ON x.user_id = ya.y_user_id
-        |ORDER BY user_id""".stripMargin)),
+      Some(j3OracleSql)),
 
     Entry("j4_full_outer_seq",
       (spark, dir) => {

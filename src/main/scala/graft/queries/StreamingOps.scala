@@ -71,10 +71,49 @@ object StreamingOps {
       spark.table(sinkName)
     }
 
+  /** File-source streaming harness (the production shape — nothing is
+    * collected to the driver): the events table is range-split into
+    * `chunks` parquet files (a stand-in for a growing ingest directory —
+    * at 100 TB this is the object-store prefix new files land in), then
+    * readStream consumes one file per trigger through `build`, running
+    * to completion against a memory sink. Arrival order varies with
+    * file mtimes, but versions are unique per (key, id) so converged
+    * state is order-independent. */
+  private def runFileStream(spark: SparkSession, dir: String)(
+      build: (() => org.apache.spark.sql.Dataset[Ev]) => DataFrame): DataFrame =
+    withStreamConf(spark) {
+      import spark.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fs_")
+      try {
+        Registry.table(spark, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("unix_micros(ts)").as("ts_us"), col("value"))
+          .repartitionByRange(chunks, col("event_id"))
+          .write.mode("overwrite").parquet(tmp.toString)
+        val schema = "event_id BIGINT, user_id BIGINT, " +
+          "event_type STRING, ts_us BIGINT, value DOUBLE"
+        def src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "part-*")
+          .parquet(tmp.toString).as[Ev]
+        val sinkName = s"graft_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val q = build(() => src).writeStream
+          .outputMode("update").format("memory").queryName(sinkName).start()
+        try q.processAllAvailable() finally q.stop()
+        // memory sink holds the rows; materialization is driver-side
+        // only at this point, safe to drop the temp input files
+        spark.table(sinkName)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+
   /** Converged view of a raw update-mode join sink: keep each key's
-    * rows from its highest emission seq, then project to the batch J1
-    * output shape (shared by s1 and s4 — both must hash-match the
-    * batch oracle). */
+    * rows from its highest emission seq, then project to the batch
+    * J1/J2 output shape (shared by s1, s4 and s5 — all must hash-match
+    * their batch oracles). */
   private def convergedJ1(raw: DataFrame): DataFrame = {
     val wMax = Window.partitionBy(col("key"))
     raw
@@ -135,49 +174,64 @@ object StreamingOps {
       },
       Some(ReferenceJoins.j1OracleSql)),
 
-    // File-source streaming J1: the production shape. The events table
-    // is range-split into `chunks` parquet files (a stand-in for a
-    // growing ingest directory — at 100 TB this is the object-store
-    // prefix new files land in), then readStream consumes one file per
-    // trigger through the SAME VersionedStreamJoin; nothing is ever
-    // collected to the driver. Arrival order varies with file mtimes,
-    // but versions are unique per (key, id) so the converged state is
-    // order-independent and must hash-match the batch J1 oracle.
+    // File-source streaming J1: the production shape (see
+    // runFileStream); must hash-match the batch J1 oracle.
     Entry("s4_stream_file_join",
-      (spark, dir) => withStreamConf(spark) {
+      (spark, dir) => { import spark.implicits._
+      convergedJ1(runFileStream(spark, dir) { src =>
+        VersionedStreamJoin.fullOuter[Ev, Ev](
+          src().filter(isX _), src().filter(isY _),
+          x => x.user_id.toString, y => y.user_id.toString,
+          x => x.event_type, y => y.event_type,
+          x => x.ts_us, y => y.ts_us).toDF()
+      }) },
+      Some(ReferenceJoins.j1OracleSql)),
+
+    // File-source streaming J2 (leftOuter, the per-KEY X dedup quirk):
+    // converged result must hash-match the batch j2_left_outer oracle.
+    // Determinism note: the per-key latest X is unique — no two
+    // latest-per-(user,type) X events share a ts for the same user at
+    // any SF (verified), so latest-wins needs no tiebreak here.
+    Entry("s5_stream_left_outer",
+      (spark, dir) => { import spark.implicits._
+      convergedJ1(runFileStream(spark, dir) { src =>
+        VersionedStreamJoin.leftOuter[Ev, Ev](
+          src().filter(isX _), src().filter(isY _),
+          x => x.user_id.toString, y => y.user_id.toString,
+          x => x.event_type, y => y.event_type,
+          x => x.ts_us, y => y.ts_us).toDF()
+      }) },
+      Some(ReferenceJoins.j2OracleSql)),
+
+    // File-source streaming J3 (leftOuterSeq, nested Y side): converged
+    // rows project the ys array to the same sorted comma-joined string
+    // as the batch j3_left_outer_seq entry, so both hash-match the one
+    // oracle.
+    Entry("s6_stream_left_outer_seq",
+      (spark, dir) => {
         import spark.implicits._
-        val tmp = java.nio.file.Files.createTempDirectory("graft_s4_")
-        try {
-          Registry.table(spark, dir, "events")
-            .select(col("event_id"), col("user_id"), col("event_type"),
-              expr("unix_micros(ts)").as("ts_us"), col("value"))
-            .repartitionByRange(chunks, col("event_id"))
-            .write.mode("overwrite").parquet(tmp.toString)
-          val schema = "event_id BIGINT, user_id BIGINT, " +
-            "event_type STRING, ts_us BIGINT, value DOUBLE"
-          def src = spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
-            .option("pathGlobFilter", "part-*")
-            .parquet(tmp.toString).as[Ev]
-          val joinedDs = VersionedStreamJoin.fullOuter[Ev, Ev](
-            src.filter(isX _), src.filter(isY _),
+        val raw = runFileStream(spark, dir) { src =>
+          VersionedStreamJoin.leftOuterSeq[Ev, Ev](
+            src().filter(isX _), src().filter(isY _),
             x => x.user_id.toString, y => y.user_id.toString,
             x => x.event_type, y => y.event_type,
-            x => x.ts_us, y => y.ts_us)
-          val sinkName = s"graft_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-          val q = joinedDs.toDF().writeStream
-            .outputMode("update").format("memory").queryName(sinkName).start()
-          try q.processAllAvailable() finally q.stop()
-          // memory sink holds the rows; materialization is driver-side
-          // only at this point, safe to drop the temp input files
-          convergedJ1(spark.table(sinkName))
-        } finally {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+            x => x.ts_us, y => y.ts_us).toDF()
         }
+        val wMax = Window.partitionBy(col("key"))
+        raw
+          .withColumn("max_seq", max(col("seq")).over(wMax))
+          .filter(col("seq") === col("max_seq"))
+          .select(
+            col("key").cast("long").as("user_id"),
+            element_at(col("xs"), 1).getField("event_id").as("x_event_id"),
+            element_at(col("xs"), 1).getField("event_type").as("x_type"),
+            expr("timestamp_micros(element_at(xs, 1).ts_us)").as("x_ts"),
+            concat_ws(",", sort_array(expr("transform(ys, y -> y.event_id)"))
+              .cast("array<string>")).as("y_event_ids"),
+            size(col("ys")).cast("long").as("y_n"))
+          .orderBy(col("user_id"))
       },
-      Some(ReferenceJoins.j1OracleSql)),
+      Some(ReferenceJoins.j3OracleSql)),
 
     // Streaming windowed aggregation (complete mode): per-day,
     // per-type counts/sums accumulated across 8 microbatches must
