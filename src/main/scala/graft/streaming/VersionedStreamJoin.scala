@@ -90,6 +90,7 @@ object VersionedStreamJoin {
     * triggers; (2) a retired key's emission `seq` restarts at 1, so
     * converged-result consumers must treat it as a fresh key. */
   def withTtl[T](ms: Long)(body: => T): T = {
+    require(ms > 0, s"TTL must be positive, got $ms")
     ttlConf.set(Some(TtlConf(ms, ProcessingTimeTtl)))
     try body finally ttlConf.set(None)
   }
@@ -100,12 +101,48 @@ object VersionedStreamJoin {
     * passes `ms` beyond the batch that last updated it. Unlike
     * processing-time TTL this fires only when data advances the
     * watermark — no background batches, so `processAllAvailable()`
-    * works and tests need no sleeps. Late records for a retired key
-    * rebuild it from scratch. */
-  def withEventTimeTtl[T](ms: Long, watermarkDelay: String = "0 milliseconds")(
+    * works and tests need no sleeps.
+    *
+    * SEMANTIC CAVEAT this mode alone carries: because the union is
+    * watermarked, `flatMapGroupsWithState` silently DROPS any input
+    * row whose version (as event time) is older than
+    * watermark − `watermarkDelay` — such a too-late record neither
+    * updates nor rebuilds state, unlike the no-TTL and processing-time
+    * modes where a late-but-newer version always supersedes and a
+    * late-but-older one is ignored by dedup (SURVEY.md §2.9). Size
+    * `watermarkDelay` to the stream's real out-of-orderness bound; the
+    * default matches the reference's 10,000 ms
+    * (JoinSpec.scala:19,140-141). A record later than that bound for a
+    * retired key is lost; within the bound, it rebuilds the key from
+    * scratch. */
+  def withEventTimeTtl[T](ms: Long, watermarkDelay: String = "10 seconds")(
       body: => T): T = {
+    require(ms > 0, s"TTL must be positive, got $ms")
     ttlConf.set(Some(TtlConf(ms, EventTimeTtl(watermarkDelay))))
     try body finally ttlConf.set(None)
+  }
+
+  /** FQCN of Spark's RocksDB state store provider — the off-heap,
+    * disk-spilling backend the streaming joins should run on once live
+    * key cardinality outgrows the default in-memory HDFS-backed
+    * provider (at 100 TB state it is the only option that holds). */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `body` with the session's streaming state store backed by
+    * `providerClass` (e.g. [[RocksDbProvider]]), restoring the prior
+    * setting after. The provider is read per streaming query at start,
+    * so this scopes cleanly around query construction + execution. */
+  def withStateStoreProvider[T](spark: org.apache.spark.sql.SparkSession,
+                                providerClass: String = RocksDbProvider)(
+      body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, providerClass)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   /** J1: full-outer — emits (None,Some)/(Some,None) for unmatched

@@ -267,16 +267,18 @@ class StreamJoinSpec extends SparkTestBase {
       // batch 1: key "1" updates; its timeout = watermark(0) + 500
       sx.addData(Seq(A(1, 1000L)))
       q.processAllAvailable()
-      // batch 2: unrelated key advances the watermark to 10_000 > 500;
-      // key "1" fires its timeout and is removed
-      sx.addData(Seq(A(2, 10000L)))
+      // batch 2: unrelated key advances the watermark to
+      // 20_000 − 10_000 (default delay) = 10_000 > 500; key "1" fires
+      // its timeout and is removed
+      sx.addData(Seq(A(2, 20000L)))
       q.processAllAvailable()
-      // batch 3: key "1" rebuilds from scratch — the emission must NOT
-      // see the retired A(1, 1000L)
-      sy.addData(Seq(B(60, 20000L, 1)))
+      // batch 3: key "1" rebuilds from scratch (ets 30_000 is beyond
+      // the watermark, so the record is not late-dropped) — the
+      // emission must NOT see the retired A(1, 1000L)
+      sy.addData(Seq(B(60, 30000L, 1)))
       q.processAllAvailable()
     } finally q.stop()
-    val rebuilt = rows().filter(e => e.key == "1" && e.y.contains(B(60, 20000L, 1)))
+    val rebuilt = rows().filter(e => e.key == "1" && e.y.contains(B(60, 30000L, 1)))
     assert(rebuilt.nonEmpty && rebuilt.forall(_.x.isEmpty))
     // the pre-retirement emission is still in the raw update log
     assert(rows().exists(e => e.key == "1" && e.x.contains(A(1, 1000L))))
@@ -314,6 +316,160 @@ class StreamJoinSpec extends SparkTestBase {
     // retirement, so identify the emission by its payload, not seq)
     val rebuilt = rows().filter(e => e.key == "1" && e.y.contains(B(60, 6L, 1)))
     assert(rebuilt.nonEmpty && rebuilt.forall(_.x.isEmpty))
+  }
+
+  test("two chained streaming joins converge to the batch ABC chain answer") {
+    // The reference's full data model is the 3-level chain A 1—N B 1—N C
+    // (GenJoinInput.scala:32-34) but it never streams the second level
+    // over the first's OUTPUT. Chaining two update-mode versioned joins
+    // needs care because stage 1 re-emits superseded rows that an
+    // upsert-only channel cannot retract. The decomposition here is
+    // leak-free without retractions:
+    //   - stage 2 joins only the b-carrying AB rows with C, keyed by
+    //     b.id: that key and the row identity (= b.id) are STABLE
+    //     across an AB row's lifetime, and the stage-1 per-key seq is a
+    //     monotone version, so stage-2 state upserts cleanly;
+    //   - the a-only arm ((a, no B) rows, whose identity would move
+    //     when a b arrives) is taken from stage 1's own converged view,
+    //     where max-seq filtering kills the transient.
+    val truth = sampleExactlyN(genABNonempty(leftOptional = true, fanoutMax = 2),
+      seed = 123L, numSamples)
+    val asFresh = truth.flatMap(_._1)
+    // the per-b relay identity below requires globally unique b ids;
+    // the generator draws with replacement, so bump duplicates out of
+    // the id space deterministically (FK is b.ida, unaffected)
+    val bsFresh = {
+      val seen = scala.collection.mutable.Set.empty[Int]
+      truth.flatMap(_._2).map { b =>
+        var id = b.id
+        while (seen.contains(id)) id += 1000003
+        seen += id
+        b.copy(id = id)
+      }
+    }
+    // 0..2 C's per B (deterministic), plus orphan C's matching no B
+    var nextCid = 2000000
+    val csFresh = bsFresh.zipWithIndex.flatMap { case (b, i) =>
+      (0 until (i % 3)).map { k =>
+        nextCid += 1; C(nextCid, tMax - (i * 31 + k), b.id)
+      }
+    } ++ (1 to 5).map { k => nextCid += 1; C(nextCid, tMax - k, 3000000 + k) }
+    // stale-version churn on every table, stale copies replayed first
+    val as = asFresh.map(a => a.copy(ts = a.ts - 17L)) ++ asFresh
+    val bs = bsFresh.map(b => b.copy(ts = b.ts - 17L)) ++ bsFresh
+    val cs = csFresh.map(c => c.copy(ts = c.ts - 17L)) ++ csFresh
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sa = MemoryStream[A]; val sb = MemoryStream[B]
+    val relay = MemoryStream[Emitted[A, B]]; val sc = MemoryStream[C]
+
+    // stage 2: (AB rows carrying a b) ⋈ C on b.id; identity = b.id,
+    // version = the stage-1 per-key emission seq (monotone per b)
+    val q2 = VersionedStreamJoin.fullOuter[Emitted[A, B], C](
+        relay.toDS(), sc.toDS(),
+        x => x.y.get.id.toString, c => c.idb.toString,
+        x => x.y.get.id.toString, c => c.id.toString,
+        x => x.seq, c => c.ts)
+      .toDF().writeStream.outputMode("update")
+      .format("memory").queryName("chain_bc").start()
+
+    // stage 1: A ⋈ B, feeding stage 2 per microbatch via foreachBatch
+    val abBuf = scala.collection.mutable.ArrayBuffer.empty[Emitted[A, B]]
+    val q1 = VersionedStreamJoin.fullOuter[A, B](sa.toDS(), sb.toDS(),
+        _.id.toString, _.ida.toString, _.id.toString, _.id.toString,
+        _.ts, _.ts)
+      .toDF().writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.as[Emitted[A, B]].collect()
+        abBuf.synchronized { abBuf ++= rows }
+        val withB = rows.filter(_.y.isDefined)
+        if (withB.nonEmpty) relay.addData(withB.toIndexedSeq)
+        ()
+      }.start()
+    try {
+      val chunks = 8
+      def chunked[T](xs: Seq[T]): Seq[Seq[T]] = {
+        val sz = math.max(1, (xs.length + chunks - 1) / chunks)
+        xs.grouped(sz).toSeq.padTo(chunks, Seq.empty)
+      }
+      chunked(as).lazyZip(chunked(bs)).lazyZip(chunked(cs)).foreach {
+        (ca, cb, cc) =>
+          if (ca.nonEmpty) sa.addData(ca)
+          if (cb.nonEmpty) sb.addData(cb)
+          if (cc.nonEmpty) sc.addData(cc)
+          q1.processAllAvailable()
+          q2.processAllAvailable()
+      }
+    } finally { q1.stop(); q2.stop() }
+
+    // converged stage-1 view → the a-only arm
+    val abConv = abBuf.synchronized {
+      val maxSeq = abBuf.groupBy(_.key).map { case (k, g) => k -> g.map(_.seq).max }
+      abBuf.filter(e => e.seq == maxSeq(e.key)).toList
+    }
+    val aOnly = abConv.filter(_.y.isEmpty)
+      .map(e => (e.x, None: Option[B], None: Option[C])).toSet
+    // converged stage-2 view → the b-carrying and c-orphan arms
+    val bcRaw = spark.table("chain_bc").as[Emitted[Emitted[A, B], C]].collect()
+    val bcMaxSeq = bcRaw.groupBy(_.key).map { case (k, g) => k -> g.map(_.seq).max }
+    val viaBc = bcRaw.filter(e => e.seq == bcMaxSeq(e.key))
+      .map(e => (e.x.flatMap(_.x), e.x.map(_.y.get), e.y)).toSet
+    val got = aOnly ++ viaBc
+
+    // expected: latest-wins chain, exactly the batch j6 discipline
+    val latestA = as.groupBy(_.id).map { case (k, g) => k -> g.maxBy(_.ts) }
+    val latestB = bs.groupBy(b => (b.ida, b.id)).values.map(_.maxBy(_.ts)).toSeq
+    val bByKey = latestB.groupBy(_.ida)
+    val latestC = cs.groupBy(c => (c.idb, c.id)).values.map(_.maxBy(_.ts)).toSeq
+    val cByB = latestC.groupBy(_.idb)
+    val bIds = latestB.map(_.id).toSet
+    val keys = latestA.keySet ++ bByKey.keySet
+    val expected: Set[(Option[A], Option[B], Option[C])] = keys.flatMap { k =>
+      val aOpt = latestA.get(k)
+      val bs2 = bByKey.getOrElse(k, Seq.empty)
+      if (bs2.isEmpty) aOpt.map(a => (Some(a), None: Option[B], None: Option[C])).toSeq
+      else bs2.flatMap { b =>
+        val cs2 = cByB.getOrElse(b.id, Seq.empty)
+        if (cs2.isEmpty) Seq((aOpt, Some(b), None: Option[C]))
+        else cs2.map(c => (aOpt, Some(b), Some(c)))
+      }
+    }.toSet ++ latestC.filterNot(c => bIds(c.idb))
+      .map(c => (None: Option[A], None: Option[B], Some(c)))
+
+    assert(got == expected)
+  }
+
+  test("RocksDB state store runs the versioned join (100 TB state-cardinality path)") {
+    // The default HDFS-backed provider keeps all state on the JVM heap;
+    // at production key cardinality the join must run on RocksDB.
+    // Asserts the provider actually engaged (rocksdb metrics in the
+    // query progress) and that results are unchanged.
+    val xs = Seq(A(1, 10L), A(1, 30L), A(2, 5L))
+    val ys = Seq(B(7, 5L, 1), B(7, 9L, 1), B(8, 4L, 3)) // ida=3 has no A
+    VersionedStreamJoin.withStateStoreProvider(spark) {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val sx = MemoryStream[A]; val sy = MemoryStream[B]
+      val q = VersionedStreamJoin.fullOuter[A, B](sx.toDS(), sy.toDS(),
+          _.id.toString, _.ida.toString, _.id.toString, _.id.toString,
+          _.ts, _.ts)
+        .toDF().writeStream.outputMode("update")
+        .format("memory").queryName("stream_rocks").start()
+      val progressJson = try {
+        sx.addData(xs); q.processAllAvailable()
+        sy.addData(ys); q.processAllAvailable()
+        q.lastProgress.json
+      } finally q.stop()
+      assert(progressJson.contains("rocksdb"),
+        s"expected RocksDB state store metrics in progress: $progressJson")
+      val raw = spark.table("stream_rocks").as[Emitted[A, B]].collect()
+      val maxSeq = raw.groupBy(_.key).map { case (k, g) => k -> g.map(_.seq).max }
+      val converged = raw.filter(e => e.seq == maxSeq(e.key))
+        .map(e => (e.x, e.y)).toSet
+      assert(converged == Set(
+        (Some(A(1, 30L)), Some(B(7, 9L, 1))),
+        (Some(A(2, 5L)), None),
+        (None, Some(B(8, 4L, 3)))))
+    }
   }
 
   test("streaming left outer drops keyless-x rows and keeps latest x per key") {
