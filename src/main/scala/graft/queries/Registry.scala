@@ -34,8 +34,9 @@ object Registry {
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     if (name == "events") {
-      // set-if-unset: repeated global-conf writes are thread-hostile if
-      // queries ever run concurrently in one session
+      // set-if-unset avoids redundant conf writes; every caller writes
+      // the same value, so the benign check-then-set race cannot
+      // produce a wrong setting
       if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(path)

@@ -141,7 +141,12 @@ object StreamingOps {
 
     // Streaming J1 over the same X/Y event split as j1_full_outer;
     // converged result (max emission seq per key) must hash-match the
-    // batch oracle exactly.
+    // batch oracle exactly. DETERMINISM HARNESS, not a production
+    // shape: it collects the events table to the driver to get exact
+    // chunk boundaries through MemoryStream — the file-source twin
+    // s4_stream_file_join below runs the identical join against the
+    // identical oracle with no driver materialization and is the shape
+    // to scale.
     Entry("s1_stream_full_outer",
       (spark, dir) => withStreamConf(spark) {
         import spark.implicits._

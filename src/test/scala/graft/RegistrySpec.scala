@@ -7,7 +7,9 @@ import graft.queries.Registry
 /** Contract checks on the driver-facing query registry. */
 class RegistrySpec extends SparkTestBase {
 
-  private val sfDir = "/root/testdata/sf0.001"
+  // overridable so the suite is not coupled to this machine's layout
+  private val sfDir = sys.props.getOrElse("graft.testdata.dir",
+    sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001"))
 
   // The driver's correctness comparator sorts result rows with pandas
   // and crashes on array/map/struct cells (CORRECTNESS_r01: 4 queries
