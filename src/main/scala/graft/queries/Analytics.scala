@@ -300,6 +300,59 @@ object Analytics {
         |  count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
 
+    // Point-in-time (as-of) join: each signup/error event picks the
+    // latest click/purchase/view of the same user at-or-before its own
+    // timestamp — the canonical leakage-free feature-attachment shape
+    // for training data. Expressed as ONE scan + ONE shuffle: tag both
+    // sides, sort each user's timeline once, and carry the last-seen Y
+    // forward with an ignore-nulls window — no range join, no
+    // per-row probe, which is what survives 100 TB (a sort-merge range
+    // join would re-scan Y per X row; this is linear after the
+    // partition sort). Ties (x.ts == y.ts) count as "before": the
+    // is_x sort key orders Y rows first. Deterministic because
+    // (user_id, ts) is unique in the driver data at every SF
+    // (verified), which also makes DuckDB's native ASOF JOIN — a
+    // genuinely independent implementation — an exact oracle.
+    Entry("q_asof_join",
+      (spark, dir) => {
+        val ev = Registry.table(spark, dir, "events")
+        val ypay = struct(col("event_id").as("event_id"),
+          col("event_type").as("event_type"), col("ts").as("ts"),
+          col("value").as("value"))
+        val xs = ev.filter(col("event_type").isin("signup", "error"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), lit(1).as("is_x"),
+            lit(null).cast(
+              "struct<event_id:bigint,event_type:string,ts:timestamp,value:double>")
+              .as("y"))
+        val ys = ev.filter(col("event_type").isin("click", "purchase", "view"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), lit(0).as("is_x"), ypay.as("y"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("is_x"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        xs.unionByName(ys)
+          .withColumn("last_y", last(col("y"), ignoreNulls = true).over(w))
+          .filter(col("is_x") === 1)
+          .select(col("user_id"), col("event_id").as("x_event_id"),
+            col("event_type").as("x_type"), col("ts").as("x_ts"),
+            col("last_y.event_id").as("y_event_id"),
+            col("last_y.event_type").as("y_type"),
+            col("last_y.ts").as("y_ts"),
+            col("last_y.value").as("y_value"))
+          .orderBy(col("user_id"), col("x_ts"), col("x_event_id"))
+      },
+      Some("""SELECT x.user_id, x.event_id AS x_event_id,
+        |  x.event_type AS x_type, x.ts AS x_ts,
+        |  y.event_id AS y_event_id, y.event_type AS y_type,
+        |  y.ts AS y_ts, y.value AS y_value
+        |FROM (SELECT * FROM events
+        |      WHERE event_type IN ('signup','error')) x
+        |ASOF LEFT JOIN (SELECT * FROM events
+        |      WHERE event_type IN ('click','purchase','view')) y
+        |  ON x.user_id = y.user_id AND x.ts >= y.ts
+        |ORDER BY x.user_id, x_ts, x_event_id""".stripMargin)),
+
     // Sliding windows (2-day window, 1-day slide): every event lands in
     // exactly two epoch-aligned windows; the oracle unrolls that
     // membership explicitly.
