@@ -68,6 +68,47 @@ object DedupOps {
     s"""sig AS (SELECT doc_id, $minhashAggSql
        | FROM (SELECT doc_id, $thSql AS th FROM sh) GROUP BY doc_id)""".stripMargin
 
+  /** Near-duplicate candidate pairs (d1 < d2, jaccard ≥ threshold) —
+    * the shared core of dedup_shingle_jaccard and dedup_clusters. See
+    * the dedup_shingle_jaccard entry for the localCheckpoint + df-cutoff
+    * rationale. */
+  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = explodedShingles(spark, dir).localCheckpoint()
+    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val filt = sh.join(df.filter(col("df") <= maxShingleDf), "sh")
+      .select(col("doc_id"), col("sh"))
+    val sizes = filt.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = filt.as("a")
+      .join(filt.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+    val na = sizes.select(col("doc_id").as("d1"), col("n").as("n1"))
+    val nb = sizes.select(col("doc_id").as("d2"), col("n").as("n2"))
+    shared.join(na, "d1").join(nb, "d2")
+      .withColumn("jaccard", round(col("shared").cast("double") /
+        (col("n1") + col("n2") - col("shared")), 6))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** DuckDB CTE chain producing the same (d1, d2, jaccard) pairs. */
+  private val pairsCtes =
+    s"""$shCte,
+       |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+       |filt AS (SELECT s.doc_id, s.sh FROM sh s JOIN df USING (sh)
+       |         WHERE df <= $maxShingleDf),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM filt GROUP BY doc_id),
+       |shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+       |  FROM filt a JOIN filt b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT d1, d2,
+       |  round(shared::DOUBLE / (na.n + nb.n - shared), 6) AS jaccard
+       |FROM shared
+       |JOIN sizes na ON na.doc_id = d1
+       |JOIN sizes nb ON nb.doc_id = d2
+       |WHERE round(shared::DOUBLE / (na.n + nb.n - shared), 6) >= $jaccardThreshold)""".stripMargin
+
   def entries: Seq[Entry] = Seq(
 
     Entry("dedup_exact",
@@ -81,47 +122,66 @@ object DedupOps {
         |  min(doc_id) AS keep_doc_id
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin)),
 
+    // materialization note (applies to jaccardPairs above): the shingle
+    // explode feeds the df filter, both self-join sides, and the size
+    // table — without localCheckpoint the planner re-evaluates the
+    // (CPU-heavy) shingling 8 times (observed via explain: 8 Generate
+    // nodes). The 100 TB analog is checkpointing the exploded feature
+    // table before the join.
     Entry("dedup_shingle_jaccard",
+      (spark, dir) => jaccardPairs(spark, dir).orderBy(col("d1"), col("d2")),
+      Some(s"""WITH $pairsCtes
+        |SELECT d1, d2, jaccard FROM pairs ORDER BY d1, d2""".stripMargin)),
+
+    // Near-dup CLUSTERS: connected components over the jaccard pair
+    // graph, each doc labeled with the min doc_id reachable from it —
+    // the step that turns pairwise similarity into "keep one canonical
+    // doc per group" in a real dedup pipeline. Distributed min-label
+    // propagation: labels start as self, each round takes the min over
+    // neighbors, looping until a fixpoint (the driver loop carries only
+    // the iteration count and a change counter — all data stays
+    // distributed; rounds = graph diameter, and near-dup components are
+    // shallow by nature. At extreme diameters the large-star/small-star
+    // contraction [CC in MapReduce] bounds rounds at O(log n) — noted,
+    // not needed here). The fixpoint (min reachable id) is unique, so
+    // the result is deterministic regardless of iteration order; the
+    // DuckDB oracle reaches the same fixpoint through a recursive CTE.
+    Entry("dedup_clusters",
       (spark, dir) => {
-        // materialize once: the shingle explode feeds the df filter,
-        // both self-join sides, and the size table — without this the
-        // planner re-evaluates the (CPU-heavy) shingling 8 times
-        // (observed via explain: 8 Generate nodes). The 100 TB analog
-        // is checkpointing the exploded feature table before the join.
-        val sh = explodedShingles(spark, dir).localCheckpoint()
-        val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        val filt = sh.join(df.filter(col("df") <= maxShingleDf), "sh")
-          .select(col("doc_id"), col("sh"))
-        val sizes = filt.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val shared = filt.as("a")
-          .join(filt.as("b"),
-            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .agg(count(lit(1)).as("shared"))
-        val na = sizes.select(col("doc_id").as("d1"), col("n").as("n1"))
-        val nb = sizes.select(col("doc_id").as("d2"), col("n").as("n2"))
-        shared.join(na, "d1").join(nb, "d2")
-          .withColumn("jaccard", round(col("shared").cast("double") /
-            (col("n1") + col("n2") - col("shared")), 6))
-          .filter(col("jaccard") >= jaccardThreshold)
-          .select(col("d1"), col("d2"), col("jaccard"))
-          .orderBy(col("d1"), col("d2"))
+        val pairs = jaccardPairs(spark, dir)
+          .select(col("d1"), col("d2")).localCheckpoint()
+        val edges = pairs
+          .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+          .localCheckpoint()
+        var labels = edges.select(col("d1").as("doc")).distinct()
+          .withColumn("lab", col("doc")).localCheckpoint()
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 50) {
+          val nbrMin = edges.join(labels, edges("d2") === labels("doc"))
+            .groupBy(edges("d1").as("ndoc")).agg(min(col("lab")).as("nlab"))
+          val updated = labels.join(nbrMin, labels("doc") === nbrMin("ndoc"), "left")
+            .select(col("doc"),
+              least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+            .localCheckpoint()
+          changed = updated.as("u")
+            .join(labels.as("l"), col("u.doc") === col("l.doc"))
+            .filter(col("u.lab") =!= col("l.lab")).count()
+          labels = updated
+          rounds += 1
+        }
+        labels.select(col("doc").as("doc_id"), col("lab").as("cluster_id"))
+          .orderBy(col("doc_id"))
       },
-      Some(s"""WITH $shCte,
-        |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
-        |filt AS (SELECT s.doc_id, s.sh FROM sh s JOIN df USING (sh)
-        |         WHERE df <= $maxShingleDf),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM filt GROUP BY doc_id),
-        |shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-        |  FROM filt a JOIN filt b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT d1, d2,
-        |  round(shared::DOUBLE / (na.n + nb.n - shared), 6) AS jaccard
-        |FROM shared
-        |JOIN sizes na ON na.doc_id = d1
-        |JOIN sizes nb ON nb.doc_id = d2
-        |WHERE round(shared::DOUBLE / (na.n + nb.n - shared), 6) >= $jaccardThreshold
-        |ORDER BY d1, d2""".stripMargin)),
+      Some(s"""WITH RECURSIVE $pairsCtes,
+        |edges AS (SELECT d1, d2 FROM pairs
+        |          UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(doc, lab) AS (
+        |  SELECT DISTINCT d1, d1 FROM edges
+        |  UNION
+        |  SELECT e.d2, r.lab FROM reach r JOIN edges e ON e.d1 = r.doc)
+        |SELECT doc AS doc_id, min(lab) AS cluster_id
+        |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin)),
 
     Entry("dedup_minhash_sig",
       (spark, dir) => {
