@@ -300,6 +300,29 @@ object Analytics {
         |  count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
 
+    // Exact percentiles (linear interpolation) of event value per type
+    // — the distribution-cutoff computation quality-filter pipelines
+    // run before thresholding. Exact percentile needs a per-group sort;
+    // at 100 TB the same query swaps percentile() for
+    // approx_percentile() (one pass, mergeable partials) — its
+    // rank-error guarantee is asserted in AnalyticsSpec.
+    Entry("q_percentiles",
+      (spark, dir) => {
+        Registry.table(spark, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+            round(expr("percentile(value, 0.9)"), 4).as("p90"),
+            round(expr("percentile(value, 0.99)"), 4).as("p99"),
+            count(lit(1)).as("n"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     // Point-in-time (as-of) join: each signup/error event picks the
     // latest click/purchase/view of the same user at-or-before its own
     // timestamp — the canonical leakage-free feature-attachment shape
