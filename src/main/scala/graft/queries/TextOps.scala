@@ -129,6 +129,36 @@ object TextOps {
       Some(s"""SELECT doc_id,
         |  round(0.5 * (len(list_distinct($tokSql))::DOUBLE / len($tokSql)::DOUBLE)
         |      + 0.5 * least(1.0, length(text)::DOUBLE / 200.0), 6) AS quality
-        |FROM documents ORDER BY doc_id""".stripMargin))
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic stratified train/val/test split (90/5/5) by md5
+    // hash bucket of doc_id — the reproducible, shuffle-free,
+    // join-stable way to split a corpus (the same doc lands in the same
+    // split on every engine, every run, at every scale; adding data
+    // never moves existing docs between splits). Scan-local: the bucket
+    // is a per-row expression, the only shuffle is the stats groupBy.
+    // Output is the per-(lang, split) composition a curation pipeline
+    // monitors; the oracle mirrors the identical integer hash.
+    Entry("t_sample_split",
+      (spark, dir) => {
+        val d = Registry.table(spark, dir, "documents")
+        val bucket = TextFunctions.tokenHash(col("doc_id").cast("string")) % 100
+        d.withColumn("split",
+            when(bucket < 90, "train").when(bucket < 95, "val")
+              .otherwise("test"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+          .orderBy(col("lang"), col("split"))
+      },
+      Some("""WITH b AS (SELECT lang, doc_id, n_chars,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin))
   )
 }
