@@ -87,6 +87,18 @@ object ReferenceJoins {
        |FROM x LEFT OUTER JOIN ya ON x.user_id = ya.y_user_id
        |ORDER BY user_id""".stripMargin
 
+  private[queries] val j4OracleSql: String =
+    s"""WITH x AS ($xSql), y AS ($ySql),
+       |xa AS (SELECT user_id, list(x_event_id ORDER BY x_event_id) AS x_event_ids
+       |       FROM x GROUP BY user_id),
+       |ya AS (SELECT y_user_id, list(y_event_id ORDER BY y_event_id) AS y_event_ids
+       |       FROM y GROUP BY y_user_id)
+       |SELECT coalesce(xa.user_id, ya.y_user_id) AS user_id,
+       |  coalesce(array_to_string(x_event_ids, ','), '') AS x_event_ids,
+       |  coalesce(array_to_string(y_event_ids, ','), '') AS y_event_ids
+       |FROM xa FULL OUTER JOIN ya ON xa.user_id = ya.y_user_id
+       |ORDER BY user_id""".stripMargin
+
   def entries: Seq[Entry] = Seq(
 
     Entry("j1_full_outer",
@@ -143,16 +155,7 @@ object ReferenceJoins {
               .as("y_event_ids"))
           .orderBy(col("user_id"))
       },
-      Some(s"""WITH x AS ($xSql), y AS ($ySql),
-        |xa AS (SELECT user_id, list(x_event_id ORDER BY x_event_id) AS x_event_ids
-        |       FROM x GROUP BY user_id),
-        |ya AS (SELECT y_user_id, list(y_event_id ORDER BY y_event_id) AS y_event_ids
-        |       FROM y GROUP BY y_user_id)
-        |SELECT coalesce(xa.user_id, ya.y_user_id) AS user_id,
-        |  coalesce(array_to_string(x_event_ids, ','), '') AS x_event_ids,
-        |  coalesce(array_to_string(y_event_ids, ','), '') AS y_event_ids
-        |FROM xa FULL OUTER JOIN ya ON xa.user_id = ya.y_user_id
-        |ORDER BY user_id""".stripMargin)),
+      Some(j4OracleSql)),
 
     Entry("j5_inner",
       (spark, dir) => {

@@ -238,6 +238,35 @@ object StreamingOps {
       },
       Some(ReferenceJoins.j3OracleSql)),
 
+    // File-source streaming J4 (fullOuterSeq, the per-key cogroup):
+    // every key's converged row projects both sides' latest versions to
+    // the same sorted comma-joined id strings as the batch
+    // j4_full_outer_seq entry — completing the J1–J4 streaming matrix
+    // against the batch oracles.
+    Entry("s7_stream_full_outer_seq",
+      (spark, dir) => {
+        import spark.implicits._
+        val raw = runFileStream(spark, dir) { src =>
+          VersionedStreamJoin.fullOuterSeq[Ev, Ev](
+            src().filter(isX _), src().filter(isY _),
+            x => x.user_id.toString, y => y.user_id.toString,
+            x => x.event_type, y => y.event_type,
+            x => x.ts_us, y => y.ts_us).toDF()
+        }
+        val wMax = Window.partitionBy(col("key"))
+        raw
+          .withColumn("max_seq", max(col("seq")).over(wMax))
+          .filter(col("seq") === col("max_seq"))
+          .select(
+            col("key").cast("long").as("user_id"),
+            concat_ws(",", sort_array(expr("transform(xs, v -> v.event_id)"))
+              .cast("array<string>")).as("x_event_ids"),
+            concat_ws(",", sort_array(expr("transform(ys, v -> v.event_id)"))
+              .cast("array<string>")).as("y_event_ids"))
+          .orderBy(col("user_id"))
+      },
+      Some(ReferenceJoins.j4OracleSql)),
+
     // Streaming windowed aggregation (complete mode): per-day,
     // per-type counts/sums accumulated across 8 microbatches must
     // equal the batch group-by.
