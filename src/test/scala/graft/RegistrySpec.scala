@@ -11,21 +11,35 @@ class RegistrySpec extends SparkTestBase {
   private val sfDir = sys.props.getOrElse("graft.testdata.dir",
     sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001"))
 
-  // The driver's correctness comparator sorts result rows with pandas
-  // and crashes on array/map/struct cells (CORRECTNESS_r01: 4 queries
-  // err'd with "unhashable type: 'numpy.ndarray'"). Every query must
-  // therefore project nested types to scalars in its final SELECT.
-  test("no query output schema contains nested (driver-unsortable) columns") {
+  // One pass over every entry checking two contracts at once:
+  // (1) the driver's correctness comparator sorts result rows with
+  // pandas and crashes on array/map/struct cells (CORRECTNESS_r01: 4
+  // queries err'd with "unhashable type: 'numpy.ndarray'") — every
+  // query must project nested types to scalars in its final SELECT;
+  // (2) no physical plan may contain a CartesianProduct, and
+  // BroadcastNestedLoopJoin is allowed only where a tiny broadcast side
+  // makes it the right plan (ann_topk_bruteforce: 20 query vectors vs
+  // the corpus — the documented exactness baseline; the scale path is
+  // the bucketed ann_lsh_topk).
+  test("query outputs are scalar-only and plans are free of cartesian blowups") {
+    val bnljAllowed = Set("ann_topk_bruteforce")
     val offenders = Registry.all.flatMap { e =>
-      val nested = e.fn(spark, sfDir).schema.fields.collect {
+      val df = e.fn(spark, sfDir)
+      val nested = df.schema.fields.collect {
         case f if f.dataType.isInstanceOf[ArrayType] ||
           f.dataType.isInstanceOf[MapType] ||
           f.dataType.isInstanceOf[StructType] => f.name
       }
-      if (nested.isEmpty) None else Some(s"${e.name}: ${nested.mkString(",")}")
+      val plan = df.queryExecution.executedPlan.toString
+      val planBad =
+        (if (plan.contains("CartesianProduct")) Seq("CartesianProduct") else Nil) ++
+        (if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(e.name))
+          Seq("BroadcastNestedLoopJoin") else Nil)
+      val bad = nested ++ planBad
+      if (bad.isEmpty) None else Some(s"${e.name}: ${bad.mkString(",")}")
     }
     assert(offenders.isEmpty,
-      s"nested output columns crash the driver comparator: $offenders")
+      s"driver-breaking schemas or cartesian plans: $offenders")
   }
 
   test("every query has a DuckDB oracle (or is explicitly exempt)") {
