@@ -136,41 +136,17 @@ object DedupOps {
     // Near-dup CLUSTERS: connected components over the jaccard pair
     // graph, each doc labeled with the min doc_id reachable from it —
     // the step that turns pairwise similarity into "keep one canonical
-    // doc per group" in a real dedup pipeline. Distributed min-label
-    // propagation: labels start as self, each round takes the min over
-    // neighbors, looping until a fixpoint (the driver loop carries only
-    // the iteration count and a change counter — all data stays
-    // distributed; rounds = graph diameter, and near-dup components are
-    // shallow by nature. At extreme diameters the large-star/small-star
-    // contraction [CC in MapReduce] bounds rounds at O(log n) — noted,
-    // not needed here). The fixpoint (min reachable id) is unique, so
-    // the result is deterministic regardless of iteration order; the
-    // DuckDB oracle reaches the same fixpoint through a recursive CTE.
+    // doc per group" in a real dedup pipeline. The propagation loop
+    // lives in core.GraphTools.connectedComponents (property-tested
+    // against a union-find oracle); the fixpoint (min reachable id) is
+    // unique, so the result is deterministic regardless of iteration
+    // order, and the DuckDB oracle reaches the same fixpoint through a
+    // recursive CTE.
     Entry("dedup_clusters",
       (spark, dir) => {
-        val pairs = jaccardPairs(spark, dir)
-          .select(col("d1"), col("d2")).localCheckpoint()
-        val edges = pairs
-          .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-          .localCheckpoint()
-        var labels = edges.select(col("d1").as("doc")).distinct()
-          .withColumn("lab", col("doc")).localCheckpoint()
-        var changed = 1L
-        var rounds = 0
-        while (changed > 0 && rounds < 50) {
-          val nbrMin = edges.join(labels, edges("d2") === labels("doc"))
-            .groupBy(edges("d1").as("ndoc")).agg(min(col("lab")).as("nlab"))
-          val updated = labels.join(nbrMin, labels("doc") === nbrMin("ndoc"), "left")
-            .select(col("doc"),
-              least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
-            .localCheckpoint()
-          changed = updated.as("u")
-            .join(labels.as("l"), col("u.doc") === col("l.doc"))
-            .filter(col("u.lab") =!= col("l.lab")).count()
-          labels = updated
-          rounds += 1
-        }
-        labels.select(col("doc").as("doc_id"), col("lab").as("cluster_id"))
+        graft.core.GraphTools
+          .connectedComponents(jaccardPairs(spark, dir), "d1", "d2")
+          .select(col("id").as("doc_id"), col("component").as("cluster_id"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH RECURSIVE $pairsCtes,

@@ -1,0 +1,60 @@
+package graft
+
+import graft.core.GraphTools
+
+/** Property test for the distributed connected-components operator:
+  * on seeded random graphs the min-label-propagation fixpoint must
+  * equal an in-memory union-find's components (canonicalized to min
+  * member id). Covers shapes the dedup data doesn't: long chains
+  * (diameter stress), stars, singleton edges, multi-component mixes. */
+class GraphToolsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def unionFind(n: Int, edges: Seq[(Int, Int)]): Map[Int, Int] = {
+    val parent = scala.collection.mutable.Map.empty[Int, Int]
+    def find(x: Int): Int = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // canonicalize: component label = min member id
+    val byRoot = nodes.groupBy(find)
+    byRoot.values.flatMap { members =>
+      val lab = members.min
+      members.map(_ -> lab)
+    }.toMap
+  }
+
+  private def check(edges: Seq[(Int, Int)]): Unit = {
+    val got = GraphTools.connectedComponents(
+        edges.toDF("a", "b"), "a", "b")
+      .as[(Int, Int)].collect().toMap
+    assert(got == unionFind(0, edges))
+  }
+
+  test("random graphs match union-find components") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val n = 60
+      val edges = (1 to 80).map(_ => (rnd.nextInt(n), rnd.nextInt(n)))
+        .filter { case (a, b) => a != b }
+      check(edges)
+    }
+  }
+
+  test("long chain (diameter stress) collapses to one component") {
+    val chain = (0 until 40).map(i => (i, i + 1))
+    val got = GraphTools.connectedComponents(chain.toDF("a", "b"), "a", "b")
+      .as[(Int, Int)].collect().toMap
+    assert(got.size == 41 && got.values.forall(_ == 0))
+  }
+
+  test("disjoint stars keep separate min labels") {
+    val edges = Seq((10, 11), (10, 12), (10, 13), (20, 21), (20, 22), (5, 10))
+    check(edges)
+  }
+}
