@@ -242,6 +242,48 @@ object Analytics {
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)),
 
+    // Cube: all four grouping combinations in one pass (Expand + one
+    // partial-agg shuffle — NOT four scans; at 100 TB the Expand factor
+    // is the row multiplier to budget for).
+    Entry("q_cube",
+      (spark, dir) => {
+        val n = Registry.table(spark, dir, "nation")
+        val s = Registry.table(spark, dir, "supplier")
+        s.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .cube(col("n_name"), col("s_nationkey"))
+          .agg(count(lit(1)).as("n_suppliers"),
+            round(sum(col("s_acctbal")), 2).as("sum_acctbal"))
+          .orderBy(asc_nulls_first("n_name"), asc_nulls_first("s_nationkey"))
+      },
+      Some("""SELECT n_name, s_nationkey, count(*) AS n_suppliers,
+        |  round(sum(s_acctbal), 2) AS sum_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY CUBE (n_name, s_nationkey)
+        |ORDER BY n_name ASC NULLS FIRST, s_nationkey ASC NULLS FIRST""".stripMargin)),
+
+    // Pivot: per-day event counts spread across one column per event
+    // type (explicit value list so the output schema is static — the
+    // scale-safe form; an unlisted pivot needs a driver-side distinct
+    // pass first). Oracle = conditional aggregation, the portable SQL
+    // spelling of the same plan.
+    Entry("q_pivot",
+      (spark, dir) => {
+        Registry.table(spark, dir, "events")
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .pivot("event_type",
+            Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy(col("day"))
+      },
+      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin)),
+
     // SQL surface: the same engine through spark.sql over registered
     // views (TPC-H Q6 shape — scan + tight filter + agg; the predicate
     // set pushes fully into the parquet scan).
