@@ -254,9 +254,14 @@ object ReferenceJoins {
             col("ts"), col("value"))
           .orderBy(col("user_id"), col("event_type"))
       },
-      Some("""SELECT user_id, event_id, event_type, ts, value
-        |FROM events
-        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
-        |ORDER BY user_id, event_type""".stripMargin))
+      Some(d2OracleSql))
   )
+
+  /** Shared with StreamingOps: the streaming dedup (s8) must converge
+    * to exactly this batch answer. */
+  private[queries] val d2OracleSql: String =
+    """SELECT user_id, event_id, event_type, ts, value
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+      |ORDER BY user_id, event_type""".stripMargin
 }

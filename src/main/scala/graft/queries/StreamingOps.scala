@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.streaming.VersionedStreamJoin
+import graft.streaming.{VersionedStreamDedup, VersionedStreamJoin}
 
 /** A typed event row for the streaming paths: `ts_us` is the event
   * timestamp in epoch microseconds (the version — unique per
@@ -266,6 +266,32 @@ object StreamingOps {
           .orderBy(col("user_id"))
       },
       Some(ReferenceJoins.j4OracleSql)),
+
+    // Standalone streaming latest-wins dedup (reference D2 as its own
+    // operator, not a join side): the whole events stream keyed by
+    // user with event_type as the upsert id must converge to the batch
+    // d2_latest_by_key_id answer. Deterministic: (user, type, ts) is
+    // unique at every SF, so strict latest-wins needs no tiebreak.
+    Entry("s8_stream_dedup",
+      (spark, dir) => {
+        import spark.implicits._
+        val raw = runFileStream(spark, dir) { src =>
+          VersionedStreamDedup.latestPerKeyId[Ev](src(),
+            e => e.user_id.toString, e => e.event_type, e => e.ts_us).toDF()
+        }
+        val wMax = Window.partitionBy(col("key"))
+        raw
+          .withColumn("max_seq", max(col("seq")).over(wMax))
+          .filter(col("seq") === col("max_seq"))
+          .select(explode(col("xs")).as("x"))
+          .select(col("x.user_id").as("user_id"),
+            col("x.event_id").as("event_id"),
+            col("x.event_type").as("event_type"),
+            expr("timestamp_micros(x.ts_us)").as("ts"),
+            col("x.value").as("value"))
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some(ReferenceJoins.d2OracleSql)),
 
     // Streaming windowed aggregation (complete mode): per-day,
     // per-type counts/sums accumulated across 8 microbatches must
