@@ -242,6 +242,43 @@ object Analytics {
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)),
 
+    // Bounded range join: all event pairs of the same user within
+    // ±30 minutes. A naive |t1−t2| ≤ B join predicate plans as a
+    // nested-loop blowup; the scale shape is time-BUCKETIZATION: tag
+    // the left side with its 30-min bucket, explode the right side to
+    // its bucket ±1 (any qualifying pair differs by at most one
+    // bucket, and matches exactly once since the left bucket is
+    // unique), equi-join on (user, bucket), then apply the exact range
+    // filter. One shuffle on the composite key, 3× right-side
+    // duplication — the standard interval-join trade at 100 TB.
+    Entry("q_range_join",
+      (spark, dir) => {
+        val bUs = 1800000000L // 30 min in µs
+        val ev = Registry.table(spark, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(ts)").as("tus"))
+        val a = ev.withColumn("bkt", floor(col("tus") / bUs))
+        val b = ev.select(col("user_id").as("uid2"),
+            col("event_id").as("e2"), col("tus").as("tus2"))
+          .withColumn("bkt2", explode(array(
+            floor(col("tus2") / bUs) - 1,
+            floor(col("tus2") / bUs),
+            floor(col("tus2") / bUs) + 1)))
+        a.join(b, col("user_id") === col("uid2") &&
+            col("bkt") === col("bkt2") &&
+            col("event_id") < col("e2") &&
+            abs(col("tus") - col("tus2")) <= bUs)
+          .select(col("user_id"), col("event_id").as("e1"), col("e2"),
+            (col("tus2") - col("tus")).as("dt_us"))
+          .orderBy(col("user_id"), col("e1"), col("e2"))
+      },
+      Some("""SELECT a.user_id, a.event_id AS e1, b.event_id AS e2,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1800000000
+        |ORDER BY a.user_id, e1, e2""".stripMargin)),
+
     // Cube: all four grouping combinations in one pass (Expand + one
     // partial-agg shuffle — NOT four scans; at 100 TB the Expand factor
     // is the row multiplier to budget for).
