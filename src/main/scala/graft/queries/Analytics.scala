@@ -242,6 +242,28 @@ object Analytics {
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)),
 
+    // Semi-structured JSON properties: extract a typed field from the
+    // events' props JSON column and aggregate it — the metadata-
+    // handling shape every ingest pipeline needs. get_json_object is a
+    // codegen'd path expression evaluated inside the scan (scan-local,
+    // one partial-agg shuffle); at 100 TB prefer parsing ONCE into a
+    // struct column (from_json at ingest) over re-parsing per query.
+    Entry("q_json_props",
+      (spark, dir) => {
+        Registry.table(spark, dir, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     // Bounded range join: all event pairs of the same user within
     // ±30 minutes. A naive |t1−t2| ≤ B join predicate plans as a
     // nested-loop blowup; the scale shape is time-BUCKETIZATION: tag
