@@ -18,6 +18,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object Analytics {
 
+  /** Shared with StreamingOps: the native stream-stream range join
+    * (s9) must converge to exactly this batch answer. */
+  private[queries] val rangeJoinOracleSql: String =
+    """SELECT a.user_id, a.event_id AS e1, b.event_id AS e2,
+      |  epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1800000000
+      |ORDER BY a.user_id, e1, e2""".stripMargin
+
   def entries: Seq[Entry] = Seq(
 
     // TPC-H Q1-shaped pricing summary: single-table scan+agg, the
@@ -294,12 +304,7 @@ object Analytics {
             (col("tus2") - col("tus")).as("dt_us"))
           .orderBy(col("user_id"), col("e1"), col("e2"))
       },
-      Some("""SELECT a.user_id, a.event_id AS e1, b.event_id AS e2,
-        |  epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
-        |FROM events a JOIN events b
-        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
-        |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1800000000
-        |ORDER BY a.user_id, e1, e2""".stripMargin)),
+      Some(rangeJoinOracleSql)),
 
     // Cube: all four grouping combinations in one pass (Expand + one
     // partial-agg shuffle — NOT four scans; at 100 TB the Expand factor

@@ -79,7 +79,8 @@ object StreamingOps {
     * to completion against a memory sink. Arrival order varies with
     * file mtimes, but versions are unique per (key, id) so converged
     * state is order-independent. */
-  private def runFileStream(spark: SparkSession, dir: String)(
+  private def runFileStream(spark: SparkSession, dir: String,
+                            mode: String = "update")(
       build: (() => org.apache.spark.sql.Dataset[Ev]) => DataFrame): DataFrame =
     withStreamConf(spark) {
       import spark.implicits._
@@ -98,7 +99,7 @@ object StreamingOps {
           .parquet(tmp.toString).as[Ev]
         val sinkName = s"graft_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
         val q = build(() => src).writeStream
-          .outputMode("update").format("memory").queryName(sinkName).start()
+          .outputMode(mode).format("memory").queryName(sinkName).start()
         try q.processAllAvailable() finally q.stop()
         // memory sink holds the rows; materialization is driver-side
         // only at this point, safe to drop the temp input files
@@ -292,6 +293,44 @@ object StreamingOps {
           .orderBy(col("user_id"), col("event_type"))
       },
       Some(ReferenceJoins.d2OracleSql)),
+
+    // Spark's NATIVE watermarked stream-stream join (the built-in
+    // operator family, distinct from the custom versioned-join core):
+    // the same bounded range join as q_range_join, run append-mode with
+    // both sides streaming. The join condition carries only the key and
+    // the event-time range (a non-time inequality in a stream-stream
+    // join condition makes StreamingJoinHelper log a caught
+    // INTERNAL_ERROR per microbatch while probing it for a state
+    // watermark), so each unordered pair is emitted exactly twice —
+    // once per orientation — plus once per self-pair; the final BATCH
+    // projection over the sink applies e1 < e2, keeping each pair
+    // exactly once. Watermark delay is set beyond the replay's total
+    // disorder so no buffered row is evicted early — exactness over
+    // state size, the right trade for a finite replay; a production
+    // deployment sizes it to the stream's real out-of-orderness bound
+    // and accepts the documented late-drop.
+    Entry("s9_stream_range_join",
+      (spark, dir) => {
+        val raw = runFileStream(spark, dir, mode = "append") { src =>
+          val a = src().toDF()
+            .select(col("user_id"), col("event_id"), col("ts_us"))
+            .withColumn("ats", expr("timestamp_micros(ts_us)"))
+            .withWatermark("ats", "400 days")
+          val b = src().toDF()
+            .select(col("user_id").as("uid2"), col("event_id").as("e2"),
+              col("ts_us").as("tus2"))
+            .withColumn("bts", expr("timestamp_micros(tus2)"))
+            .withWatermark("bts", "400 days")
+          a.join(b, expr("user_id = uid2 AND " +
+              "bts BETWEEN ats - INTERVAL 30 MINUTES " +
+              "AND ats + INTERVAL 30 MINUTES"))
+            .select(col("user_id"), col("event_id").as("e1"), col("e2"),
+              (col("tus2") - col("ts_us")).as("dt_us"))
+        }
+        raw.filter(col("e1") < col("e2"))
+          .orderBy(col("user_id"), col("e1"), col("e2"))
+      },
+      Some(Analytics.rangeJoinOracleSql)),
 
     // Streaming windowed aggregation (complete mode): per-day,
     // per-type counts/sums accumulated across 8 microbatches must
