@@ -23,34 +23,44 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val only = args.toSet
-    // Min-of-N per query: this host's co-tenant noise swings a single
-    // timing up to 5x; the minimum of 3 runs is a stable estimate of
-    // the real cost (SPARK_GRAFT_BENCH_RUNS=1 for a quick pass).
+    // Min-of-N per query, bounded by a wall-clock budget: this host's
+    // co-tenant noise swings a single timing up to 5x, so the minimum
+    // over repeated PASSES is the stable estimate — but repeats stop
+    // once SPARK_GRAFT_BENCH_BUDGET seconds have elapsed so the whole
+    // bench stays inside the driver's window. A pass always completes
+    // (every query sampled equally per pass); at least one pass always
+    // runs. SPARK_GRAFT_BENCH_RUNS=1 forces a single quick pass.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "300").toDouble
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
-      .map { case (name, fn) =>
-        if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val tStart = System.nanoTime()
+    def elapsed = (System.nanoTime() - tStart) / 1e9
+    var pass = 1
+    var go = queries.nonEmpty
+    while (go) {
+      queries.foreach { case (name, fn) =>
+        if (pass == 1 && sys.env.contains("SPARK_GRAFT_EXPLAIN"))
           try fn(spark, sfDir).explain("formatted")
           catch { case _: Throwable => () }
-        val times = (1 to runs).map { i =>
-          val t0 = System.nanoTime()
-          val n = try fn(spark, sfDir).count()
-                  catch { case e: Throwable =>
-                    System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-                    -1L
-                  }
-          val dt = (System.nanoTime() - t0) / 1e9
-          System.err.println(f"[bench] $name%-28s run $i/$runs $dt%8.2fs  rows=$n")
-          dt
-        }
-        val dt = times.min
-        System.err.println(f"[bench] $name%-28s min $dt%8.2fs")
-        name -> dt
+        val t0 = System.nanoTime()
+        val n = try fn(spark, sfDir).count()
+                catch { case e: Throwable =>
+                  System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+                  -1L
+                }
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name%-28s pass $pass $dt%8.2fs  rows=$n")
+        best(name) = best.get(name).fold(dt)(math.min(_, dt))
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      pass += 1
+      go = pass <= runs && elapsed < budgetSec
+    }
+    System.err.println(f"[bench] completed ${pass - 1} pass(es) in $elapsed%.1fs")
+    val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = if (best.nonEmpty) best.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
