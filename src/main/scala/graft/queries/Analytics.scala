@@ -252,6 +252,35 @@ object Analytics {
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)),
 
+    // TPC-H Q14 shape (promo revenue share): fact-to-dimension join
+    // with conditional aggregation — the part table broadcast against
+    // a date-pruned lineitem scan (the filter pushes to parquet, so a
+    // three-month slice never reads the other years' row groups).
+    Entry("q14_promo_revenue",
+      (spark, dir) => {
+        val li = Registry.table(spark, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .select(col("l_partkey"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        val p = Registry.table(spark, dir, "part")
+          .select(col("p_partkey"), col("p_type"))
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .agg(
+            round(sum(when(col("p_type") === "ECONOMY", col("rev"))
+              .otherwise(lit(0.0))), 2).as("economy_revenue"),
+            round(sum(col("rev")), 2).as("total_revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT
+        |  round(sum(CASE WHEN p_type = 'ECONOMY'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS economy_revenue,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin)),
+
     // Semi-structured JSON properties: extract a typed field from the
     // events' props JSON column and aggregate it — the metadata-
     // handling shape every ingest pipeline needs. get_json_object is a
