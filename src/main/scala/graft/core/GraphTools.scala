@@ -49,6 +49,12 @@ object GraphTools {
       labels = updated
       rounds += 1
     }
+    // a silent exit on the round cap would return plausible-looking but
+    // WRONG labels for a graph whose diameter exceeds maxRounds
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxRounds rounds " +
+        s"($changed labels still changing); raise maxRounds or use a " +
+        "log-bounded contraction for high-diameter graphs")
     labels.select(col("id"), col("lab").as("component"))
   }
 }

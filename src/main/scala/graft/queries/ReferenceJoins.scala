@@ -99,6 +99,14 @@ object ReferenceJoins {
        |FROM xa FULL OUTER JOIN ya ON xa.user_id = ya.y_user_id
        |ORDER BY user_id""".stripMargin
 
+  /** Shared with StreamingOps: the streaming inner join (s10) must
+    * converge to exactly this batch answer. */
+  private[queries] val j5OracleSql: String =
+    s"""WITH x AS ($xSql), y AS ($ySql)
+       |SELECT x.user_id, x_event_id, x_type, x_ts, y_event_id, y_type, y_ts
+       |FROM x JOIN y ON x.user_id = y.y_user_id
+       |ORDER BY user_id, x_type, y_type""".stripMargin
+
   def entries: Seq[Entry] = Seq(
 
     Entry("j1_full_outer",
@@ -165,10 +173,7 @@ object ReferenceJoins {
             col("x_ts"), col("y_event_id"), col("y_type"), col("y_ts"))
           .orderBy(col("user_id"), col("x_type"), col("y_type"))
       },
-      Some(s"""WITH x AS ($xSql), y AS ($ySql)
-        |SELECT x.user_id, x_event_id, x_type, x_ts, y_event_id, y_type, y_ts
-        |FROM x JOIN y ON x.user_id = y.y_user_id
-        |ORDER BY user_id, x_type, y_type""".stripMargin)),
+      Some(j5OracleSql)),
 
     // J6: the reference's 3-level chain A 1—N B 1—N C
     // (GenJoinInput.scala:32-34, dissociateABC JoinSpec.scala:42-56)
@@ -218,18 +223,7 @@ object ReferenceJoins {
           .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey"),
             asc_nulls_first("l_linenumber"))
       },
-      Some("""WITH ab AS (
-        |  SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
-        |  FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey),
-        |li AS (
-        |  SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
-        |  QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_linenumber
-        |    ORDER BY l_shipdate DESC, l_extendedprice DESC) = 1)
-        |SELECT c_custkey, c_name, o_orderkey, o_totalprice,
-        |  l_linenumber, l_extendedprice
-        |FROM ab FULL OUTER JOIN li ON o_orderkey = l_orderkey
-        |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST,
-        |  l_linenumber ASC NULLS FIRST""".stripMargin)),
+      Some(j6OracleSql)),
 
     Entry("d1_latest_by_key",
       (spark, dir) => {
@@ -256,6 +250,22 @@ object ReferenceJoins {
       },
       Some(d2OracleSql))
   )
+
+  /** Shared with StreamingOps: the chained streaming join (s11) must
+    * converge to exactly this batch answer. */
+  private[queries] val j6OracleSql: String =
+    """WITH ab AS (
+      |  SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+      |  FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey),
+      |li AS (
+      |  SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |  QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+      |    ORDER BY l_shipdate DESC, l_extendedprice DESC) = 1)
+      |SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+      |  l_linenumber, l_extendedprice
+      |FROM ab FULL OUTER JOIN li ON o_orderkey = l_orderkey
+      |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST,
+      |  l_linenumber ASC NULLS FIRST""".stripMargin
 
   /** Shared with StreamingOps: the streaming dedup (s8) must converge
     * to exactly this batch answer. */

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -13,14 +12,38 @@ import graft.streaming.{VersionedStreamDedup, VersionedStreamJoin}
 final case class Ev(event_id: Long, user_id: Long, event_type: String,
                     ts_us: Long, value: Double)
 
-/** Streaming operators, driven synchronously: the parquet events are
-  * replayed through a [[MemoryStream]] in deterministic event-id-order
-  * chunks (so the engine sees multiple microbatches, exercising state
-  * across triggers), and the final answer is checked against the SAME
-  * batch DuckDB oracle as the batch operators — the streaming engine
-  * must *converge* to the batch result (the reference's own
-  * verification idea, JoinSpec.scala:153-154, strengthened from
-  * count-equality to full hash-equality).
+/** Typed rows for the chained streaming join (s11): the reference's
+  * 3-level A 1—N B 1—N C data model (GenJoinInput.scala:32-34) over
+  * customer → orders → lineitem. `o_ver`/`l_ver` are Long versions;
+  * `l_ver` = (shipdate epoch-days, price cents) packed so its strict
+  * ordering equals the batch oracle's (l_shipdate DESC,
+  * l_extendedprice DESC) dedup — the packed quadruple is verified
+  * unique at sf0.01 and sf0.1, so streaming latest-wins is
+  * arrival-order independent. */
+final case class CustRow(c_custkey: Long, c_name: String)
+final case class OrdRow(o_orderkey: Long, o_custkey: Long, o_ver: Long,
+                        o_totalprice: Double)
+/** One stage-1 (customer⋈orders) emission relayed to stage 2. Identity
+  * for stage-2 upsert = `o_orderkey` (stable across the AB row's
+  * lifetime); version = the stage-1 per-key emission `seq` (monotone
+  * per customer, hence per order). */
+final case class AbRel(seq: Long, c_custkey: Option[Long],
+                       c_name: Option[String], o_orderkey: Long,
+                       o_totalprice: Double)
+final case class LiRow(l_orderkey: Long, l_linenumber: Int, l_ver: Long,
+                       l_extendedprice: Double)
+
+/** Streaming operators, driven synchronously: the parquet tables are
+  * range-split into chunked ingest directories and replayed through the
+  * file source one file per trigger (so the engine sees multiple
+  * microbatches, exercising state across triggers), and the final
+  * answer is checked against the SAME batch DuckDB oracle as the batch
+  * operators — the streaming engine must *converge* to the batch
+  * result (the reference's own verification idea,
+  * JoinSpec.scala:153-154, strengthened from count-equality to full
+  * hash-equality). Nothing is collected to the driver on any of these
+  * paths; MemoryStream-based deterministic replay lives in the sbt
+  * harnesses (StreamJoinSpec) only.
   */
 object StreamingOps {
 
@@ -39,37 +62,6 @@ object StreamingOps {
     spark.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
-
-  private def loadEvents(spark: SparkSession, dir: String): Array[Ev] = {
-    import spark.implicits._
-    Registry.table(spark, dir, "events")
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("unix_micros(ts)").as("ts_us"), col("value"))
-      .as[Ev].collect().sortBy(_.event_id)
-  }
-
-  /** Feed `rows` through a MemoryStream in order, `chunks` adds with a
-    * microbatch boundary after each, run to completion, return the
-    * memory-sink table. */
-  private def runStream[T](spark: SparkSession, rows: Seq[T],
-                           build: MemoryStream[T] => DataFrame,
-                           mode: String)(
-                            implicit enc: org.apache.spark.sql.Encoder[T]): DataFrame =
-    withStreamConf(spark) {
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-      val stream = MemoryStream[T]
-      val sinkName = s"graft_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-      val q = build(stream).writeStream
-        .outputMode(mode).format("memory").queryName(sinkName).start()
-      try {
-        val size = math.max(1, (rows.length + chunks - 1) / chunks)
-        rows.grouped(size).foreach { chunk =>
-          stream.addData(chunk)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-      spark.table(sinkName)
-    }
 
   /** File-source streaming harness (the production shape — nothing is
     * collected to the driver): the events table is range-split into
@@ -102,8 +94,14 @@ object StreamingOps {
           .outputMode(mode).format("memory").queryName(sinkName).start()
         try q.processAllAvailable() finally q.stop()
         // memory sink holds the rows; materialization is driver-side
-        // only at this point, safe to drop the temp input files
-        spark.table(sinkName)
+        // only at this point, safe to drop the temp input files.
+        // The Dataset below binds the sink relation at analysis time, so
+        // dropping the temp VIEW immediately is safe — and without it
+        // every invocation (bench repeats!) would pin its sink rows in
+        // driver memory for the session's lifetime via the catalog.
+        val out = spark.table(sinkName)
+        spark.catalog.dropTempView(sinkName)
+        out
       } finally {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
@@ -139,46 +137,6 @@ object StreamingOps {
       e.event_type == "view") && e.user_id % 5 != 0
 
   def entries: Seq[Entry] = Seq(
-
-    // Streaming J1 over the same X/Y event split as j1_full_outer;
-    // converged result (max emission seq per key) must hash-match the
-    // batch oracle exactly. DETERMINISM HARNESS, not a production
-    // shape: it collects the events table to the driver to get exact
-    // chunk boundaries through MemoryStream — the file-source twin
-    // s4_stream_file_join below runs the identical join against the
-    // identical oracle with no driver materialization and is the shape
-    // to scale.
-    Entry("s1_stream_full_outer",
-      (spark, dir) => withStreamConf(spark) {
-        import spark.implicits._
-        val evs = loadEvents(spark, dir)
-        val xs = evs.filter(isX)
-        val ys = evs.filter(isY)
-        // two tagged sides replayed in deterministic interleaved chunks
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-        val sx = MemoryStream[Ev]
-        val sy = MemoryStream[Ev]
-        val joinedDs = VersionedStreamJoin.fullOuter[Ev, Ev](
-          sx.toDS(), sy.toDS(),
-          x => x.user_id.toString, y => y.user_id.toString,
-          x => x.event_type, y => y.event_type,
-          x => x.ts_us, y => y.ts_us)
-        val sinkName = s"graft_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-        val q = joinedDs.toDF().writeStream
-          .outputMode("update").format("memory").queryName(sinkName).start()
-        try {
-          val sizeX = math.max(1, (xs.length + chunks - 1) / chunks)
-          val sizeY = math.max(1, (ys.length + chunks - 1) / chunks)
-          xs.grouped(sizeX).zipAll(ys.grouped(sizeY), Array.empty[Ev], Array.empty[Ev])
-            .foreach { case (cx, cy) =>
-              if (cx.nonEmpty) sx.addData(cx.toIndexedSeq)
-              if (cy.nonEmpty) sy.addData(cy.toIndexedSeq)
-              q.processAllAvailable()
-            }
-        } finally q.stop()
-        convergedJ1(spark.table(sinkName))
-      },
-      Some(ReferenceJoins.j1OracleSql)),
 
     // File-source streaming J1: the production shape (see
     // runFileStream); must hash-match the batch J1 oracle.
@@ -294,6 +252,22 @@ object StreamingOps {
       },
       Some(ReferenceJoins.d2OracleSql)),
 
+    // File-source streaming J5 (inner): emits only keys populated on
+    // both sides; converged result must hash-match the batch j5_inner
+    // oracle — completing driver-verified batch+streaming coverage of
+    // every reference cogroup variant (C1–C5,
+    // cogroupFunctions.scala:7-87).
+    Entry("s10_stream_inner",
+      (spark, dir) => { import spark.implicits._
+      convergedJ1(runFileStream(spark, dir) { src =>
+        VersionedStreamJoin.inner[Ev, Ev](
+          src().filter(isX _), src().filter(isY _),
+          x => x.user_id.toString, y => y.user_id.toString,
+          x => x.event_type, y => y.event_type,
+          x => x.ts_us, y => y.ts_us).toDF()
+      }) },
+      Some(ReferenceJoins.j5OracleSql)),
+
     // Spark's NATIVE watermarked stream-stream join (the built-in
     // operator family, distinct from the custom versioned-join core):
     // the same bounded range join as q_range_join, run append-mode with
@@ -324,28 +298,183 @@ object StreamingOps {
           a.join(b, expr("user_id = uid2 AND " +
               "bts BETWEEN ats - INTERVAL 30 MINUTES " +
               "AND ats + INTERVAL 30 MINUTES"))
+            // the non-time inequality can't live in the join CONDITION
+            // (see above) but it can filter the joined stream before the
+            // sink: halves emitted rows and kills self-pairs at the
+            // source instead of in the batch projection
+            .filter(col("event_id") < col("e2"))
             .select(col("user_id"), col("event_id").as("e1"), col("e2"),
               (col("tus2") - col("ts_us")).as("dt_us"))
         }
+        // no-op safety net (the streaming filter above already holds)
         raw.filter(col("e1") < col("e2"))
           .orderBy(col("user_id"), col("e1"), col("e2"))
       },
       Some(Analytics.rangeJoinOracleSql)),
 
+    // CHAINED streaming joins: the reference's full 3-level data model
+    // A 1—N B 1—N C (GenJoinInput.scala:32-34) with the second
+    // versioned join running over the FIRST's streaming output —
+    // driver-verified against the batch j6_chain_abc oracle. Chaining
+    // update-mode joins without retractions needs the decomposition
+    // proven in StreamJoinSpec ("two chained streaming joins converge"):
+    //   - stage 2 consumes only the b-carrying AB rows, keyed and
+    //     identified by o_orderkey (STABLE across an AB row's lifetime)
+    //     with the stage-1 per-key seq as a monotone version, so
+    //     superseded stage-1 emissions upsert cleanly downstream;
+    //   - the a-only arm (customers with no orders), whose identity
+    //     would MOVE when an order arrived, is taken from stage 1's own
+    //     converged (max-seq) view instead.
+    // Production shape throughout: both stages are file-source streams,
+    // the inter-stage relay is a parquet directory appended per
+    // microbatch by foreachBatch (an object-store prefix at scale), and
+    // stage 2's sink is another parquet log — nothing is ever collected
+    // to the driver. State is hash-partitioned by key per stage
+    // (c_custkey, then o_orderkey — Catalyst plans one exchange per
+    // stage, the same two-exchange shape as batch j6).
+    Entry("s11_stream_chain_abc",
+      (spark, dir) => withStreamConf(spark) {
+        import spark.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft_chain_")
+        val custDir = tmp.resolve("cust"); val ordDir = tmp.resolve("ord")
+        val liDir = tmp.resolve("li"); val abLog = tmp.resolve("ablog")
+        val bcLog = tmp.resolve("bclog")
+        try {
+          // range-split the three tables into chunked ingest dirs
+          Registry.table(spark, dir, "customer")
+            .select(col("c_custkey"), col("c_name"))
+            .repartitionByRange(chunks, col("c_custkey"))
+            .write.parquet(custDir.toString)
+          Registry.table(spark, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_orderkey").as("o_ver"), col("o_totalprice"))
+            .repartitionByRange(chunks, col("o_orderkey"))
+            .write.parquet(ordDir.toString)
+          Registry.table(spark, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber"),
+              (expr("unix_date(cast(l_shipdate as date))") * lit(10000000000L)
+                + expr("cast(round(l_extendedprice * 100) as bigint)"))
+                .as("l_ver"),
+              col("l_extendedprice"))
+            .repartitionByRange(chunks, col("l_orderkey"))
+            .write.parquet(liDir.toString)
+
+          def src(d: java.nio.file.Path, schema: String): DataFrame =
+            spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(d.toString)
+
+          // stage 1: customer ⋈ orders keyed by custkey; every
+          // microbatch's emissions land in the relay log (flattened —
+          // one file per batch; at scale this is the ingest prefix the
+          // next stage tails)
+          val q1 = VersionedStreamJoin.fullOuter[CustRow, OrdRow](
+              src(custDir, "c_custkey BIGINT, c_name STRING").as[CustRow],
+              src(ordDir, "o_orderkey BIGINT, o_custkey BIGINT, " +
+                "o_ver BIGINT, o_totalprice DOUBLE").as[OrdRow],
+              _.c_custkey.toString, _.o_custkey.toString,
+              _.c_custkey.toString, _.o_orderkey.toString,
+              _ => 0L, _.o_ver) // one customer version per id: ts moot
+            .toDF()
+            .writeStream.outputMode("update")
+            .foreachBatch { (df: DataFrame, _: Long) =>
+              df.select(col("key"), col("seq"),
+                  col("x.c_custkey").as("c_custkey"),
+                  col("x.c_name").as("c_name"),
+                  col("y.o_orderkey").as("o_orderkey"),
+                  col("y.o_totalprice").as("o_totalprice"))
+                .coalesce(1)
+                .write.mode("append").parquet(abLog.toString)
+              ()
+            }.start()
+          try q1.processAllAvailable() finally q1.stop()
+
+          val abSchema = "key STRING, seq BIGINT, c_custkey BIGINT, " +
+            "c_name STRING, o_orderkey BIGINT, o_totalprice DOUBLE"
+
+          // stage 2: (b-carrying AB rows) ⋈ lineitem keyed by orderkey,
+          // itself a file-source stream over the relay log
+          val q2 = VersionedStreamJoin.fullOuter[AbRel, LiRow](
+              src(abLog, abSchema)
+                .where(col("o_orderkey").isNotNull)
+                .select(col("seq"), col("c_custkey"), col("c_name"),
+                  col("o_orderkey"), col("o_totalprice")).as[AbRel],
+              src(liDir, "l_orderkey BIGINT, l_linenumber INT, " +
+                "l_ver BIGINT, l_extendedprice DOUBLE").as[LiRow],
+              _.o_orderkey.toString, _.l_orderkey.toString,
+              _.o_orderkey.toString,
+              li => li.l_orderkey.toString + "_" + li.l_linenumber,
+              _.seq, _.l_ver)
+            .toDF()
+            .writeStream.outputMode("update")
+            .foreachBatch { (df: DataFrame, _: Long) =>
+              df.select(col("key"), col("seq"),
+                  col("x.c_custkey").as("c_custkey"),
+                  col("x.c_name").as("c_name"),
+                  col("x.o_orderkey").as("o_orderkey"),
+                  col("x.o_totalprice").as("o_totalprice"),
+                  col("y.l_linenumber").as("l_linenumber"),
+                  col("y.l_extendedprice").as("l_extendedprice"))
+                .coalesce(1)
+                .write.mode("append").parquet(bcLog.toString)
+              ()
+            }.start()
+          try q2.processAllAvailable() finally q2.stop()
+
+          val wMax = Window.partitionBy(col("key"))
+          // converged stage-2 view: the b-carrying + c-orphan arms
+          val viaBc = spark.read
+            .schema(abSchema + ", l_linenumber INT, l_extendedprice DOUBLE")
+            .parquet(bcLog.toString)
+            .withColumn("max_seq", max(col("seq")).over(wMax))
+            .filter(col("seq") === col("max_seq"))
+            .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+              col("o_totalprice"), col("l_linenumber"),
+              col("l_extendedprice"))
+          // converged stage-1 view: the a-only arm (no order ever came)
+          val aOnly = spark.read.schema(abSchema).parquet(abLog.toString)
+            .withColumn("max_seq", max(col("seq")).over(wMax))
+            .filter(col("seq") === col("max_seq") &&
+              col("o_orderkey").isNull)
+            .select(col("c_custkey"), col("c_name"),
+              lit(null).cast("long").as("o_orderkey"),
+              lit(null).cast("double").as("o_totalprice"),
+              lit(null).cast("int").as("l_linenumber"),
+              lit(null).cast("double").as("l_extendedprice"))
+          // localCheckpoint materializes the answer so the tmp logs can
+          // be deleted in the finally below (the result is small — the
+          // converged chain — while the logs carry every emission)
+          viaBc.unionByName(aOnly)
+            .orderBy(asc_nulls_first("c_custkey"),
+              asc_nulls_first("o_orderkey"),
+              asc_nulls_first("l_linenumber"))
+            .localCheckpoint()
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      },
+      Some(ReferenceJoins.j6OracleSql)),
+
     // Streaming windowed aggregation (complete mode): per-day,
-    // per-type counts/sums accumulated across 8 microbatches must
-    // equal the batch group-by.
+    // per-type counts/sums accumulated across the file-source
+    // microbatches must equal the batch group-by. (Historical note:
+    // through round 4 this replayed a driver-collected array through
+    // MemoryStream; the file source removes the last non-harness
+    // `.collect()` from the library — MemoryStream-based replay now
+    // lives only in the sbt determinism harnesses.)
     Entry("s2_stream_window_agg",
       (spark, dir) => {
         import spark.implicits._
-        val evs = loadEvents(spark, dir)
-        runStream[Ev](spark, evs.toIndexedSeq, st =>
-          st.toDF()
+        runFileStream(spark, dir, mode = "complete") { src =>
+          src().toDF()
             .withColumn("ts", expr("timestamp_micros(ts_us)"))
             .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
-            .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value")),
-          "complete")
-          .orderBy(col("day"), col("event_type"))
+            .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        }.orderBy(col("day"), col("event_type"))
       },
       Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
         |  count(*) AS n, round(sum(value), 4) AS sum_value
@@ -375,7 +504,11 @@ object StreamingOps {
         val q = agg.writeStream.outputMode("complete")
           .format("memory").queryName(sinkName).start()
         try q.processAllAvailable() finally q.stop()
-        spark.table(sinkName).orderBy(col("day"), col("event_type"))
+        // bind the sink relation, then drop the catalog entry so
+        // repeated invocations don't pin sinks for the session lifetime
+        val out = spark.table(sinkName)
+        spark.catalog.dropTempView(sinkName)
+        out.orderBy(col("day"), col("event_type"))
       },
       Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
         |  count(*) AS n

@@ -157,7 +157,7 @@ object TextOps {
         |SELECT lang,
         |  CASE WHEN bucket < 90 THEN 'train'
         |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
-        |  count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin))
   )
