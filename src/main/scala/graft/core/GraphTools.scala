@@ -53,8 +53,86 @@ object GraphTools {
     // WRONG labels for a graph whose diameter exceeds maxRounds
     require(changed == 0,
       s"connectedComponents did not converge in $maxRounds rounds " +
-        s"($changed labels still changing); raise maxRounds or use a " +
-        "log-bounded contraction for high-diameter graphs")
+        s"($changed labels still changing); raise maxRounds or use " +
+        "connectedComponentsLogN for high-diameter graphs")
     labels.select(col("id"), col("lab").as("component"))
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC 2014): rounds are bounded O(log n) in the
+    * NUMBER OF NODES, independent of graph diameter — the scale path
+    * for adversarial shapes (long chains, lattices) where min-label
+    * propagation's O(diameter) rounds would dominate.
+    *
+    * Edges are kept canonically oriented (larger id, smaller id); both
+    * operations are one groupBy-min + one equi-join over the edge
+    * list, fully distributed, with the driver carrying only change
+    * counters. At the fixpoint the edge set is a star forest: every
+    * non-root node carries exactly one edge to its component's minimum
+    * id.
+    *
+    *  - large-star(u): every strictly-larger neighbor of u re-points
+    *    to the minimum of u's closed neighborhood;
+    *  - small-star(u): u and its smaller neighbors all re-point to the
+    *    minimum of u's smaller neighborhood.
+    *
+    * Returns the same contract as [[connectedComponents]]: one row per
+    * node appearing in any edge, component = min reachable id. The two
+    * operators are property-tested against each other and against an
+    * in-memory union-find (GraphToolsSpec).
+    */
+  def connectedComponentsLogN(edges: DataFrame, src: String, dst: String,
+                              maxRounds: Int = 50): DataFrame = {
+    val raw = edges.select(col(src).as("s"), col(dst).as("d"))
+    val nodes = raw.select(col("s").as("id"))
+      .union(raw.select(col("d").as("id"))).distinct().localCheckpoint()
+    // canonical orientation: u = larger endpoint, v = smaller
+    var e = raw.filter(col("s") =!= col("d"))
+      .select(greatest(col("s"), col("d")).as("u"),
+        least(col("s"), col("d")).as("v"))
+      .distinct().localCheckpoint()
+    var eCount = e.count()
+    var rounds = 0
+    var converged = eCount == 0L
+    while (!converged && rounds < maxRounds) {
+      // LARGE-STAR: for each node u, every neighbor v > u re-points to
+      // m = min(N(u) ∪ {u}). Each undirected edge is emitted exactly
+      // once — from the perspective of its smaller endpoint — so the
+      // output IS the new edge set. m ≤ u < v keeps orientation.
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u").as("lu"), least(col("mn"), col("u")).as("m"))
+      val ls = sym.filter(col("v") > col("u"))
+        .join(lsMin, col("u") === col("lu"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // SMALL-STAR: for each node u over its smaller neighbors N,
+      // m = min(N); emit (v, m) for v ∈ N \ {m} and (u, m). Orientation
+      // is preserved (v > m, u > m); edge count per node = |N|.
+      val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+        .select(col("u").as("su"), col("m"))
+      val ss = ls.join(ssMin, col("u") === col("su"))
+        .select(
+          when(col("v") === col("m"), col("u")).otherwise(col("v")).as("u"),
+          col("m").as("v"))
+        .distinct().localCheckpoint()
+      // fixpoint ⟺ edge set unchanged (ss ⊆ e via except, plus equal
+      // cardinality); a star forest maps to itself under both ops
+      val ssCount = ss.count()
+      val newEdges = ss.except(e).count()
+      converged = newEdges == 0L && ssCount == eCount
+      e = ss
+      eCount = ssCount
+      rounds += 1
+    }
+    require(converged || eCount == 0L,
+      s"connectedComponentsLogN did not converge in $maxRounds rounds")
+    // star forest: every non-root appears exactly once as the larger
+    // endpoint, pointing at its component min; roots (and nodes with
+    // only self-edges) label themselves
+    nodes.join(e.select(col("u").as("id"), col("v").as("lab")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("lab"), col("id")).as("component"))
   }
 }

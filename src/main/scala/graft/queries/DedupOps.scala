@@ -109,6 +109,19 @@ object DedupOps {
        |JOIN sizes nb ON nb.doc_id = d2
        |WHERE round(shared::DOUBLE / (na.n + nb.n - shared), 6) >= $jaccardThreshold)""".stripMargin
 
+  /** Shared by dedup_clusters and dedup_clusters_logn: both operators
+    * must reach the same fixpoint (component = min reachable doc_id). */
+  private val clustersOracleSql: String =
+    s"""WITH RECURSIVE $pairsCtes,
+       |edges AS (SELECT d1, d2 FROM pairs
+       |          UNION ALL SELECT d2, d1 FROM pairs),
+       |reach(doc, lab) AS (
+       |  SELECT DISTINCT d1, d1 FROM edges
+       |  UNION
+       |  SELECT e.d2, r.lab FROM reach r JOIN edges e ON e.d1 = r.doc)
+       |SELECT doc AS doc_id, min(lab) AS cluster_id
+       |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
+
   def entries: Seq[Entry] = Seq(
 
     Entry("dedup_exact",
@@ -149,15 +162,22 @@ object DedupOps {
           .select(col("id").as("doc_id"), col("component").as("cluster_id"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH RECURSIVE $pairsCtes,
-        |edges AS (SELECT d1, d2 FROM pairs
-        |          UNION ALL SELECT d2, d1 FROM pairs),
-        |reach(doc, lab) AS (
-        |  SELECT DISTINCT d1, d1 FROM edges
-        |  UNION
-        |  SELECT e.d2, r.lab FROM reach r JOIN edges e ON e.d1 = r.doc)
-        |SELECT doc AS doc_id, min(lab) AS cluster_id
-        |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin)),
+      Some(clustersOracleSql)),
+
+    // Same clustering through the O(log n)-round large-star/small-star
+    // contraction (GraphTools.connectedComponentsLogN) — the scale path
+    // when the pair graph's diameter is adversarial (long chains of
+    // pairwise-similar docs), where propagation's O(diameter) rounds
+    // would dominate. Must reach the identical fixpoint (min reachable
+    // id), so it shares dedup_clusters' oracle verbatim.
+    Entry("dedup_clusters_logn",
+      (spark, dir) => {
+        graft.core.GraphTools
+          .connectedComponentsLogN(jaccardPairs(spark, dir), "d1", "d2")
+          .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(clustersOracleSql)),
 
     Entry("dedup_minhash_sig",
       (spark, dir) => {

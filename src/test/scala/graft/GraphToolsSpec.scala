@@ -30,10 +30,15 @@ class GraphToolsSpec extends SparkTestBase {
   }
 
   private def check(edges: Seq[(Int, Int)]): Unit = {
+    val expected = unionFind(0, edges)
     val got = GraphTools.connectedComponents(
         edges.toDF("a", "b"), "a", "b")
       .as[(Int, Int)].collect().toMap
-    assert(got == unionFind(0, edges))
+    assert(got == expected)
+    val gotLogN = GraphTools.connectedComponentsLogN(
+        edges.toDF("a", "b"), "a", "b")
+      .as[(Int, Int)].collect().toMap
+    assert(gotLogN == expected)
   }
 
   test("random graphs match union-find components") {
@@ -56,5 +61,29 @@ class GraphToolsSpec extends SparkTestBase {
   test("disjoint stars keep separate min labels") {
     val edges = Seq((10, 11), (10, 12), (10, 13), (20, 21), (20, 22), (5, 10))
     check(edges)
+  }
+
+  test("logN contraction handles diameter beyond the propagation cap") {
+    // a 120-edge chain has diameter 120 > the propagation default cap
+    // (50 rounds, which now throws); the contraction converges in
+    // O(log n) rounds regardless of diameter
+    val chain = (0 until 120).map(i => (i, i + 1))
+    val got = GraphTools.connectedComponentsLogN(
+        chain.toDF("a", "b"), "a", "b", maxRounds = 12)
+      .as[(Int, Int)].collect().toMap
+    assert(got.size == 121 && got.values.forall(_ == 0))
+    assertThrows[IllegalArgumentException] {
+      GraphTools.connectedComponents(chain.toDF("a", "b"), "a", "b",
+          maxRounds = 10)
+        .count()
+    }
+  }
+
+  test("logN contraction: self-loops and singleton edges") {
+    val edges = Seq((3, 3), (7, 8))
+    val got = GraphTools.connectedComponentsLogN(
+        edges.toDF("a", "b"), "a", "b")
+      .as[(Int, Int)].collect().toMap
+    assert(got == Map(3 -> 3, 7 -> 7, 8 -> 7))
   }
 }
