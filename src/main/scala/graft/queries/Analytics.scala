@@ -28,6 +28,17 @@ object Analytics {
       |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1800000000
       |ORDER BY a.user_id, e1, e2""".stripMargin
 
+  /** Shared by q_json_props (per-query path extraction) and
+    * q_json_struct (parse-once into a typed struct): same answer,
+    * different parse strategy. The outer CAST keeps DuckDB's
+    * sum(BIGINT)→HUGEINT from hash-mismatching Spark's int64. */
+  private val jsonPropsOracleSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   def entries: Seq[Entry] = Seq(
 
     // TPC-H Q1-shaped pricing summary: single-table scan+agg, the
@@ -286,7 +297,8 @@ object Analytics {
     // handling shape every ingest pipeline needs. get_json_object is a
     // codegen'd path expression evaluated inside the scan (scan-local,
     // one partial-agg shuffle); at 100 TB prefer parsing ONCE into a
-    // struct column (from_json at ingest) over re-parsing per query.
+    // struct column (from_json at ingest) over re-parsing per query —
+    // that twin plan is q_json_struct below.
     Entry("q_json_props",
       (spark, dir) => {
         Registry.table(spark, dir, "events")
@@ -297,11 +309,29 @@ object Analytics {
             min(col("k")).as("min_k"), max(col("k")).as("max_k"))
           .orderBy(col("event_type"))
       },
-      Some("""SELECT event_type, count(*) AS n,
-        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+      Some(jsonPropsOracleSql)),
+
+    // The parse-at-ingest twin of q_json_props: one from_json turns
+    // the JSON string into a TYPED struct column, and everything
+    // downstream is ordinary columnar access — the shape to
+    // materialize at ingest so 100 TB of queries never re-parse the
+    // string. Per-query the two plans tie (one field); the struct wins
+    // as soon as a second field or a second query touches props, and
+    // it carries the schema (a malformed document becomes a NULL
+    // struct here, not a silent per-field NULL). Same oracle as
+    // q_json_props — identical answer, different parse strategy.
+    Entry("q_json_struct",
+      (spark, dir) => {
+        Registry.table(spark, dir, "events")
+          .select(col("event_type"),
+            from_json(col("props"), "k BIGINT").as("p"))
+          .select(col("event_type"), col("p.k").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+          .orderBy(col("event_type"))
+      },
+      Some(jsonPropsOracleSql)),
 
     // Bounded range join: all event pairs of the same user within
     // ±30 minutes. A naive |t1−t2| ≤ B join predicate plans as a
