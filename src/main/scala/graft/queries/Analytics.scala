@@ -324,7 +324,8 @@ object Analytics {
       (spark, dir) => {
         Registry.table(spark, dir, "events")
           .select(col("event_type"),
-            from_json(col("props"), "k BIGINT").as("p"))
+            from_json(col("props"),
+              org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).as("p"))
           .select(col("event_type"), col("p.k").as("k"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
