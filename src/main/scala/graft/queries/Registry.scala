@@ -14,7 +14,8 @@ final case class Entry(name: String,
 object Registry {
   lazy val all: Seq[Entry] = {
     val entries =
-      ReferenceJoins.entries ++ Analytics.entries ++ TextOps.entries ++
+      ReferenceJoins.entries ++ Analytics.entries ++
+        DecisionSupport.entries ++ TextOps.entries ++
         DedupOps.entries ++ VectorOps.entries ++ MultimodalOps.entries ++
         StreamingOps.entries
     val dup = entries.groupBy(_.name).collect { case (n, es) if es.size > 1 => n }

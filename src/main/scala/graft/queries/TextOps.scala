@@ -159,6 +159,36 @@ object TextOps {
         |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
-        |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin))
+        |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
+
+    // Corpus vocabulary statistics: top-50 tokens by occurrence count
+    // with document frequency — the heavy-hitter query every curation
+    // pipeline runs (vocabulary pruning, stopword discovery, boilerplate
+    // detection via df/n_docs). Token frequency is the canonical
+    // Zipf-skew aggregation: map-side partial aggregation collapses the
+    // hot tokens per partition BEFORE the shuffle, so the skewed keys
+    // never concentrate raw rows on one reducer. The exact
+    // count(DISTINCT doc_id) costs a second shuffle on (tok, doc_id);
+    // at 100 TB swap it for approx_count_distinct (one pass, mergeable
+    // HLL partials) — same plan shape otherwise.
+    Entry("t_top_tokens",
+      (spark, dir) => {
+        val d = Registry.table(spark, dir, "documents")
+        d.select(col("doc_id"),
+            explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).as("n_occurrences"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy(col("n_occurrences").desc, col("tok"))
+          .limit(50)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        |  FROM documents)
+        |SELECT tok, count(*) AS n_occurrences,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM t WHERE length(tok) > 0
+        |GROUP BY tok ORDER BY n_occurrences DESC, tok LIMIT 50""".stripMargin))
   )
 }

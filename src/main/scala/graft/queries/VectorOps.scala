@@ -31,6 +31,11 @@ object VectorOps {
     * 8 bands × 2 hyperplanes. */
   val lshBands = 8
   val lshRowsPerBand = 2
+  /** IVF shape: coarse-quantize into `ivfCells` cells, probe the
+    * `ivfProbes` nearest cells per query. */
+  val ivfCells = 16
+  val ivfProbes = 2
+  val ivfTopK = 5
 
   /** Embeddings with the L2 norm materialized per row — pair-level
     * cosines then cost one dot product instead of three (sqrt per row
@@ -252,6 +257,96 @@ object VectorOps {
         |FROM b q JOIN b n ON q.bucket = n.bucket
         |  AND q.vec_id < $queryCount AND q.vec_id <> n.vec_id
         |QUALIFY rank <= 3
+        |ORDER BY query_id, rank""".stripMargin)),
+
+    // IVF (inverted-file) ANN: coarse-quantize every vector to its
+    // nearest of `ivfCells` centroids, then answer each query by
+    // probing only its `ivfProbes` nearest cells — the classic
+    // cells-not-corpus ANN index (FAISS IVF-Flat shape). At 100 TB the
+    // CELL is the partition key: the corpus is written partitioned by
+    // cell, a query touches nprobe partitions, and recall/cost tunes
+    // with nprobe — the missing middle between ann_topk_bruteforce
+    // (exact, touches everything) and ann_lsh_topk (one fixed bucket).
+    //
+    // Centroids here are the first `ivfCells` vectors by id — a
+    // deterministic seed choice (kmeans++-style seeding would then
+    // ITERATE from exactly such a seed set) so the DuckDB oracle can
+    // mirror the assignment exactly and the driver hash-checks the
+    // whole index end-to-end. Lloyd iterations would change only the
+    // centroid table, not the plan shape. Everything that scales is
+    // slim: assignment/probing shuffle (vec_id, cid, csim) rows only;
+    // the 64-dim vectors ride a broadcast (centroids) or an id-keyed
+    // re-fetch join (final verification), never the candidate shuffle
+    // — the dedup_embedding_lsh discipline.
+    Entry("ann_ivf_topk",
+      (spark, dir) => {
+        val base = emb(spark, dir)
+        val cent = base.filter(col("vec_id") < ivfCells)
+          .select(col("vec_id").as("cid"), col("e").as("ce"),
+            col("nrm").as("cn"))
+        // (vector × centroid) scored rows, projected slim map-side
+        // before any shuffle.
+        val scored = base.crossJoin(broadcast(cent))
+          .select(col("vec_id"),
+            round(VectorFunctions.dot(col("e"), col("ce")) /
+              (col("nrm") * col("cn")), 6).as("csim"),
+            col("cid"))
+        // Cell assignment: argmax csim, ties to the lower cid (matches
+        // the oracle's ORDER BY csim DESC, cid).
+        val asg = scored.groupBy(col("vec_id"))
+          .agg(max_by(col("cid"), struct(col("csim"), -col("cid")))
+            .as("cell"))
+        val probes = scored.filter(col("vec_id") < queryCount)
+          .withColumn("pr", row_number().over(
+            Window.partitionBy(col("vec_id"))
+              .orderBy(col("csim").desc, col("cid"))))
+          .filter(col("pr") <= ivfProbes)
+          .select(col("vec_id").as("query_id"), col("cid").as("pcell"))
+        // Cells partition the corpus, so each neighbor appears at most
+        // once per probed cell — no pair dedup needed.
+        val cand = probes.join(asg, col("pcell") === col("cell"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        val q = base.select(col("vec_id").as("query_id"),
+          col("e").as("qe"), col("nrm").as("qn"))
+        val n = base.select(col("vec_id").as("neighbor_id"),
+          col("e").as("ne"), col("nrm").as("nn"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        cand.join(q, "query_id").join(n, "neighbor_id")
+          .withColumn("sim",
+            round(VectorFunctions.dot(col("qe"), col("ne")) /
+              (col("qn") * col("nn")), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= ivfTopK)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            col("sim"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH v AS ($embSql),
+        |c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $ivfCells),
+        |s AS (SELECT v.vec_id, c.cid,
+        |    round(${cosSql("v.e", "c.ce")}, 6) AS csim
+        |  FROM v CROSS JOIN c),
+        |asg AS (SELECT vec_id, cid AS cell FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY csim DESC, cid) AS r FROM s) WHERE r = 1),
+        |probes AS (SELECT vec_id AS query_id, cid AS pcell FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY csim DESC, cid) AS r FROM s
+        |  WHERE vec_id < $queryCount) WHERE r <= $ivfProbes),
+        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+        |  FROM probes p JOIN asg a ON a.cell = p.pcell
+        |  WHERE a.vec_id <> p.query_id)
+        |SELECT cand.query_id,
+        |  CAST(row_number() OVER (PARTITION BY cand.query_id
+        |    ORDER BY round(${cosSql("q.e", "n.e")}, 6) DESC,
+        |      cand.neighbor_id) AS INT) AS rank,
+        |  cand.neighbor_id,
+        |  round(${cosSql("q.e", "n.e")}, 6) AS sim
+        |FROM cand JOIN v q ON q.vec_id = cand.query_id
+        |  JOIN v n ON n.vec_id = cand.neighbor_id
+        |QUALIFY rank <= $ivfTopK
         |ORDER BY query_id, rank""".stripMargin))
   )
 }
