@@ -388,13 +388,19 @@ object StreamingOps {
                 .write.mode("append").parquet(abLog.toString)
               ()
             }.start()
-          try q1.processAllAvailable() finally q1.stop()
 
           val abSchema = "key STRING, seq BIGINT, c_custkey BIGINT, " +
             "c_name STRING, o_orderkey BIGINT, o_totalprice DOUBLE"
 
           // stage 2: (b-carrying AB rows) ⋈ lineitem keyed by orderkey,
-          // itself a file-source stream over the relay log
+          // itself a file-source stream over the relay log. It starts
+          // WHILE stage 1 is still emitting — the production topology
+          // (stage 2 tails stage 1's log live) — which is sound
+          // because the converged max-seq view is interleaving-
+          // independent: however stage-1 emissions land in microbatches,
+          // the final upsert state is the same. The dir must exist
+          // before the source starts listing it.
+          java.nio.file.Files.createDirectories(abLog)
           val q2 = VersionedStreamJoin.fullOuter[AbRel, LiRow](
               src(abLog, abSchema)
                 .where(col("o_orderkey").isNotNull)
@@ -420,7 +426,12 @@ object StreamingOps {
                 .write.mode("append").parquet(bcLog.toString)
               ()
             }.start()
-          try q2.processAllAvailable() finally q2.stop()
+          // drain stage 1 first (it feeds the relay), then stage 2;
+          // both have been processing concurrently since start
+          try {
+            q1.processAllAvailable()
+            q2.processAllAvailable()
+          } finally { q1.stop(); q2.stop() }
 
           val wMax = Window.partitionBy(col("key"))
           // converged stage-2 view: the b-carrying + c-orphan arms
