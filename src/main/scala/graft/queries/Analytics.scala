@@ -28,6 +28,21 @@ object Analytics {
       |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1800000000
       |ORDER BY a.user_id, e1, e2""".stripMargin
 
+  /** Shared with StreamingOps: the streaming session-window agg (s12)
+    * must converge to exactly this batch answer. */
+  private[queries] val sessionWindowOracleSql: String =
+    """WITH f AS (SELECT user_id, event_id, ts, value,
+      |  CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |       THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid FROM f)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** Shared by q_json_props (per-query path extraction) and
     * q_json_struct (parse-once into a typed struct): same answer,
     * different parse strategy. The outer CAST keeps DuckDB's
@@ -576,16 +591,6 @@ object Analytics {
             col("n_events"), col("sum_value"))
           .orderBy(col("user_id"), col("session_start"))
       },
-      Some("""WITH f AS (SELECT user_id, event_id, ts, value,
-        |  CASE WHEN lag(ts) OVER w IS NULL
-        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-        |       THEN 1 ELSE 0 END AS new_s
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid FROM f)
-        |SELECT user_id, min(ts) AS session_start,
-        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
-        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
-        |FROM g GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin))
+      Some(sessionWindowOracleSql))
   )
 }

@@ -523,6 +523,35 @@ object StreamingOps {
       },
       Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
         |  count(*) AS n
-        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin))
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
+
+    // Streaming SESSION windows: the stateful merging window operator —
+    // Spark's session-window state tracks open sessions per user and
+    // MERGES them when a bridging event arrives, which no fixed-window
+    // agg exercises. Complete mode (no watermark) keeps every session
+    // in state and re-emits the full current session set per trigger,
+    // so out-of-order file arrival needs no convergence gymnastics:
+    // the final sink content IS the answer and must hash-match the
+    // batch q_session_window oracle. At 100 TB the same query runs
+    // with `.withWatermark` + append mode — closed sessions emit once
+    // and state stays bounded by OPEN sessions (the complete-mode form
+    // here is the oracle-checkable twin; the watermark form is
+    // s3_stream_file_agg's pattern applied to session_window).
+    Entry("s12_stream_session_window",
+      (spark, dir) => {
+        import spark.implicits._
+        runFileStream(spark, dir, mode = "complete") { src =>
+          src().toDF()
+            .withColumn("ts", expr("timestamp_micros(ts_us)"))
+            .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+            .agg(count(lit(1)).as("n_events"),
+              round(sum(col("value")), 4).as("sum_value"))
+            .select(col("user_id"),
+              col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("n_events"), col("sum_value"))
+        }.orderBy(col("user_id"), col("session_start"))
+      },
+      Some(Analytics.sessionWindowOracleSql))
   )
 }
