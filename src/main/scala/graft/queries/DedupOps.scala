@@ -109,16 +109,21 @@ object DedupOps {
        |JOIN sizes nb ON nb.doc_id = d2
        |WHERE round(shared::DOUBLE / (na.n + nb.n - shared), 6) >= $jaccardThreshold)""".stripMargin
 
-  /** Shared by dedup_clusters and dedup_clusters_logn: both operators
-    * must reach the same fixpoint (component = min reachable doc_id). */
-  private val clustersOracleSql: String =
-    s"""WITH RECURSIVE $pairsCtes,
+  /** CTE chain to the transitive closure of the pair graph — shared by
+    * the clusters oracles and dedup_canonical. */
+  private val reachCtes: String =
+    s"""$pairsCtes,
        |edges AS (SELECT d1, d2 FROM pairs
        |          UNION ALL SELECT d2, d1 FROM pairs),
        |reach(doc, lab) AS (
        |  SELECT DISTINCT d1, d1 FROM edges
        |  UNION
-       |  SELECT e.d2, r.lab FROM reach r JOIN edges e ON e.d1 = r.doc)
+       |  SELECT e.d2, r.lab FROM reach r JOIN edges e ON e.d1 = r.doc)""".stripMargin
+
+  /** Shared by dedup_clusters and dedup_clusters_logn: both operators
+    * must reach the same fixpoint (component = min reachable doc_id). */
+  private val clustersOracleSql: String =
+    s"""WITH RECURSIVE $reachCtes
        |SELECT doc AS doc_id, min(lab) AS cluster_id
        |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
 
@@ -178,6 +183,33 @@ object DedupOps {
           .orderBy(col("doc_id"))
       },
       Some(clustersOracleSql)),
+
+    // End-to-end dedup: the KEPT corpus — what a curation pipeline
+    // actually ships. A doc survives iff it is its cluster's canonical
+    // representative (the min doc_id, which IS the component label the
+    // clustering computes) or sits in no near-dup pair at all. One
+    // left join after dedup_clusters; the cluster table is tiny
+    // relative to the corpus (only docs with a near-dup), so at 100 TB
+    // it broadcasts and the kept-set filter is scan-local.
+    Entry("dedup_canonical",
+      (spark, dir) => {
+        val clusters = graft.core.GraphTools
+          .connectedComponents(jaccardPairs(spark, dir), "d1", "d2")
+          .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+        Registry.table(spark, dir, "documents")
+          .join(broadcast(clusters), Seq("doc_id"), "left")
+          .filter(col("cluster_id").isNull ||
+            col("cluster_id") === col("doc_id"))
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $reachCtes,
+        |clusters AS (SELECT doc AS doc_id, min(lab) AS cluster_id
+        |             FROM reach GROUP BY doc)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d LEFT JOIN clusters c USING (doc_id)
+        |WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id
+        |ORDER BY doc_id""".stripMargin)),
 
     Entry("dedup_minhash_sig",
       (spark, dir) => {

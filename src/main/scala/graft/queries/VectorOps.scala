@@ -65,6 +65,25 @@ object VectorOps {
 
   def entries: Seq[Entry] = Seq(
 
+    // Per-label centroids as (label, pos, mean) rows — the k-means
+    // M-step / IVF-training primitive, distributed the only way that
+    // scales: posexplode to element rows, partial-agg on (label, pos),
+    // never a driver-side vector sum. 64 rows per label out; the
+    // re-assembled centroid array is one small collect_list away when
+    // a consumer (e.g. the next Lloyd iteration) needs it.
+    Entry("v_label_centroids",
+      (spark, dir) => {
+        emb(spark, dir)
+          .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+          .groupBy(col("label"), col("pos").cast("long").as("pos"))
+          .agg(round(avg(col("v")), 6).as("c"), count(lit(1)).as("n_vecs"))
+          .orderBy(col("label"), col("pos"))
+      },
+      Some(s"""SELECT label, i - 1 AS pos, round(avg(e[i]), 6) AS c,
+        |  count(*) AS n_vecs
+        |FROM ($embSql), generate_series(1, $dims) g(i)
+        |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin)),
+
     Entry("v_norms",
       (spark, dir) => {
         emb(spark, dir)
