@@ -65,6 +65,47 @@ object VectorOps {
 
   def entries: Seq[Entry] = Seq(
 
+    // Distributed k-means (Lloyd) assignment after one full training
+    // round: seed centroids (first `ivfCells` vectors by id) → assign
+    // → element-wise-mean update → re-assign. This is the training
+    // loop an IVF index runs before ann_ivf_topk probes it; every step
+    // is a DataFrame plan (slim assignment shuffle, posexplode+partial-
+    // agg centroid update — see core.VectorTools). The DuckDB oracle
+    // unrolls the identical iteration (rounded cosines, rounded
+    // centroid components, lower-cid tiebreak), so a full ML training
+    // step is hash-checked end-to-end across engines.
+    Entry("v_kmeans_assign",
+      (spark, dir) => {
+        val vectors = emb(spark, dir)
+          .select(col("vec_id").as("id"), col("e"))
+        val seed = vectors.filter(col("id") < ivfCells)
+          .select(col("id").as("cid"), col("e").as("ce"))
+        val trained = graft.core.VectorTools.lloyd(vectors, seed, 1)
+        graft.core.VectorTools.assignCells(vectors, trained)
+          .select(col("id").as("vec_id"), col("cell"), col("csim"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH v AS ($embSql),
+        |c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $ivfCells),
+        |s1 AS (SELECT v.vec_id, c.cid,
+        |    round(${cosSql("v.e", "c.ce")}, 6) AS csim
+        |  FROM v CROSS JOIN c0 c),
+        |a1 AS (SELECT vec_id, cid AS cell FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY csim DESC, cid) AS r FROM s1) WHERE r = 1),
+        |m1 AS (SELECT a1.cell, i, round(avg(v.e[i]), 6) AS c
+        |  FROM a1 JOIN v USING (vec_id), generate_series(1, $dims) g(i)
+        |  GROUP BY 1, 2),
+        |c1 AS (SELECT cell AS cid, list(c ORDER BY i) AS ce FROM m1
+        |  GROUP BY cell),
+        |s2 AS (SELECT v.vec_id, c.cid,
+        |    round(${cosSql("v.e", "c.ce")}, 6) AS csim
+        |  FROM v CROSS JOIN c1 c)
+        |SELECT vec_id, cid AS cell, csim FROM (
+        |  SELECT vec_id, cid, csim, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY csim DESC, cid) AS r FROM s2) WHERE r = 1
+        |ORDER BY vec_id""".stripMargin)),
+
     // Per-label centroids as (label, pos, mean) rows — the k-means
     // M-step / IVF-training primitive, distributed the only way that
     // scales: posexplode to element rows, partial-agg on (label, pos),

@@ -24,7 +24,7 @@ class RegistrySpec extends SparkTestBase {
   // cross-scored against the corpus — the broadcast side is the fixed
   // cell count, never the data).
   test("query outputs are scalar-only and plans are free of cartesian blowups") {
-    val bnljAllowed = Set("ann_topk_bruteforce", "ann_ivf_topk")
+    val bnljAllowed = Set("ann_topk_bruteforce", "ann_ivf_topk", "v_kmeans_assign")
     val offenders = Registry.all.flatMap { e =>
       val df = e.fn(spark, sfDir)
       val nested = df.schema.fields.collect {
