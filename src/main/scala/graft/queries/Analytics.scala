@@ -557,6 +557,86 @@ object Analytics {
         |  ON x.user_id = y.user_id AND x.ts >= y.ts
         |ORDER BY x.user_id, x_ts, x_event_id""".stripMargin)),
 
+    // Offset window functions (lag/lead): per-user inter-arrival gap
+    // and next-event lookahead — the sequence-feature shape (time
+    // deltas, next-action labels) feature pipelines derive per entity.
+    // One shuffle on the partition key; the frame is row-offset, so no
+    // buffering beyond adjacent rows.
+    Entry("q_lag_lead",
+      (spark, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Registry.table(spark, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"))
+          .withColumn("gap_us",
+            expr("unix_micros(ts)") - lag(expr("unix_micros(ts)"), 1).over(w))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("gap_us"), col("next_type"))
+          .orderBy(col("user_id"), col("ts"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+        |  lead(event_type, 1) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, ts, event_id""".stripMargin)),
+
+    // RANGE-frame rolling window: trailing-24h event count and value
+    // sum per user at every event — the rolling-rate feature (and the
+    // abuse/velocity check) computed with an event-time RANGE frame,
+    // not a row frame: the window adapts to irregular event spacing.
+    // Same one-shuffle shape as any per-key window; at 100 TB the sort
+    // within each user partition is the only extra cost.
+    Entry("q_rolling_window",
+      (spark, dir) => {
+        val dayUs = 86400000000L
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"))
+          .rangeBetween(-dayUs, 0)
+        Registry.table(spark, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(ts)").as("tus"), col("value"))
+          .withColumn("n_24h", count(lit(1)).over(w))
+          .withColumn("sum_24h", round(sum(col("value")).over(w), 4))
+          .select(col("user_id"), col("event_id"), col("n_24h"),
+            col("sum_24h"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+        |  count(*) OVER w AS n_24h,
+        |  round(sum(value) OVER w, 4) AS sum_24h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin)),
+
+    // ntile decile stats: the distribution-bucketing quality pipelines
+    // use to set percentile cutoffs (e.g. "drop the bottom decile by
+    // quality score"). Total order (value, event_id) makes the tiling
+    // deterministic; both engines distribute remainders to the leading
+    // buckets, so the decile boundaries agree exactly.
+    Entry("q_ntile",
+      (spark, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        Registry.table(spark, dir, "events")
+          .withColumn("decile", ntile(10).over(w).cast("long"))
+          .groupBy(col("event_type"), col("decile"))
+          .agg(count(lit(1)).as("n"),
+            round(min(col("value")), 4).as("min_v"),
+            round(max(col("value")), 4).as("max_v"))
+          .orderBy(col("event_type"), col("decile"))
+      },
+      Some("""WITH d AS (SELECT event_type, value,
+        |  ntile(10) OVER (PARTITION BY event_type
+        |    ORDER BY value, event_id) AS decile
+        |  FROM events)
+        |SELECT event_type, decile, count(*) AS n,
+        |  round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
+        |FROM d GROUP BY 1, 2 ORDER BY event_type, decile""".stripMargin)),
+
     // Sliding windows (2-day window, 1-day slide): every event lands in
     // exactly two epoch-aligned windows; the oracle unrolls that
     // membership explicitly.

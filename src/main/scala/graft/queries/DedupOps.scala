@@ -211,6 +211,39 @@ object DedupOps {
         |WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id
         |ORDER BY doc_id""".stripMargin)),
 
+    // Edit-distance verification of the near-dup candidates: the
+    // character-level second opinion on the token-level Jaccard pairs
+    // (catches transposition/typo dups that token sets overweight, and
+    // quantifies HOW close each pair is). The crucial scale property:
+    // levenshtein — O(len²) per pair — runs ONLY on the bucketed
+    // candidate pairs, never all pairs; texts are re-fetched by two
+    // id-keyed joins after candidate generation (the slim-pair
+    // discipline), so the quadratic work is proportional to true-ish
+    // pairs, not the corpus squared.
+    Entry("dedup_levenshtein",
+      (spark, dir) => {
+        val docs = Registry.table(spark, dir, "documents")
+        val ta = docs.select(col("doc_id").as("d1"), col("text").as("t1"))
+        val tb = docs.select(col("doc_id").as("d2"), col("text").as("t2"))
+        jaccardPairs(spark, dir)
+          .join(ta, "d1").join(tb, "d2")
+          .select(col("d1"), col("d2"), col("jaccard"),
+            levenshtein(col("t1"), col("t2")).cast("long").as("edit_dist"),
+            round(lit(1.0) - levenshtein(col("t1"), col("t2")) /
+              greatest(length(col("t1")), length(col("t2"))).cast("double"), 6)
+              .as("edit_sim"))
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some(s"""WITH $pairsCtes
+        |SELECT d1, d2, jaccard,
+        |  levenshtein(a.text, b.text) AS edit_dist,
+        |  round(1.0 - levenshtein(a.text, b.text) /
+        |    greatest(length(a.text), length(b.text))::DOUBLE, 6) AS edit_sim
+        |FROM pairs
+        |JOIN documents a ON a.doc_id = d1
+        |JOIN documents b ON b.doc_id = d2
+        |ORDER BY d1, d2""".stripMargin)),
+
     Entry("dedup_minhash_sig",
       (spark, dir) => {
         SketchFunctions.minhashSignature(explodedShingles(spark, dir), "doc_id")
