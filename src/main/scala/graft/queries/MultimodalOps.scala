@@ -44,6 +44,35 @@ object MultimodalOps {
         |  unnest(generate_series(0, least(3, (strlen(text) - 1) // 64))) t(i)
         |ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // Content-chunk storage dedup: chunk every payload into fixed
+    // 64-byte blocks, hash each, and report blocks shared across
+    // documents — the chunk-level dedup a media lake runs to avoid
+    // storing the same bytes twice (fixed-size chunking here; a
+    // content-defined (rolling-hash) chunker changes only the split
+    // points, not this plan). One shuffle on the chunk hash with
+    // map-side partials; the exact countDistinct adds the standard
+    // second shuffle and swaps for approx_count_distinct at 100 TB.
+    Entry("m_chunk_dedup",
+      (spark, dir) => {
+        val d = Registry.table(spark, dir, "documents")
+        MultimodalPipeline.sampleFrames(d, col("text"), frameBytes = 64,
+            maxFrames = 64)
+          .groupBy(col("frame_md5").as("chunk_md5"))
+          .agg(count(lit(1)).as("n_chunks"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .filter(col("n_docs") > 1)
+          .orderBy(col("chunk_md5"))
+      },
+      Some("""WITH c AS (SELECT doc_id,
+        |  unnest(list_transform(
+        |    generate_series(0, CAST((strlen(text) - 1) // 64 AS INT)),
+        |    i -> md5(substr(text, CAST(i * 64 + 1 AS INT), 64)))) AS chunk_md5
+        |  FROM documents)
+        |SELECT chunk_md5, count(*) AS n_chunks,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+        |ORDER BY chunk_md5""".stripMargin)),
+
     // Deterministic stub "feature extraction" from raw bytes — the
     // embedding-from-media shape with a fake feature vector.
     // The feature vector is serialized to a comma-joined string in the
