@@ -1,0 +1,47 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.DotProductExpr
+
+/** Session-extension wiring for the library's native expressions —
+  * the `SparkSessionExtensions` integration point, so a cluster deploy
+  * adds `spark.sql.extensions=graft.plans.GraftExtensions` and every
+  * SQL surface (spark.sql, JDBC, notebooks) sees the same codegen
+  * fast paths the Scala API uses:
+  *
+  *   SELECT graft_dot(a.e, b.e) FROM ...
+  *
+  * plans the fused multiply-add loop of [[graft.functions.DotProductExpr]]
+  * inside whole-stage codegen — not an interpreted higher-order
+  * function, not a UDF.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.injections.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** The injected function set, shared by the extensions path and
+    * [[register]] so both wirings stay in lockstep. */
+  private[plans] val injections: Seq[
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot(a, b) takes exactly two arguments")
+        DotProductExpr(args.head, args(1))
+      }))
+
+  /** Runtime registration on a live session (the notebook/REPL path —
+    * same functions, no restart needed). */
+  def register(spark: SparkSession): Unit =
+    injections.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, info, builder)
+    }
+}
