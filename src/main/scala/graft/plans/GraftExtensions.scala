@@ -19,8 +19,12 @@ import graft.functions.DotProductExpr
   * function, not a UDF.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.injections.foreach(ext.injectFunction)
+    // naive |lt - rt| <= B interval joins (no equi conjunct → would
+    // plan as a nested loop) rewrite to the bucketized equi-join
+    ext.injectOptimizerRule(_ => IntervalJoinBucketize)
+  }
 }
 
 object GraftExtensions {

@@ -51,4 +51,46 @@ class ExtensionsSpec extends SparkTestBase {
       beforeActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("naive interval join auto-bucketizes to an equi-join under the extensions") {
+    import org.apache.spark.sql.functions._
+    // the naive plan, on the un-extended shared session: nested loop
+    import spark.implicits._
+    // spans negative values: floor-division bucketing must stay
+    // aligned across zero (floor(-1.5) = -2, not trunc's -1)
+    val aRows = (0L until 300L).map(i => (i, i * 7L - 1000L))
+    val bRows = (0L until 300L).map(i => (i, i * 11L - 997L))
+    val naive = aRows.toDF("aid", "at").join(bRows.toDF("bid", "bt"),
+      abs(col("at") - col("bt")) <= 50L)
+    assert(naive.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"),
+      "precondition: the naive interval join should be a nested loop")
+    val expected = naive.select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty)
+
+    val before = SparkSession.getDefaultSession
+    val beforeActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder()
+        .withExtensions(new GraftExtensions).getOrCreate()
+      import s.implicits._
+      val joined = aRows.toDF("aid", "at").join(bRows.toDF("bid", "bt"),
+        abs(col("at") - col("bt")) <= 50L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"interval join not bucketized:\n$plan")
+      assert(plan.contains("Generate"),
+        "expected the bucket explode on the right side")
+      val got = joined.select("aid", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, "rewritten join changed the answer")
+    } finally {
+      before.foreach(SparkSession.setDefaultSession)
+      beforeActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }
