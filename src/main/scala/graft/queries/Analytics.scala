@@ -381,6 +381,42 @@ object Analytics {
       },
       Some(rangeJoinOracleSql)),
 
+    // The SAME interval-join problem written NAIVELY — just
+    // abs(t1 − t2) <= B with no equi conjunct, the plan Spark can only
+    // nested-loop — but run under the library's optimizer rule
+    // (plans.IntervalJoinBucketize, the SparkSessionExtensions deploy
+    // path), which rewrites it to q_range_join's bucketized equi-join
+    // automatically. The rule is applied via
+    // spark.experimental.extraOptimizations for the duration of the
+    // materialization (localCheckpoint forces planning + execution
+    // inside the window, then the session is restored), and the result
+    // is hash-checked against DuckDB evaluating the naive SQL — the
+    // end-to-end proof that the rewrite preserves semantics: signup →
+    // error events within ±2 minutes, across ALL users.
+    Entry("q_interval_join_auto",
+      (spark, dir) => {
+        val bUs = 120000000L // 2 min in µs
+        val ev = Registry.table(spark, dir, "events")
+        val a = ev.filter(col("event_type") === "signup")
+          .select(col("event_id").as("e1"), expr("unix_micros(ts)").as("t1"))
+        val b = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("e2"), expr("unix_micros(ts)").as("t2"))
+        val naive = a.join(b, abs(col("t1") - col("t2")) <= bUs)
+          .select(col("e1"), col("e2"), (col("t2") - col("t1")).as("dt_us"))
+          .orderBy(col("e1"), col("e2"))
+        val prev = spark.experimental.extraOptimizations
+        spark.experimental.extraOptimizations =
+          prev :+ graft.plans.IntervalJoinBucketize
+        try naive.localCheckpoint() // plans + runs under the rule
+        finally spark.experimental.extraOptimizations = prev
+      },
+      Some("""SELECT a.event_id AS e1, b.event_id AS e2,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+        |FROM events a JOIN events b
+        |  ON a.event_type = 'signup' AND b.event_type = 'error'
+        |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 120000000
+        |ORDER BY e1, e2""".stripMargin)),
+
     // Cube: all four grouping combinations in one pass (Expand + one
     // partial-agg shuffle — NOT four scans; at 100 TB the Expand factor
     // is the row multiplier to budget for).

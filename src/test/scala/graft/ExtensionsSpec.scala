@@ -93,4 +93,21 @@ class ExtensionsSpec extends SparkTestBase {
       beforeActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("the rule also engages via experimental.extraOptimizations (the q_interval_join_auto wiring)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val a = (0L until 100L).map(i => (i, i * 7L)).toDF("e1", "t1")
+    val b = (0L until 100L).map(i => (i, i * 11L + 3L)).toDF("e2", "t2")
+    val naive = a.join(b, abs(col("t1") - col("t2")) <= 25L)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.IntervalJoinBucketize
+    try {
+      val plan = naive.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        plan.contains("Generate"),
+        s"rule did not fire through extraOptimizations:\n$plan")
+    } finally spark.experimental.extraOptimizations = prev
+  }
 }
