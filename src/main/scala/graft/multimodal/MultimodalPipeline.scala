@@ -44,6 +44,20 @@ object MultimodalPipeline {
         length(col("frame")).cast("long").as("frame_len"))
   }
 
+  /** Chunk the ENTIRE payload into fixed-size blocks with a content
+    * hash per block — no frame cap, unlike [[sampleFrames]]: storage
+    * dedup must see every byte or it under-reports sharing. Same pure
+    * Column shape (sequence + posexplode). */
+  def chunkHashes(df: DataFrame, src: Column, chunkBytes: Int): DataFrame = {
+    val nChunks = floor((length(src) - lit(1)) / lit(chunkBytes)).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks),
+      i => src.substr(i * chunkBytes + 1, lit(chunkBytes)))
+    df.select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        md5(col("chunk")).as("chunk_md5"),
+        length(col("chunk")).cast("long").as("chunk_len"))
+  }
+
   /** STUB feature extraction: a real pipeline would run a model over
     * decoded media; here a deterministic 4-dim count vector from the
     * raw bytes keeps the (id, array<bigint>) feature shape real. */

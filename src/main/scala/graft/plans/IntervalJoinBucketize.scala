@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Rewrites a naive bounded-interval join — an INNER join whose only
   * usable predicate is `abs(lt - rt) <= B` over integral columns —
@@ -78,11 +78,17 @@ object IntervalJoinBucketize extends Rule[LogicalPlan] with PredicateHelper {
       case _ => false
     }
 
-  /** floor(e / b) as the manual q_range_join computes it (double
-    * division then floor — exact for event-time microsecond
-    * magnitudes, which fit double's 53-bit mantissa). */
-  private def bucketOf(e: Expression, b: Long): Expression =
-    Floor(Divide(Cast(e, DoubleType), Literal(b.toDouble)))
+  /** Exact integer floor(e / b): `(e - pmod(e, b)) div b`. A
+    * double-division floor would silently round values above 2^53
+    * (e.g. nanosecond epochs ~1.7e18), letting qualifying pairs land
+    * in buckets 2+ apart and DROP from the rewritten join; the
+    * integer form is exact over the full long range, negatives
+    * included (pmod keeps the remainder non-negative, so this is true
+    * floor division, not truncation). */
+  private def bucketOf(e: Expression, b: Long): Expression = {
+    val el = Cast(e, LongType)
+    IntegralDivide(Subtract(el, Pmod(el, Literal(b))), Literal(b))
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), hint)

@@ -72,9 +72,13 @@ object DecisionSupport {
         val li = Registry.table(spark, dir, "lineitem")
         val o = Registry.table(spark, dir, "orders")
         val c = Registry.table(spark, dir, "customer")
+        // filter on the RAW sum (as the oracle's HAVING does), round
+        // only in the projection — rounding first would move orders
+        // near the threshold across it
         val big = li.groupBy(col("l_orderkey"))
-          .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
-          .filter(col("total_qty") > 200)
+          .agg(sum(col("l_quantity")).as("raw_qty"))
+          .filter(col("raw_qty") > 200)
+          .select(col("l_orderkey"), round(col("raw_qty"), 2).as("total_qty"))
         o.join(big, col("o_orderkey") === col("l_orderkey"))
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .select(col("c_custkey"), col("c_name"), col("o_orderkey"),

@@ -55,9 +55,8 @@ object MultimodalOps {
     Entry("m_chunk_dedup",
       (spark, dir) => {
         val d = Registry.table(spark, dir, "documents")
-        MultimodalPipeline.sampleFrames(d, col("text"), frameBytes = 64,
-            maxFrames = 64)
-          .groupBy(col("frame_md5").as("chunk_md5"))
+        MultimodalPipeline.chunkHashes(d, col("text"), chunkBytes = 64)
+          .groupBy(col("chunk_md5"))
           .agg(count(lit(1)).as("n_chunks"),
             countDistinct(col("doc_id")).as("n_docs"))
           .filter(col("n_docs") > 1)

@@ -431,7 +431,10 @@ object StreamingOps {
           try {
             q1.processAllAvailable()
             q2.processAllAvailable()
-          } finally { q1.stop(); q2.stop() }
+          } finally {
+            // nested so a throwing q1.stop() cannot leak q2
+            try q1.stop() finally q2.stop()
+          }
 
           val wMax = Window.partitionBy(col("key"))
           // converged stage-2 view: the b-carrying + c-orphan arms

@@ -345,12 +345,17 @@ object VectorOps {
           .select(col("vec_id").as("cid"), col("e").as("ce"),
             col("nrm").as("cn"))
         // (vector × centroid) scored rows, projected slim map-side
-        // before any shuffle.
+        // before any shuffle. Materialized ONCE: both the assignment
+        // and the probe branches consume it, and their differing
+        // filters would otherwise re-run the corpus scan + 16-way
+        // scoring per branch (the dedup_shingle_jaccard diamond
+        // lesson; a checkpoint/table at 100 TB).
         val scored = base.crossJoin(broadcast(cent))
           .select(col("vec_id"),
             round(VectorFunctions.dot(col("e"), col("ce")) /
               (col("nrm") * col("cn")), 6).as("csim"),
             col("cid"))
+          .localCheckpoint()
         // Cell assignment: argmax csim, ties to the lower cid (matches
         // the oracle's ORDER BY csim DESC, cid).
         val asg = scored.groupBy(col("vec_id"))

@@ -110,4 +110,29 @@ class ExtensionsSpec extends SparkTestBase {
         s"rule did not fire through extraOptimizations:\n$plan")
     } finally spark.experimental.extraOptimizations = prev
   }
+
+  test("bucketization is exact beyond 2^53 (nanosecond-epoch magnitudes)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // ~1.7e18 values: a double-division floor rounds the bucket index
+    // (ulp ≈ 256 there) and would drop qualifying pairs; the integer
+    // floor-div must reproduce the naive join exactly
+    val base = 1700000000000000000L
+    val aRows = (0L until 200L).map(i => (i, base + i * 7L))
+    val bRows = (0L until 200L).map(i => (i, base + i * 11L + 3L))
+    val naive = aRows.toDF("e1", "t1").join(bRows.toDF("e2", "t2"),
+      abs(col("t1") - col("t2")) <= 25L)
+    val expected = naive.select("e1", "e2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.IntervalJoinBucketize
+    try {
+      val got = naive.select("e1", "e2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"precision loss in bucketization: missing ${expected -- got}")
+    } finally spark.experimental.extraOptimizations = prev
+  }
 }
