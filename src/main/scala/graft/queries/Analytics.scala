@@ -28,6 +28,13 @@ object Analytics {
       |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1800000000
       |ORDER BY a.user_id, e1, e2""".stripMargin
 
+  /** Shared with StreamingOps: the append-mode streaming window agg
+    * (s13) must flush exactly this batch answer. */
+  private[queries] val timeWindowOracleSql: String =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+      |  count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
   /** Shared with StreamingOps: the streaming session-window agg (s12)
     * must converge to exactly this batch answer. */
   private[queries] val sessionWindowOracleSql: String =
@@ -513,9 +520,7 @@ object Analytics {
             round(sum(col("value")), 4).as("sum_value"))
           .orderBy(col("day"), col("event_type"))
       },
-      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
-        |  count(*) AS n, round(sum(value), 4) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
+      Some(timeWindowOracleSql)),
 
     // Exact percentiles (linear interpolation) of event value per type
     // — the distribution-cutoff computation quality-filter pipelines

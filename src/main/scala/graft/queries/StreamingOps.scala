@@ -555,6 +555,99 @@ object StreamingOps {
               col("n_events"), col("sum_value"))
         }.orderBy(col("user_id"), col("session_start"))
       },
-      Some(Analytics.sessionWindowOracleSql))
+      Some(Analytics.sessionWindowOracleSql)),
+
+    // APPEND-mode watermarked windowed agg with a real FILE sink —
+    // the production output mode: each closed window is emitted
+    // exactly once to parquet (a downstream consumer needs no upsert
+    // handling), and state for closed windows is dropped. Window
+    // closure needs the watermark to pass the window end, which
+    // processAllAvailable alone never forces for the LAST windows —
+    // the standard flush is a sentinel event far past the data (the
+    // "punctuation" idea): with a 35-day delay (> the corpus's 29-day
+    // span) no real window can close before the sentinel arrives, so
+    // file arrival order is irrelevant (no late-drop risk), and the
+    // sentinel's own window never closes so it is never emitted. The
+    // flushed parquet must hash-match the batch q_time_window oracle.
+    Entry("s13_stream_append_window",
+      (spark, dir) => withStreamConf(spark) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_app_")
+        val in = tmp.resolve("in"); val out = tmp.resolve("out")
+        val ckpt = tmp.resolve("ckpt")
+        try {
+          import spark.implicits._
+          val ev = Registry.table(spark, dir, "events")
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              expr("unix_micros(ts)").as("ts_us"), col("value"))
+          ev.repartitionByRange(chunks, col("event_id"))
+            .write.parquet(in.toString)
+          // sentinel: 40 days past the max event time (a scalar agg to
+          // the driver, not a data collect). It must be the LAST file
+          // the source picks up — if it ran early, its watermark would
+          // mark every later-arriving real event as beyond-late — so
+          // its mtime is bumped a minute past the main files.
+          val maxUs = ev.agg(max(col("ts_us"))).head().getLong(0)
+          import scala.jdk.CollectionConverters._
+          def parts() = java.nio.file.Files.list(in).iterator().asScala
+            .filter(_.getFileName.toString.startsWith("part-")).toSet
+          val mainParts = parts()
+          Seq((-1L, -1L, "sentinel", maxUs + 40L * 86400000000L, 0.0))
+            .toDF("event_id", "user_id", "event_type", "ts_us", "value")
+            .coalesce(1).write.mode("append").parquet(in.toString)
+          (parts() -- mainParts).foreach { p =>
+            java.nio.file.Files.setLastModifiedTime(p,
+              java.nio.file.attribute.FileTime.fromMillis(
+                System.currentTimeMillis() + 60000L))
+          }
+          val schema = "event_id BIGINT, user_id BIGINT, " +
+            "event_type STRING, ts_us BIGINT, value DOUBLE"
+          val q = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "part-*")
+            .parquet(in.toString)
+            .withColumn("ets", expr("timestamp_micros(ts_us)"))
+            .withWatermark("ets", "35 days")
+            // append mode requires grouping by the window STRUCT (the
+            // watermark tracking rides on it); .start projects after
+            .groupBy(window(col("ets"), "1 day"), col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              round(sum(col("value")), 4).as("sum_value"))
+            .select(col("window.start").as("day"), col("event_type"),
+              col("n"), col("sum_value"))
+            .writeStream.outputMode("append")
+            .format("parquet").option("path", out.toString)
+            .option("checkpointLocation", ckpt.toString)
+            .start()
+          try {
+            q.processAllAvailable()
+            // the append emission happens in the no-data batch AFTER
+            // the sentinel advances the watermark (nothing at all is
+            // emitted before the sentinel); processAllAvailable can
+            // return before that batch commits, so poll until the
+            // sink exists, is non-empty, and has gone quiet
+            def sinkCount(): Long =
+              try spark.read.parquet(out.toString).count()
+              catch { case _: Exception => -1L } // sink not created yet
+            var prev = -2L
+            var cur = sinkCount()
+            var spins = 0
+            while ((cur != prev || cur <= 0) && spins < 120) {
+              Thread.sleep(500)
+              prev = cur
+              cur = sinkCount()
+              spins += 1
+            }
+          } finally q.stop()
+          spark.read.parquet(out.toString)
+            .orderBy(col("day"), col("event_type"))
+            .localCheckpoint() // materialize before the tmp dir is deleted
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      },
+      Some(Analytics.timeWindowOracleSql))
   )
 }
