@@ -63,6 +63,18 @@ object StreamingOps {
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Shared by every temp-dir harness below (deepest paths first). */
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(root).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  /** Schema of the range-split events replay files (runFileStream and
+    * s13 must agree — the same writer feeds both). */
+  private val evReplaySchema = "event_id BIGINT, user_id BIGINT, " +
+    "event_type STRING, ts_us BIGINT, value DOUBLE"
+
   /** File-source streaming harness (the production shape — nothing is
     * collected to the driver): the events table is range-split into
     * `chunks` parquet files (a stand-in for a growing ingest directory —
@@ -83,9 +95,7 @@ object StreamingOps {
             expr("unix_micros(ts)").as("ts_us"), col("value"))
           .repartitionByRange(chunks, col("event_id"))
           .write.mode("overwrite").parquet(tmp.toString)
-        val schema = "event_id BIGINT, user_id BIGINT, " +
-          "event_type STRING, ts_us BIGINT, value DOUBLE"
-        def src = spark.readStream.schema(schema)
+        def src = spark.readStream.schema(evReplaySchema)
           .option("maxFilesPerTrigger", "1")
           .option("pathGlobFilter", "part-*")
           .parquet(tmp.toString).as[Ev]
@@ -102,11 +112,7 @@ object StreamingOps {
         val out = spark.table(sinkName)
         spark.catalog.dropTempView(sinkName)
         out
-      } finally {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      } finally deleteRecursively(tmp)
     }
 
   /** Converged view of a raw update-mode join sink: keep each key's
@@ -464,12 +470,7 @@ object StreamingOps {
               asc_nulls_first("o_orderkey"),
               asc_nulls_first("l_linenumber"))
             .localCheckpoint()
-        } finally {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
+        } finally deleteRecursively(tmp)
       },
       Some(ReferenceJoins.j6OracleSql)),
 
@@ -581,12 +582,22 @@ object StreamingOps {
               expr("unix_micros(ts)").as("ts_us"), col("value"))
           ev.repartitionByRange(chunks, col("event_id"))
             .write.parquet(in.toString)
-          // sentinel: 40 days past the max event time (a scalar agg to
-          // the driver, not a data collect). It must be the LAST file
-          // the source picks up — if it ran early, its watermark would
-          // mark every later-arriving real event as beyond-late — so
-          // its mtime is bumped a minute past the main files.
-          val maxUs = ev.agg(max(col("ts_us"))).head().getLong(0)
+          // sentinel: 40 days past the max event time (one scalar row
+          // to the driver, not a data collect — read back from the
+          // just-written narrow chunk files, not a second source scan).
+          // It must be the LAST file the source picks up — if it ran
+          // early, its watermark would mark every later-arriving real
+          // event as beyond-late — so its mtime is bumped a minute
+          // past the main files. The no-late-drop argument needs the
+          // watermark delay to EXCEED the corpus time span (then no
+          // real window can close before the sentinel, whatever the
+          // file order); fail fast if data growth ever breaks that.
+          val bounds = spark.read.parquet(in.toString)
+            .agg(min(col("ts_us")), max(col("ts_us"))).head()
+          val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
+          require(maxUs - minUs < 34L * 86400000000L,
+            s"events span ${(maxUs - minUs) / 86400000000L} days; " +
+              "raise the 35-day watermark or arrival order can drop rows")
           import scala.jdk.CollectionConverters._
           def parts() = java.nio.file.Files.list(in).iterator().asScala
             .filter(_.getFileName.toString.startsWith("part-")).toSet
@@ -599,9 +610,7 @@ object StreamingOps {
               java.nio.file.attribute.FileTime.fromMillis(
                 System.currentTimeMillis() + 60000L))
           }
-          val schema = "event_id BIGINT, user_id BIGINT, " +
-            "event_type STRING, ts_us BIGINT, value DOUBLE"
-          val q = spark.readStream.schema(schema)
+          val q = spark.readStream.schema(evReplaySchema)
             .option("maxFilesPerTrigger", "1")
             .option("pathGlobFilter", "part-*")
             .parquet(in.toString)
@@ -641,12 +650,7 @@ object StreamingOps {
           spark.read.parquet(out.toString)
             .orderBy(col("day"), col("event_type"))
             .localCheckpoint() // materialize before the tmp dir is deleted
-        } finally {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
+        } finally deleteRecursively(tmp)
       },
       Some(Analytics.timeWindowOracleSql))
   )
