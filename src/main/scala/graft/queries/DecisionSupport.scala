@@ -166,6 +166,49 @@ object DecisionSupport {
         |WHERE rn = 1
         |ORDER BY p_partkey""".stripMargin)),
 
+    // TPC-H Q8 shape: market share — the share of each region's yearly
+    // revenue coming from SMALL-type parts. Conditional-sum ratio over
+    // a 5-dimension star join: all dimensions broadcast, the fact
+    // shuffles once for the (region, year) aggregate; the ratio is
+    // computed from the two partial sums in the same pass (never a
+    // self-join of two aggregated subqueries).
+    Entry("q8_market_share",
+      (spark, dir) => {
+        val li = Registry.table(spark, dir, "lineitem")
+        val o = Registry.table(spark, dir, "orders")
+        val c = Registry.table(spark, dir, "customer")
+        val n = Registry.table(spark, dir, "nation")
+        val r = Registry.table(spark, dir, "region")
+        val p = Registry.table(spark, dir, "part")
+          .select(col("p_partkey"), col("p_type"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .withColumn("rev", col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .groupBy(col("r_name"), year(col("o_orderdate")).as("o_year"))
+          .agg(
+            round(sum(when(col("p_type") === "SMALL", col("rev"))
+              .otherwise(lit(0.0))) / sum(col("rev")), 6).as("small_share"),
+            round(sum(col("rev")), 2).as("total_revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("r_name"), col("o_year"))
+      },
+      Some("""SELECT r_name, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  round(sum(CASE WHEN p_type = 'SMALL'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |    / sum(l_extendedprice * (1 - l_discount)), 6) AS small_share,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2 ORDER BY r_name, o_year""".stripMargin)),
+
     // TPC-H Q19 shape: disjunction of brand×size×quantity conjunctions.
     // The whole OR is a single scan-level predicate on each side plus
     // an equi-join — Catalyst pushes the part-only and lineitem-only
