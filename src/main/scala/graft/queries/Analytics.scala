@@ -598,6 +598,43 @@ object Analytics {
         |  ON x.user_id = y.user_id AND x.ts >= y.ts
         |ORDER BY x.user_id, x_ts, x_event_id""".stripMargin)),
 
+    // Time-series resampling: densify each user's activity onto a
+    // regular daily grid (missing days zero-filled) between their
+    // first and last event — the regular-grid preparation step
+    // sequence models require. The grid is GENERATED per user
+    // (sequence + explode — rows proportional to user-days, built
+    // executor-side), then one left join attaches the sparse
+    // aggregates; no driver-side calendar, no cross join with a
+    // global date table.
+    Entry("q_resample_daily",
+      (spark, dir) => {
+        val daily = Registry.table(spark, dir, "events")
+          .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 4).as("sum_value"))
+        val grid = daily.groupBy(col("user_id"))
+          .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+          .select(col("user_id"), explode(
+            sequence(col("mn"), col("mx"),
+              expr("interval 1 day"))).as("day"))
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .na.fill(Map("n" -> 0L, "sum_value" -> 0.0))
+          .orderBy(col("user_id"), col("day"))
+      },
+      Some("""WITH d AS (SELECT user_id,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    count(*) AS n, round(sum(value), 4) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(day) AS mn, max(day) AS mx
+        |  FROM d GROUP BY 1),
+        |g AS (SELECT user_id,
+        |    unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+        |  FROM s)
+        |SELECT g.user_id, g.day, coalesce(d.n, 0) AS n,
+        |  coalesce(d.sum_value, 0.0) AS sum_value
+        |FROM g LEFT JOIN d ON d.user_id = g.user_id AND d.day = g.day
+        |ORDER BY g.user_id, g.day""".stripMargin)),
+
     // Offset window functions (lag/lead): per-user inter-arrival gap
     // and next-event lookahead — the sequence-feature shape (time
     // deltas, next-action labels) feature pipelines derive per entity.
