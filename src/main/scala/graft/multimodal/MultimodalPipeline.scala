@@ -58,6 +58,41 @@ object MultimodalPipeline {
         length(col("chunk")).cast("long").as("chunk_len"))
   }
 
+  /** Content-defined chunking (CDC) — the real storage-dedup chunker
+    * the fixed-size [[chunkHashes]] approximates: a chunk boundary
+    * falls after byte `i` iff the hash of the trailing `window`-byte
+    * run ending at `i` is ≡ 0 (mod `divisor`) — the classic
+    * Rabin-fingerprint boundary rule (LBFS). Because each boundary
+    * test depends ONLY on the `window` bytes before it, an insertion
+    * re-chunks just its neighborhood: every boundary ≥ `window` bytes
+    * downstream survives, so shared regions across near-identical
+    * payloads still produce identical chunks (fixed-size chunking
+    * loses ALL downstream chunks to the shift). Expected chunk length
+    * is `divisor` bytes; no min/max clamp is applied (production
+    * chunkers add one to bound the tail of the geometric length
+    * distribution — it would change split points, not this plan
+    * shape). Boundaries are never placed at the final byte, so the
+    * last chunk is always non-empty. Pure Column HOFs over the scan —
+    * no shuffle until the consumer aggregates chunk hashes. */
+  def cdcChunkHashes(df: DataFrame, src: Column, window: Int,
+                     divisor: Int): DataFrame = {
+    val len = length(src)
+    // candidate boundary positions: window ≤ i ≤ len-1 (1-based ends)
+    val positions = when(len > window, sequence(lit(window), len - 1))
+      .otherwise(array().cast("array<int>"))
+    val bnd = filter(positions, i =>
+      conv(substring(md5(src.substr(i - lit(window - 1), lit(window))),
+        1, 4), 16, 10).cast("long") % divisor === 0)
+    val starts = concat(array(lit(1)), transform(bnd, b => b + 1))
+    val ends = concat(bnd, array(len))
+    val chunks = zip_with(starts, ends,
+      (s, e) => src.substr(s, e - s + 1))
+    df.select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        md5(col("chunk")).as("chunk_md5"),
+        length(col("chunk")).cast("long").as("chunk_len"))
+  }
+
   /** STUB feature extraction: a real pipeline would run a model over
     * decoded media; here a deterministic 4-dim count vector from the
     * raw bytes keeps the (id, array<bigint>) feature shape real. */

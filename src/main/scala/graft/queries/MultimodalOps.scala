@@ -72,6 +72,42 @@ object MultimodalOps {
         |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
         |ORDER BY chunk_md5""".stripMargin)),
 
+    // Content-DEFINED chunk dedup: same sharing report as m_chunk_dedup
+    // but with Rabin-style content-aligned split points (boundary where
+    // the trailing 16-byte window hashes to 0 mod 32 — see
+    // MultimodalPipeline.cdcChunkHashes), so an insertion in one
+    // document no longer shifts — and thus breaks — every downstream
+    // chunk match. The DuckDB oracle mirrors the identical boundary
+    // rule (same md5-derived window hash), so split points agree
+    // byte-for-byte across engines.
+    Entry("m_chunk_cdc",
+      (spark, dir) => {
+        val d = Registry.table(spark, dir, "documents")
+        MultimodalPipeline.cdcChunkHashes(d, col("text"), window = 16,
+            divisor = 32)
+          .groupBy(col("chunk_md5"))
+          .agg(count(lit(1)).as("n_chunks"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .filter(col("n_docs") > 1)
+          .orderBy(col("chunk_md5"))
+      },
+      Some("""WITH c AS (SELECT doc_id, text, strlen(text) AS len,
+        |  list_filter(generate_series(16, strlen(text) - 1), i ->
+        |    CAST(concat('0x', substr(md5(substr(text, CAST(i - 15 AS INT), 16)), 1, 4)) AS BIGINT) % 32 = 0) AS bnd
+        |  FROM documents),
+        |s AS (SELECT doc_id, text,
+        |  list_concat([1], list_transform(bnd, b -> b + 1)) AS starts,
+        |  list_concat(bnd, [len]) AS ends FROM c),
+        |ch AS (SELECT doc_id,
+        |  unnest(list_transform(generate_series(1, len(starts)), k ->
+        |    md5(substr(text, CAST(starts[k] AS INT),
+        |      CAST(ends[k] - starts[k] + 1 AS INT))))) AS chunk_md5
+        |  FROM s)
+        |SELECT chunk_md5, count(*) AS n_chunks,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+        |ORDER BY chunk_md5""".stripMargin)),
+
     // Deterministic stub "feature extraction" from raw bytes — the
     // embedding-from-media shape with a fake feature vector.
     // The feature vector is serialized to a comma-joined string in the

@@ -41,9 +41,12 @@ final case class LiRow(l_orderkey: Long, l_linenumber: Int, l_ver: Long,
   * operators — the streaming engine must *converge* to the batch
   * result (the reference's own verification idea,
   * JoinSpec.scala:153-154, strengthened from count-equality to full
-  * hash-equality). Nothing is collected to the driver on any of these
-  * paths; MemoryStream-based deterministic replay lives in the sbt
-  * harnesses (StreamJoinSpec) only.
+  * hash-equality). Nothing is driver-resident on any of these paths —
+  * sources are file streams, sinks are foreachBatch parquet logs (no
+  * `format("memory")` anywhere), and convergence runs as a batch plan
+  * over the re-read log before only the small final answer is
+  * materialized; MemoryStream-based deterministic replay lives in the
+  * sbt harnesses (StreamJoinSpec) only.
   */
 object StreamingOps {
 
@@ -76,42 +79,52 @@ object StreamingOps {
     "event_type STRING, ts_us BIGINT, value DOUBLE"
 
   /** File-source streaming harness (the production shape — nothing is
-    * collected to the driver): the events table is range-split into
-    * `chunks` parquet files (a stand-in for a growing ingest directory —
-    * at 100 TB this is the object-store prefix new files land in), then
-    * readStream consumes one file per trigger through `build`, running
-    * to completion against a memory sink. Arrival order varies with
-    * file mtimes, but versions are unique per (key, id) so converged
-    * state is order-independent. */
+    * EVER driver-resident, sink included): the events table is
+    * range-split into `chunks` parquet files (a stand-in for a growing
+    * ingest directory — at 100 TB this is the object-store prefix new
+    * files land in), then readStream consumes one file per trigger
+    * through `build`, and every microbatch's emissions land in a
+    * parquet LOG via foreachBatch (append for update/append mode;
+    * overwrite for complete mode, where each trigger carries the full
+    * current answer). Raw update-mode emission volume (typically 5–10×
+    * the converged answer) therefore lives only in executor-written
+    * files, never in a driver-side memory sink. `finish` reduces the
+    * re-read log to the small converged answer (e.g. the max-seq
+    * filter), which is localCheckpointed so the temp log can be
+    * deleted. Arrival order varies with file mtimes, but versions are
+    * unique per (key, id) so converged state is order-independent. */
   private def runFileStream(spark: SparkSession, dir: String,
                             mode: String = "update")(
-      build: (() => org.apache.spark.sql.Dataset[Ev]) => DataFrame): DataFrame =
+      build: (() => org.apache.spark.sql.Dataset[Ev]) => DataFrame)(
+      finish: DataFrame => DataFrame): DataFrame =
     withStreamConf(spark) {
       import spark.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft_fs_")
+      val in = tmp.resolve("in"); val log = tmp.resolve("log")
+      val ckpt = tmp.resolve("ckpt")
       try {
         Registry.table(spark, dir, "events")
           .select(col("event_id"), col("user_id"), col("event_type"),
             expr("unix_micros(ts)").as("ts_us"), col("value"))
           .repartitionByRange(chunks, col("event_id"))
-          .write.mode("overwrite").parquet(tmp.toString)
+          .write.parquet(in.toString)
         def src = spark.readStream.schema(evReplaySchema)
           .option("maxFilesPerTrigger", "1")
           .option("pathGlobFilter", "part-*")
-          .parquet(tmp.toString).as[Ev]
-        val sinkName = s"graft_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+          .parquet(in.toString).as[Ev]
+        val logMode = if (mode == "complete") "overwrite" else "append"
         val q = build(() => src).writeStream
-          .outputMode(mode).format("memory").queryName(sinkName).start()
+          .outputMode(mode)
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            df.write.mode(logMode).parquet(log.toString)
+            ()
+          }.start()
         try q.processAllAvailable() finally q.stop()
-        // memory sink holds the rows; materialization is driver-side
-        // only at this point, safe to drop the temp input files.
-        // The Dataset below binds the sink relation at analysis time, so
-        // dropping the temp VIEW immediately is safe — and without it
-        // every invocation (bench repeats!) would pin its sink rows in
-        // driver memory for the session's lifetime via the catalog.
-        val out = spark.table(sinkName)
-        spark.catalog.dropTempView(sinkName)
-        out
+        // converge BEFORE materializing: only the small final answer is
+        // pinned (executor block manager, not driver), then the raw log
+        // — which carries every emission — can be deleted.
+        finish(spark.read.parquet(log.toString)).localCheckpoint()
       } finally deleteRecursively(tmp)
     }
 
@@ -148,13 +161,13 @@ object StreamingOps {
     // runFileStream); must hash-match the batch J1 oracle.
     Entry("s4_stream_file_join",
       (spark, dir) => { import spark.implicits._
-      convergedJ1(runFileStream(spark, dir) { src =>
+      runFileStream(spark, dir) { src =>
         VersionedStreamJoin.fullOuter[Ev, Ev](
           src().filter(isX _), src().filter(isY _),
           x => x.user_id.toString, y => y.user_id.toString,
           x => x.event_type, y => y.event_type,
           x => x.ts_us, y => y.ts_us).toDF()
-      }) },
+      }(convergedJ1) },
       Some(ReferenceJoins.j1OracleSql)),
 
     // File-source streaming J2 (leftOuter, the per-KEY X dedup quirk):
@@ -164,13 +177,13 @@ object StreamingOps {
     // any SF (verified), so latest-wins needs no tiebreak here.
     Entry("s5_stream_left_outer",
       (spark, dir) => { import spark.implicits._
-      convergedJ1(runFileStream(spark, dir) { src =>
+      runFileStream(spark, dir) { src =>
         VersionedStreamJoin.leftOuter[Ev, Ev](
           src().filter(isX _), src().filter(isY _),
           x => x.user_id.toString, y => y.user_id.toString,
           x => x.event_type, y => y.event_type,
           x => x.ts_us, y => y.ts_us).toDF()
-      }) },
+      }(convergedJ1) },
       Some(ReferenceJoins.j2OracleSql)),
 
     // File-source streaming J3 (leftOuterSeq, nested Y side): converged
@@ -180,26 +193,27 @@ object StreamingOps {
     Entry("s6_stream_left_outer_seq",
       (spark, dir) => {
         import spark.implicits._
-        val raw = runFileStream(spark, dir) { src =>
+        runFileStream(spark, dir) { src =>
           VersionedStreamJoin.leftOuterSeq[Ev, Ev](
             src().filter(isX _), src().filter(isY _),
             x => x.user_id.toString, y => y.user_id.toString,
             x => x.event_type, y => y.event_type,
             x => x.ts_us, y => y.ts_us).toDF()
+        } { raw =>
+          val wMax = Window.partitionBy(col("key"))
+          raw
+            .withColumn("max_seq", max(col("seq")).over(wMax))
+            .filter(col("seq") === col("max_seq"))
+            .select(
+              col("key").cast("long").as("user_id"),
+              element_at(col("xs"), 1).getField("event_id").as("x_event_id"),
+              element_at(col("xs"), 1).getField("event_type").as("x_type"),
+              expr("timestamp_micros(element_at(xs, 1).ts_us)").as("x_ts"),
+              concat_ws(",", sort_array(expr("transform(ys, y -> y.event_id)"))
+                .cast("array<string>")).as("y_event_ids"),
+              size(col("ys")).cast("long").as("y_n"))
+            .orderBy(col("user_id"))
         }
-        val wMax = Window.partitionBy(col("key"))
-        raw
-          .withColumn("max_seq", max(col("seq")).over(wMax))
-          .filter(col("seq") === col("max_seq"))
-          .select(
-            col("key").cast("long").as("user_id"),
-            element_at(col("xs"), 1).getField("event_id").as("x_event_id"),
-            element_at(col("xs"), 1).getField("event_type").as("x_type"),
-            expr("timestamp_micros(element_at(xs, 1).ts_us)").as("x_ts"),
-            concat_ws(",", sort_array(expr("transform(ys, y -> y.event_id)"))
-              .cast("array<string>")).as("y_event_ids"),
-            size(col("ys")).cast("long").as("y_n"))
-          .orderBy(col("user_id"))
       },
       Some(ReferenceJoins.j3OracleSql)),
 
@@ -211,24 +225,25 @@ object StreamingOps {
     Entry("s7_stream_full_outer_seq",
       (spark, dir) => {
         import spark.implicits._
-        val raw = runFileStream(spark, dir) { src =>
+        runFileStream(spark, dir) { src =>
           VersionedStreamJoin.fullOuterSeq[Ev, Ev](
             src().filter(isX _), src().filter(isY _),
             x => x.user_id.toString, y => y.user_id.toString,
             x => x.event_type, y => y.event_type,
             x => x.ts_us, y => y.ts_us).toDF()
+        } { raw =>
+          val wMax = Window.partitionBy(col("key"))
+          raw
+            .withColumn("max_seq", max(col("seq")).over(wMax))
+            .filter(col("seq") === col("max_seq"))
+            .select(
+              col("key").cast("long").as("user_id"),
+              concat_ws(",", sort_array(expr("transform(xs, v -> v.event_id)"))
+                .cast("array<string>")).as("x_event_ids"),
+              concat_ws(",", sort_array(expr("transform(ys, v -> v.event_id)"))
+                .cast("array<string>")).as("y_event_ids"))
+            .orderBy(col("user_id"))
         }
-        val wMax = Window.partitionBy(col("key"))
-        raw
-          .withColumn("max_seq", max(col("seq")).over(wMax))
-          .filter(col("seq") === col("max_seq"))
-          .select(
-            col("key").cast("long").as("user_id"),
-            concat_ws(",", sort_array(expr("transform(xs, v -> v.event_id)"))
-              .cast("array<string>")).as("x_event_ids"),
-            concat_ws(",", sort_array(expr("transform(ys, v -> v.event_id)"))
-              .cast("array<string>")).as("y_event_ids"))
-          .orderBy(col("user_id"))
       },
       Some(ReferenceJoins.j4OracleSql)),
 
@@ -240,21 +255,22 @@ object StreamingOps {
     Entry("s8_stream_dedup",
       (spark, dir) => {
         import spark.implicits._
-        val raw = runFileStream(spark, dir) { src =>
+        runFileStream(spark, dir) { src =>
           VersionedStreamDedup.latestPerKeyId[Ev](src(),
             e => e.user_id.toString, e => e.event_type, e => e.ts_us).toDF()
+        } { raw =>
+          val wMax = Window.partitionBy(col("key"))
+          raw
+            .withColumn("max_seq", max(col("seq")).over(wMax))
+            .filter(col("seq") === col("max_seq"))
+            .select(explode(col("xs")).as("x"))
+            .select(col("x.user_id").as("user_id"),
+              col("x.event_id").as("event_id"),
+              col("x.event_type").as("event_type"),
+              expr("timestamp_micros(x.ts_us)").as("ts"),
+              col("x.value").as("value"))
+            .orderBy(col("user_id"), col("event_type"))
         }
-        val wMax = Window.partitionBy(col("key"))
-        raw
-          .withColumn("max_seq", max(col("seq")).over(wMax))
-          .filter(col("seq") === col("max_seq"))
-          .select(explode(col("xs")).as("x"))
-          .select(col("x.user_id").as("user_id"),
-            col("x.event_id").as("event_id"),
-            col("x.event_type").as("event_type"),
-            expr("timestamp_micros(x.ts_us)").as("ts"),
-            col("x.value").as("value"))
-          .orderBy(col("user_id"), col("event_type"))
       },
       Some(ReferenceJoins.d2OracleSql)),
 
@@ -265,13 +281,77 @@ object StreamingOps {
     // cogroupFunctions.scala:7-87).
     Entry("s10_stream_inner",
       (spark, dir) => { import spark.implicits._
-      convergedJ1(runFileStream(spark, dir) { src =>
+      runFileStream(spark, dir) { src =>
         VersionedStreamJoin.inner[Ev, Ev](
           src().filter(isX _), src().filter(isY _),
           x => x.user_id.toString, y => y.user_id.toString,
           x => x.event_type, y => y.event_type,
           x => x.ts_us, y => y.ts_us).toDF()
-      }) },
+      }(convergedJ1) },
+      Some(ReferenceJoins.j5OracleSql)),
+
+    // The s4 shape run on the ROCKSDB state store provider — the
+    // off-heap, disk-spilling backend that holds at 100 TB state (the
+    // default in-memory HDFS-backed provider caps at executor heap).
+    // Same J1 oracle: proves the state-backend swap is semantics-
+    // preserving end-to-end (upserts, per-key maps, seq counters all
+    // round-trip RocksDB serialization), not just sbt-asserted.
+    Entry("s14_stream_rocksdb",
+      (spark, dir) => { import spark.implicits._
+      VersionedStreamJoin.withStateStoreProvider(spark) {
+        runFileStream(spark, dir) { src =>
+          VersionedStreamJoin.fullOuter[Ev, Ev](
+            src().filter(isX _), src().filter(isY _),
+            x => x.user_id.toString, y => y.user_id.toString,
+            x => x.event_type, y => y.event_type,
+            x => x.ts_us, y => y.ts_us).toDF()
+        }(convergedJ1)
+      } },
+      Some(ReferenceJoins.j1OracleSql)),
+
+    // SKEW-SALTED streaming state: the streaming joins' contract says
+    // "skewed keys are the caller's concern" — this row demonstrates
+    // the fix composed from the existing operators (SkewTools'
+    // salt-and-replicate contract in streaming form). The X side salts
+    // its key deterministically by id hash (each x lands in exactly one
+    // of `salts` sub-keys, so a hot key's X state and emission fan-out
+    // spread over `salts` state partitions); the Y side replicates
+    // each record to every sub-key. For the INNER join each (x, y)
+    // pair then surfaces in exactly one sub-key — no cross-salt dedup
+    // needed — and the converged union over sub-keys must hash-match
+    // the same unsalted batch j5 oracle. (Outer variants additionally
+    // need a cross-salt pass to suppress replicated unmatched-Y rows —
+    // the standard extra cost of salting an outer join.)
+    Entry("s16_stream_salted_inner",
+      (spark, dir) => { import spark.implicits._
+        val salts = 4
+        runFileStream(spark, dir) { src =>
+          val ys = src().filter(isY _)
+            .flatMap(y => (0 until salts).map(s => (s, y)))
+          VersionedStreamJoin.inner[Ev, (Int, Ev)](
+            src().filter(isX _), ys,
+            x => x.user_id.toString + "#" +
+              math.floorMod(x.event_type.hashCode, salts),
+            y => y._2.user_id.toString + "#" + y._1,
+            x => x.event_type, y => y._2.event_type,
+            x => x.ts_us, y => y._2.ts_us).toDF()
+        } { raw =>
+          val wMax = Window.partitionBy(col("key"))
+          raw
+            .withColumn("max_seq", max(col("seq")).over(wMax))
+            .filter(col("seq") === col("max_seq"))
+            .select(
+              col("x.user_id").as("user_id"),
+              col("x.event_id").as("x_event_id"),
+              col("x.event_type").as("x_type"),
+              expr("timestamp_micros(x.ts_us)").as("x_ts"),
+              col("y._2.event_id").as("y_event_id"),
+              col("y._2.event_type").as("y_type"),
+              expr("timestamp_micros(y._2.ts_us)").as("y_ts"))
+            .orderBy(col("user_id"), asc_nulls_first("x_type"),
+              asc_nulls_first("y_type"))
+        }
+      },
       Some(ReferenceJoins.j5OracleSql)),
 
     // Spark's NATIVE watermarked stream-stream join (the built-in
@@ -291,7 +371,7 @@ object StreamingOps {
     // and accepts the documented late-drop.
     Entry("s9_stream_range_join",
       (spark, dir) => {
-        val raw = runFileStream(spark, dir, mode = "append") { src =>
+        runFileStream(spark, dir, mode = "append") { src =>
           val a = src().toDF()
             .select(col("user_id"), col("event_id"), col("ts_us"))
             .withColumn("ats", expr("timestamp_micros(ts_us)"))
@@ -311,10 +391,11 @@ object StreamingOps {
             .filter(col("event_id") < col("e2"))
             .select(col("user_id"), col("event_id").as("e1"), col("e2"),
               (col("tus2") - col("ts_us")).as("dt_us"))
+        } { raw =>
+          // no-op safety net (the streaming filter above already holds)
+          raw.filter(col("e1") < col("e2"))
+            .orderBy(col("user_id"), col("e1"), col("e2"))
         }
-        // no-op safety net (the streaming filter above already holds)
-        raw.filter(col("e1") < col("e2"))
-          .orderBy(col("user_id"), col("e1"), col("e2"))
       },
       Some(Analytics.rangeJoinOracleSql)),
 
@@ -365,16 +446,21 @@ object StreamingOps {
             .repartitionByRange(chunks, col("l_orderkey"))
             .write.parquet(liDir.toString)
 
-          def src(d: java.nio.file.Path, schema: String): DataFrame =
+          def src(d: java.nio.file.Path, schema: String,
+                  filesPerTrigger: Int = 1): DataFrame =
             spark.readStream.schema(schema)
-              .option("maxFilesPerTrigger", "1")
+              .option("maxFilesPerTrigger", filesPerTrigger.toString)
               .option("pathGlobFilter", "part-*")
               .parquet(d.toString)
 
           // stage 1: customer ⋈ orders keyed by custkey; every
-          // microbatch's emissions land in the relay log (flattened —
-          // one file per batch; at scale this is the ingest prefix the
-          // next stage tails)
+          // microbatch's emissions land in the relay log PARTITIONED
+          // (one file per shuffle partition per batch — no single-task
+          // coalesce funnel; at scale this is the ingest prefix the
+          // next stage tails). Stage 2 absorbs the higher file count by
+          // taking up to a full stage-1 batch's files per trigger —
+          // sound because the converged max-seq view is batching-
+          // independent (upsert versions are monotone per key).
           val q1 = VersionedStreamJoin.fullOuter[CustRow, OrdRow](
               src(custDir, "c_custkey BIGINT, c_name STRING").as[CustRow],
               src(ordDir, "o_orderkey BIGINT, o_custkey BIGINT, " +
@@ -390,7 +476,6 @@ object StreamingOps {
                   col("x.c_name").as("c_name"),
                   col("y.o_orderkey").as("o_orderkey"),
                   col("y.o_totalprice").as("o_totalprice"))
-                .coalesce(1)
                 .write.mode("append").parquet(abLog.toString)
               ()
             }.start()
@@ -408,7 +493,7 @@ object StreamingOps {
           // before the source starts listing it.
           java.nio.file.Files.createDirectories(abLog)
           val q2 = VersionedStreamJoin.fullOuter[AbRel, LiRow](
-              src(abLog, abSchema)
+              src(abLog, abSchema, filesPerTrigger = streamShufflePartitions.toInt)
                 .where(col("o_orderkey").isNotNull)
                 .select(col("seq"), col("c_custkey"), col("c_name"),
                   col("o_orderkey"), col("o_totalprice")).as[AbRel],
@@ -428,7 +513,6 @@ object StreamingOps {
                   col("x.o_totalprice").as("o_totalprice"),
                   col("y.l_linenumber").as("l_linenumber"),
                   col("y.l_extendedprice").as("l_extendedprice"))
-                .coalesce(1)
                 .write.mode("append").parquet(bcLog.toString)
               ()
             }.start()
@@ -489,7 +573,7 @@ object StreamingOps {
             .withColumn("ts", expr("timestamp_micros(ts_us)"))
             .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
             .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
-        }.orderBy(col("day"), col("event_type"))
+        }(_.orderBy(col("day"), col("event_type")))
       },
       Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
         |  count(*) AS n, round(sum(value), 4) AS sum_value
@@ -503,27 +587,35 @@ object StreamingOps {
     Entry("s3_stream_file_agg",
       (spark, dir) => withStreamConf(spark) {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-          "event_type STRING, value DOUBLE, props STRING"
-        val src = spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1")
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-          .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
-        val agg = src
-          .withWatermark("ets", "1 hour")
-          .groupBy(window(col("ets"), "1 day").getField("start").as("day"),
-            col("event_type"))
-          .agg(count(lit(1)).as("n"))
-        val sinkName = s"graft_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-        val q = agg.writeStream.outputMode("complete")
-          .format("memory").queryName(sinkName).start()
-        try q.processAllAvailable() finally q.stop()
-        // bind the sink relation, then drop the catalog entry so
-        // repeated invocations don't pin sinks for the session lifetime
-        val out = spark.table(sinkName)
-        spark.catalog.dropTempView(sinkName)
-        out.orderBy(col("day"), col("event_type"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s3_")
+        val log = tmp.resolve("log"); val ckpt = tmp.resolve("ckpt")
+        try {
+          val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING"
+          val src = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(dir)
+            .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+          val agg = src
+            .withWatermark("ets", "1 hour")
+            .groupBy(window(col("ets"), "1 day").getField("start").as("day"),
+              col("event_type"))
+            .agg(count(lit(1)).as("n"))
+          // complete mode → each trigger's foreachBatch carries the full
+          // current answer; overwrite keeps the log at exactly one copy
+          // (the runFileStream discipline — no memory sink anywhere)
+          val q = agg.writeStream.outputMode("complete")
+            .option("checkpointLocation", ckpt.toString)
+            .foreachBatch { (df: DataFrame, _: Long) =>
+              df.write.mode("overwrite").parquet(log.toString)
+              ()
+            }.start()
+          try q.processAllAvailable() finally q.stop()
+          spark.read.parquet(log.toString)
+            .orderBy(col("day"), col("event_type"))
+            .localCheckpoint()
+        } finally deleteRecursively(tmp)
       },
       Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
         |  count(*) AS n
@@ -554,7 +646,7 @@ object StreamingOps {
               col("session_window.start").as("session_start"),
               col("session_window.end").as("session_end"),
               col("n_events"), col("sum_value"))
-        }.orderBy(col("user_id"), col("session_start"))
+        }(_.orderBy(col("user_id"), col("session_start")))
       },
       Some(Analytics.sessionWindowOracleSql)),
 
@@ -571,87 +663,123 @@ object StreamingOps {
     // sentinel's own window never closes so it is never emitted. The
     // flushed parquet must hash-match the batch q_time_window oracle.
     Entry("s13_stream_append_window",
-      (spark, dir) => withStreamConf(spark) {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_app_")
-        val in = tmp.resolve("in"); val out = tmp.resolve("out")
-        val ckpt = tmp.resolve("ckpt")
-        try {
-          import spark.implicits._
-          val ev = Registry.table(spark, dir, "events")
-            .select(col("event_id"), col("user_id"), col("event_type"),
-              expr("unix_micros(ts)").as("ts_us"), col("value"))
-          ev.repartitionByRange(chunks, col("event_id"))
-            .write.parquet(in.toString)
-          // sentinel: 40 days past the max event time (one scalar row
-          // to the driver, not a data collect — read back from the
-          // just-written narrow chunk files, not a second source scan).
-          // It must be the LAST file the source picks up — if it ran
-          // early, its watermark would mark every later-arriving real
-          // event as beyond-late — so its mtime is bumped a minute
-          // past the main files. The no-late-drop argument needs the
-          // watermark delay to EXCEED the corpus time span (then no
-          // real window can close before the sentinel, whatever the
-          // file order); fail fast if data growth ever breaks that.
-          val bounds = spark.read.parquet(in.toString)
-            .agg(min(col("ts_us")), max(col("ts_us"))).head()
-          val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
-          require(maxUs - minUs < 34L * 86400000000L,
-            s"events span ${(maxUs - minUs) / 86400000000L} days; " +
-              "raise the 35-day watermark or arrival order can drop rows")
-          import scala.jdk.CollectionConverters._
-          def parts() = java.nio.file.Files.list(in).iterator().asScala
-            .filter(_.getFileName.toString.startsWith("part-")).toSet
-          val mainParts = parts()
-          Seq((-1L, -1L, "sentinel", maxUs + 40L * 86400000000L, 0.0))
-            .toDF("event_id", "user_id", "event_type", "ts_us", "value")
-            .coalesce(1).write.mode("append").parquet(in.toString)
-          (parts() -- mainParts).foreach { p =>
-            java.nio.file.Files.setLastModifiedTime(p,
-              java.nio.file.attribute.FileTime.fromMillis(
-                System.currentTimeMillis() + 60000L))
-          }
-          val q = spark.readStream.schema(evReplaySchema)
-            .option("maxFilesPerTrigger", "1")
-            .option("pathGlobFilter", "part-*")
-            .parquet(in.toString)
-            .withColumn("ets", expr("timestamp_micros(ts_us)"))
-            .withWatermark("ets", "35 days")
-            // append mode requires grouping by the window STRUCT (the
-            // watermark tracking rides on it); .start projects after
-            .groupBy(window(col("ets"), "1 day"), col("event_type"))
-            .agg(count(lit(1)).as("n"),
-              round(sum(col("value")), 4).as("sum_value"))
-            .select(col("window.start").as("day"), col("event_type"),
-              col("n"), col("sum_value"))
-            .writeStream.outputMode("append")
-            .format("parquet").option("path", out.toString)
-            .option("checkpointLocation", ckpt.toString)
-            .start()
-          try {
-            q.processAllAvailable()
-            // the append emission happens in the no-data batch AFTER
-            // the sentinel advances the watermark (nothing at all is
-            // emitted before the sentinel); processAllAvailable can
-            // return before that batch commits, so poll until the
-            // sink exists, is non-empty, and has gone quiet
-            def sinkCount(): Long =
-              try spark.read.parquet(out.toString).count()
-              catch { case _: Exception => -1L } // sink not created yet
-            var prev = -2L
-            var cur = sinkCount()
-            var spins = 0
-            while ((cur != prev || cur <= 0) && spins < 120) {
-              Thread.sleep(500)
-              prev = cur
-              cur = sinkCount()
-              spins += 1
-            }
-          } finally q.stop()
-          spark.read.parquet(out.toString)
-            .orderBy(col("day"), col("event_type"))
-            .localCheckpoint() // materialize before the tmp dir is deleted
-        } finally deleteRecursively(tmp)
-      },
-      Some(Analytics.timeWindowOracleSql))
+      (spark, dir) => runAppendReplay(spark, dir) { src =>
+        // append mode requires grouping by the window STRUCT (the
+        // watermark tracking rides on it); .start projects after
+        src.groupBy(window(col("ets"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 4).as("sum_value"))
+          .select(col("window.start").as("day"), col("event_type"),
+            col("n"), col("sum_value"))
+      }(_.orderBy(col("day"), col("event_type"))),
+      Some(Analytics.timeWindowOracleSql)),
+
+    // APPEND-mode watermarked SESSION windows with a real file sink —
+    // the production output mode for the MERGING window state (s12 is
+    // the complete-mode twin): an open session per user is held in
+    // state, merged when a bridging event arrives, and emitted exactly
+    // once when the watermark passes its end. The sentinel flush
+    // closes every real session (watermark reaches max event time
+    // + 5 days > any session end = last event + 30 min) while the
+    // sentinel's own session — keyed under user_id = -1 — never closes
+    // and is never emitted. Must hash-match the batch q_session_window
+    // oracle, proving merging-window state in append mode end-to-end.
+    Entry("s15_stream_session_append",
+      (spark, dir) => runAppendReplay(spark, dir) { src =>
+        src.groupBy(session_window(col("ets"), "30 minutes"),
+            col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 4).as("sum_value"))
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("n_events"), col("sum_value"))
+      }(_.orderBy(col("user_id"), col("session_start"))),
+      Some(Analytics.sessionWindowOracleSql))
   )
+
+  /** Watermark + append-mode replay harness with the sentinel flush
+    * (shared by s13 tumbling and s15 session windows): the events table
+    * is range-split into chunked ingest files, a sentinel event 40 days
+    * past max event time is appended as the LAST file (mtime-bumped so
+    * the source lists it last — were it processed early, its watermark
+    * would mark every later-arriving real event beyond-late), and the
+    * 35-day watermark delay EXCEEDS the corpus time span so no real
+    * window can close before the sentinel arrives, making file arrival
+    * order irrelevant (no late-drop risk). The sentinel's own window /
+    * session never closes, so it is never emitted. `agg` builds the
+    * watermarked windowed aggregation over the `ets`-stamped source;
+    * each closed window lands exactly once in a parquet FILE sink (a
+    * downstream consumer needs no upsert handling) and closed-window
+    * state is dropped. */
+  private def runAppendReplay(spark: SparkSession, dir: String)(
+      agg: DataFrame => DataFrame)(
+      finish: DataFrame => DataFrame): DataFrame = withStreamConf(spark) {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_app_")
+    val in = tmp.resolve("in"); val out = tmp.resolve("out")
+    val ckpt = tmp.resolve("ckpt")
+    try {
+      import spark.implicits._
+      val ev = Registry.table(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("ts_us"), col("value"))
+      ev.repartitionByRange(chunks, col("event_id"))
+        .write.parquet(in.toString)
+      // sentinel bounds: one scalar row to the driver, not a data
+      // collect — read back from the just-written narrow chunk files,
+      // not a second source scan. Fail fast if data growth ever breaks
+      // the delay-exceeds-span invariant.
+      val bounds = spark.read.parquet(in.toString)
+        .agg(min(col("ts_us")), max(col("ts_us"))).head()
+      val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
+      require(maxUs - minUs < 34L * 86400000000L,
+        s"events span ${(maxUs - minUs) / 86400000000L} days; " +
+          "raise the 35-day watermark or arrival order can drop rows")
+      import scala.jdk.CollectionConverters._
+      def parts() = java.nio.file.Files.list(in).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSet
+      val mainParts = parts()
+      Seq((-1L, -1L, "sentinel", maxUs + 40L * 86400000000L, 0.0))
+        .toDF("event_id", "user_id", "event_type", "ts_us", "value")
+        .coalesce(1).write.mode("append").parquet(in.toString)
+      (parts() -- mainParts).foreach { p =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() + 60000L))
+      }
+      val src = spark.readStream.schema(evReplaySchema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "part-*")
+        .parquet(in.toString)
+        .withColumn("ets", expr("timestamp_micros(ts_us)"))
+        .withWatermark("ets", "35 days")
+      val q = agg(src)
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        // the append emission happens in the no-data batch AFTER the
+        // sentinel advances the watermark (nothing at all is emitted
+        // before the sentinel); processAllAvailable can return before
+        // that batch commits, so poll until the sink exists, is
+        // non-empty, and has gone quiet
+        def sinkCount(): Long =
+          try spark.read.parquet(out.toString).count()
+          catch { case _: Exception => -1L } // sink not created yet
+        var prev = -2L
+        var cur = sinkCount()
+        var spins = 0
+        while ((cur != prev || cur <= 0) && spins < 120) {
+          Thread.sleep(500)
+          prev = cur
+          cur = sinkCount()
+          spins += 1
+        }
+      } finally q.stop()
+      finish(spark.read.parquet(out.toString))
+        .localCheckpoint() // materialize before the tmp dir is deleted
+    } finally deleteRecursively(tmp)
+  }
 }

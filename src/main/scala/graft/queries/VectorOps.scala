@@ -63,6 +63,53 @@ object VectorOps {
       s"(CASE WHEN list_inner_product(${planeSql(p)}, e) > 0 THEN ${1L << p}::BIGINT ELSE 0::BIGINT END)"
     }.mkString(" + ")
 
+  /** Spark side of an n-round Lloyd run: seed on the first `ivfCells`
+    * vectors by id, train `rounds` full iterations, emit the final
+    * assignment (shared by v_kmeans_assign and v_kmeans_lloyd3). */
+  private def lloydQuery(spark: SparkSession, dir: String,
+                         rounds: Int): DataFrame = {
+    val vectors = emb(spark, dir)
+      .select(col("vec_id").as("id"), col("e"))
+    val seed = vectors.filter(col("id") < ivfCells)
+      .select(col("id").as("cid"), col("e").as("ce"))
+    val trained = graft.core.VectorTools.lloyd(vectors, seed, rounds)
+    graft.core.VectorTools.assignCells(vectors, trained)
+      .select(col("id").as("vec_id"), col("cell"), col("csim"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB oracle unrolling `rounds` identical Lloyd iterations
+    * (rounded cosines, rounded centroid components, lower-cid argmax
+    * tiebreak — the VectorTools cross-engine determinism contract),
+    * then the final assignment. Cells that lose every member drop out
+    * of the next round's centroid CTE on both engines alike. */
+  private def lloydOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder(
+      s"WITH v AS ($embSql),\n" +
+        s"c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $ivfCells)")
+    for (r <- 1 to rounds) sb.append(s""",
+      |s$r AS (SELECT v.vec_id, c.cid,
+      |    round(${cosSql("v.e", "c.ce")}, 6) AS csim
+      |  FROM v CROSS JOIN c${r - 1} c),
+      |a$r AS (SELECT vec_id, cid AS cell FROM (
+      |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY csim DESC, cid) AS r FROM s$r) WHERE r = 1),
+      |m$r AS (SELECT a$r.cell, i, round(avg(v.e[i]), 6) AS c
+      |  FROM a$r JOIN v USING (vec_id), generate_series(1, $dims) g(i)
+      |  GROUP BY 1, 2),
+      |c$r AS (SELECT cell AS cid, list(c ORDER BY i) AS ce FROM m$r
+      |  GROUP BY cell)""".stripMargin)
+    sb.append(s""",
+      |sf AS (SELECT v.vec_id, c.cid,
+      |    round(${cosSql("v.e", "c.ce")}, 6) AS csim
+      |  FROM v CROSS JOIN c$rounds c)
+      |SELECT vec_id, cid AS cell, csim FROM (
+      |  SELECT vec_id, cid, csim, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY csim DESC, cid) AS r FROM sf) WHERE r = 1
+      |ORDER BY vec_id""".stripMargin)
+    sb.toString
+  }
+
   def entries: Seq[Entry] = Seq(
 
     // Distributed k-means (Lloyd) assignment after one full training
@@ -75,36 +122,20 @@ object VectorOps {
     // centroid components, lower-cid tiebreak), so a full ML training
     // step is hash-checked end-to-end across engines.
     Entry("v_kmeans_assign",
-      (spark, dir) => {
-        val vectors = emb(spark, dir)
-          .select(col("vec_id").as("id"), col("e"))
-        val seed = vectors.filter(col("id") < ivfCells)
-          .select(col("id").as("cid"), col("e").as("ce"))
-        val trained = graft.core.VectorTools.lloyd(vectors, seed, 1)
-        graft.core.VectorTools.assignCells(vectors, trained)
-          .select(col("id").as("vec_id"), col("cell"), col("csim"))
-          .orderBy(col("vec_id"))
-      },
-      Some(s"""WITH v AS ($embSql),
-        |c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $ivfCells),
-        |s1 AS (SELECT v.vec_id, c.cid,
-        |    round(${cosSql("v.e", "c.ce")}, 6) AS csim
-        |  FROM v CROSS JOIN c0 c),
-        |a1 AS (SELECT vec_id, cid AS cell FROM (
-        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY csim DESC, cid) AS r FROM s1) WHERE r = 1),
-        |m1 AS (SELECT a1.cell, i, round(avg(v.e[i]), 6) AS c
-        |  FROM a1 JOIN v USING (vec_id), generate_series(1, $dims) g(i)
-        |  GROUP BY 1, 2),
-        |c1 AS (SELECT cell AS cid, list(c ORDER BY i) AS ce FROM m1
-        |  GROUP BY cell),
-        |s2 AS (SELECT v.vec_id, c.cid,
-        |    round(${cosSql("v.e", "c.ce")}, 6) AS csim
-        |  FROM v CROSS JOIN c1 c)
-        |SELECT vec_id, cid AS cell, csim FROM (
-        |  SELECT vec_id, cid, csim, row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY csim DESC, cid) AS r FROM s2) WHERE r = 1
-        |ORDER BY vec_id""".stripMargin)),
+      (spark, dir) => lloydQuery(spark, dir, rounds = 1),
+      Some(lloydOracleSql(1))),
+
+    // THREE full Lloyd rounds before the final assignment — exercises
+    // the VectorTools.lloyd iteration loop beyond n=1: per-round plan
+    // truncation (localCheckpoint between rounds), convergence
+    // behavior (assignments migrate across rounds), and empty-cell
+    // dropout (a cell that loses every member vanishes from the next
+    // round's centroid table on both engines). The oracle unrolls the
+    // identical three iterations, so the whole multi-round training
+    // trajectory is hash-checked across engines, not just one step.
+    Entry("v_kmeans_lloyd3",
+      (spark, dir) => lloydQuery(spark, dir, rounds = 3),
+      Some(lloydOracleSql(3))),
 
     // Per-label centroids as (label, pos, mean) rows — the k-means
     // M-step / IVF-training primitive, distributed the only way that

@@ -20,11 +20,13 @@ class RegistrySpec extends SparkTestBase {
   // BroadcastNestedLoopJoin is allowed only where a tiny broadcast side
   // makes it the right plan (ann_topk_bruteforce: 20 query vectors vs
   // the corpus — the documented exactness baseline; the scale path is
-  // the bucketed ann_lsh_topk. ann_ivf_topk and v_kmeans_assign: the
-  // 16-row centroid table cross-scored against the corpus — the
-  // broadcast side is the fixed cell count, never the data).
+  // the bucketed ann_lsh_topk. ann_ivf_topk and v_kmeans_assign /
+  // v_kmeans_lloyd3: the 16-row centroid table cross-scored against
+  // the corpus — the broadcast side is the fixed cell count, never the
+  // data).
   test("query outputs are scalar-only and plans are free of cartesian blowups") {
-    val bnljAllowed = Set("ann_topk_bruteforce", "ann_ivf_topk", "v_kmeans_assign")
+    val bnljAllowed = Set("ann_topk_bruteforce", "ann_ivf_topk",
+      "v_kmeans_assign", "v_kmeans_lloyd3")
     val offenders = Registry.all.flatMap { e =>
       val df = e.fn(spark, sfDir)
       val nested = df.schema.fields.collect {

@@ -30,7 +30,8 @@ def run_verify():
     cmd = (["java"] + ADD_OPENS +
            ["-Xmx8g", "-Dspark.ui.enabled=false",
             "-Dspark.sql.session.timeZone=UTC",
-            "-cp", cp, "graft.Verify", SFDIR, OUTDIR])
+            "-cp", cp, "graft.Verify", SFDIR, OUTDIR] +
+           ([",".join(ONLY)] if ONLY else []))
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
     r = subprocess.run(cmd, env=env, capture_output=True, text=True)
     for line in r.stderr.splitlines():
