@@ -92,7 +92,18 @@ object GraphTools {
       .select(greatest(col("s"), col("d")).as("u"),
         least(col("s"), col("d")).as("v"))
       .distinct().localCheckpoint()
-    var eCount = e.count()
+    // one-pass signature (cardinality, order-insensitive hash XOR) for
+    // the fixpoint test: both rounds' edge sets are DISTINCT, so
+    // equal signatures ⟺ equal sets up to a 64-bit collision
+    // (≈2⁻⁶⁴ per round — far below any hardware error rate). Replaces
+    // an except-plus-count (a full extra shuffle per round). XOR, not
+    // sum: commutative AND overflow-free under ANSI arithmetic.
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var (eCount, eSig) = signature(e)
     var rounds = 0
     var converged = eCount == 0L
     while (!converged && rounds < maxRounds) {
@@ -117,13 +128,13 @@ object GraphTools {
           when(col("v") === col("m"), col("u")).otherwise(col("v")).as("u"),
           col("m").as("v"))
         .distinct().localCheckpoint()
-      // fixpoint ⟺ edge set unchanged (ss ⊆ e via except, plus equal
-      // cardinality); a star forest maps to itself under both ops
-      val ssCount = ss.count()
-      val newEdges = ss.except(e).count()
-      converged = newEdges == 0L && ssCount == eCount
+      // fixpoint ⟺ edge set unchanged (signature equality over the
+      // distinct sets); a star forest maps to itself under both ops
+      val (ssCount, ssSig) = signature(ss)
+      converged = ssCount == eCount && ssSig == eSig
       e = ss
       eCount = ssCount
+      eSig = ssSig
       rounds += 1
     }
     require(converged || eCount == 0L,

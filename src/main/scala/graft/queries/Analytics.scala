@@ -749,6 +749,53 @@ object Analytics {
             col("n_events"), col("sum_value"))
           .orderBy(col("user_id"), col("session_start"))
       },
-      Some(sessionWindowOracleSql))
+      Some(sessionWindowOracleSql)),
+
+    // APPROX sketch in BOUNDS mode — the driver-verifiable form of a
+    // sketch result: HLL++ values are engine-specific (DuckDB's HLL
+    // can never hash-match Spark's), but the GUARANTEE is checkable —
+    // the row carries the exact count plus a boolean asserting the
+    // approx landed within 3×rsd of it, and the oracle asserts TRUE
+    // with its own exact count. A red row means Spark's sketch broke
+    // its bound (or the exact counts diverged); deterministic because
+    // HLL++ on the same input is deterministic. At 100 TB the approx
+    // column is the one that survives (mergeable partials, one pass,
+    // no exact-distinct shuffle) — this row keeps its error contract
+    // under driver check instead of only in AnalyticsSpec.
+    Entry("q_approx_distinct",
+      (spark, dir) => {
+        Registry.table(spark, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_exact"),
+            approx_count_distinct(col("user_id"), 0.05).as("n_approx"))
+          .select(col("event_type"), col("n_exact"),
+            (abs(col("n_approx") - col("n_exact")) <=
+              lit(0.15) * col("n_exact")).as("within_bounds"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  TRUE AS within_bounds
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // approx_percentile in bounds mode, same idea: with accuracy
+    // 10000 the rank error is ≤0.01%, so the approx median must land
+    // between the exact p45 and p55 values (inclusive — on plateaus
+    // all three coincide). The Spark side recomputes the exact rank
+    // envelope beside the sketch; the oracle asserts TRUE.
+    Entry("q_approx_percentile",
+      (spark, dir) => {
+        Registry.table(spark, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            expr("percentile(value, 0.45)").as("p45"),
+            expr("percentile(value, 0.55)").as("p55"),
+            expr("approx_percentile(value, 0.5, 10000)").as("ap50"))
+          .select(col("event_type"), col("n"),
+            (col("ap50") >= col("p45") && col("ap50") <= col("p55"))
+              .as("within_bounds"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n, TRUE AS within_bounds
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
   )
 }

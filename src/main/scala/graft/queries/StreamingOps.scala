@@ -354,6 +354,33 @@ object StreamingOps {
       },
       Some(ReferenceJoins.j5OracleSql)),
 
+    // The s4 shape under EVENT-TIME TTL — the watermark-aligned state
+    // retirement mode (the 100 TB state-bounding story: keys idle
+    // while the watermark advances past their TTL are dropped). The
+    // version axis here is epoch MICROSECONDS read as the TTL clock's
+    // milliseconds, which stretches the corpus's 29-day span ~80
+    // years along that axis — so the watermark delay is sized in the
+    // same stretched units (a production deployment with real
+    // epoch-millis versions would use its real out-of-orderness
+    // bound), and the TTL is set beyond the replay horizon: proving
+    // the watermarked-union + EventTimeTimeout machinery end-to-end
+    // against the unchanged J1 oracle, with retirement semantics
+    // themselves sbt-asserted in StreamJoinSpec where arrival order
+    // is controllable.
+    Entry("s17_stream_ttl_join",
+      (spark, dir) => { import spark.implicits._
+      VersionedStreamJoin.withEventTimeTtl(ms = 1000L * 365 * 86400 * 1000,
+          watermarkDelay = "36500 days") {
+        runFileStream(spark, dir) { src =>
+          VersionedStreamJoin.fullOuter[Ev, Ev](
+            src().filter(isX _), src().filter(isY _),
+            x => x.user_id.toString, y => y.user_id.toString,
+            x => x.event_type, y => y.event_type,
+            x => x.ts_us, y => y.ts_us).toDF()
+        }(convergedJ1)
+      } },
+      Some(ReferenceJoins.j1OracleSql)),
+
     // Spark's NATIVE watermarked stream-stream join (the built-in
     // operator family, distinct from the custom versioned-join core):
     // the same bounded range join as q_range_join, run append-mode with
