@@ -59,28 +59,35 @@ object TextFunctions {
   val winnowP = 1000000007L
   val winnowB = 257L
   /** B^(k-1-j) mod P for j = 0..k-1. */
-  val winnowPowers: Seq[Long] = (0 until winnowK).map { j =>
+  def polyPowers(k: Int): Seq[Long] = (0 until k).map { j =>
     var acc = 1L
-    (0 until (winnowK - 1 - j)).foreach(_ => acc = acc * winnowB % winnowP)
+    (0 until (k - 1 - j)).foreach(_ => acc = acc * winnowB % winnowP)
     acc
   }
+  val winnowPowers: Seq[Long] = polyPowers(winnowK)
 
-  /** Stage 1 of winnowing: polynomial rolling hashes of all char
-    * k-grams of `text`, as an array column.
+  /** Polynomial rolling hashes of all char k-grams of `text`, as an
+    * array column (integer math only — no per-window digest calls —
+    * reproduced exactly by the DuckDB oracles). Shared by winnowing
+    * (k = [[winnowK]]) and the CDC chunker's boundary rule
+    * (MultimodalPipeline.cdcChunkHashes).
     *
     * PERF: project this into its own column and pass that ATTRIBUTE to
-    * [[winnowFromHashes]] — composing the two stages as one expression
-    * inlines this whole array into every window element of stage 2,
-    * turning winnowing O(n·k) → O(n²·k) interpreted (observed: a
-    * single task burning 30+ min at sf0.1). Same pitfall as
+    * the consuming stage — composing the stages as one expression
+    * inlines this whole array into every element of the consumer,
+    * turning O(n·k) → O(n²·k) interpreted (observed: a single task
+    * burning 30+ min at sf0.1). Same pitfall as
     * [[shingles3FromTokens]]. */
-  def winnowHashes(text: Column): Column = {
-    val nGrams = greatest(lit(1), length(text) - lit(winnowK - 1))
+  def polyWindowHashes(text: Column, k: Int): Column = {
+    val nGrams = greatest(lit(1), length(text) - lit(k - 1))
     transform(sequence(lit(1), nGrams), i =>
-      winnowPowers.zipWithIndex.map { case (p, j) =>
+      polyPowers(k).zipWithIndex.map { case (p, j) =>
         ascii(text.substr(i + lit(j), lit(1))) * lit(p)
       }.reduce(_ + _) % lit(winnowP))
   }
+
+  /** Stage 1 of winnowing: [[polyWindowHashes]] at k = [[winnowK]]. */
+  def winnowHashes(text: Column): Column = polyWindowHashes(text, winnowK)
 
   /** Stage 2 of winnowing over a MATERIALIZED hash-array attribute:
     * min of each sliding w-window, deduped + sorted — the classic

@@ -76,18 +76,30 @@ object MultimodalPipeline {
     * no shuffle until the consumer aggregates chunk hashes. */
   def cdcChunkHashes(df: DataFrame, src: Column, window: Int,
                      divisor: Int): DataFrame = {
-    val len = length(src)
-    // candidate boundary positions: window ≤ i ≤ len-1 (1-based ends)
-    val positions = when(len > window, sequence(lit(window), len - 1))
-      .otherwise(array().cast("array<int>"))
-    val bnd = filter(positions, i =>
-      conv(substring(md5(src.substr(i - lit(window - 1), lit(window))),
-        1, 4), 16, 10).cast("long") % divisor === 0)
+    // stage 1: MATERIALIZE the per-position polynomial window hashes
+    // (integer math, no per-window digest; the TextFunctions
+    // two-stage discipline — inlining this array into the boundary
+    // filter would re-derive it per element, O(n²·k))
+    val staged = df
+      .withColumn("cdc_len", length(src))
+      .withColumn("cdc_h",
+        when(col("cdc_len") >= window,
+          graft.functions.TextFunctions.polyWindowHashes(src, window))
+          .otherwise(array().cast("array<bigint>")))
+    // gram i (1-based) covers chars [i, i+window-1]; a qualifying gram
+    // puts the boundary after its LAST char — never at the final char
+    // (the last chunk is always non-empty)
+    val bnd = transform(
+      filter(sequence(lit(1), size(col("cdc_h"))), i =>
+        pmod(element_at(col("cdc_h"), i), lit(divisor)) === 0 &&
+          (i + lit(window - 1)) < col("cdc_len")),
+      i => i + lit(window - 1))
     val starts = concat(array(lit(1)), transform(bnd, b => b + 1))
-    val ends = concat(bnd, array(len))
+    val ends = concat(bnd, array(col("cdc_len")))
     val chunks = zip_with(starts, ends,
       (s, e) => src.substr(s, e - s + 1))
-    df.select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+    staged
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         md5(col("chunk")).as("chunk_md5"),
         length(col("chunk")).cast("long").as("chunk_len"))

