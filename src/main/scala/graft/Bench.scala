@@ -71,7 +71,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (best.nonEmpty) best.values.sum else 0.0
     val la = loads.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":${pass - 1},"loadavg":$la}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":${pass - 1},"loadavg":$la}"""
+    println(json)
+    // The driver captures only the TAIL of stdout; with 100+ queries
+    // the head of this one line (everything alphabetically early in
+    // `queries`) gets truncated out of the BENCH_r{N} artifact. Persist
+    // the whole record to files the driver/judge can read verbatim.
+    for (p <- Seq(java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")),
+        java.nio.file.Paths.get("BENCH_FULL.json"))) {
+      try java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }

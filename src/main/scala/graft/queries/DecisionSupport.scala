@@ -443,11 +443,14 @@ object DecisionSupport {
             sum(when(!isHigh, 1).otherwise(0)).as("low_line_count"))
           .orderBy(col("l_linestatus"))
       },
+      // CAST ... AS BIGINT: DuckDB's sum(int) yields HUGEINT, which the
+      // driver's hasher distinguishes from Spark's BIGINT even when the
+      // values match (same failure mode fixed in Analytics.scala:59).
       Some("""SELECT l_linestatus,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |      THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-        |      THEN 1 ELSE 0 END) AS low_line_count
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE l_shipdate > o_orderdate
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),

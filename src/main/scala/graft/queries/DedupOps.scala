@@ -21,6 +21,13 @@ import graft.functions.{SketchFunctions, TextFunctions}
   */
 object DedupOps {
 
+  /** Shared with StreamingOps: the incremental streaming exact-dedup
+    * (s19) must converge to exactly this batch answer. */
+  private[queries] val exactDedupOracleSql: String =
+    """SELECT md5(text) AS fp, count(*) AS n_docs,
+      |  min(doc_id) AS keep_doc_id
+      |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
+
   /** Max document frequency for a shingle to count as discriminative. */
   val maxShingleDf = 50
   /** Jaccard threshold for reporting a near-duplicate pair. */
@@ -136,9 +143,7 @@ object DedupOps {
           .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
           .orderBy(col("fp"))
       },
-      Some("""SELECT md5(text) AS fp, count(*) AS n_docs,
-        |  min(doc_id) AS keep_doc_id
-        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin)),
+      Some(DedupOps.exactDedupOracleSql)),
 
     // materialization note (applies to jaccardPairs above): the shingle
     // explode feeds the df filter, both self-join sides, and the size

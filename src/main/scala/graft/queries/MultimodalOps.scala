@@ -25,6 +25,10 @@ object MultimodalOps {
             md5(col("payload")).as("payload_md5"))
           .orderBy(col("doc_id"))
       },
+      // strlen (BYTES) is correct here — it pairs with Spark's
+      // octet_length over the binary payload. The char-indexed rows
+      // below pair with Spark's length()/substr() and use DuckDB
+      // length() (characters) so they stay exact on non-ASCII text.
       Some("""SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS payload_md5
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
@@ -39,9 +43,9 @@ object MultimodalOps {
       },
       Some("""SELECT doc_id, i AS frame_idx,
         |  md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_md5,
-        |  strlen(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_len
+        |  length(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_len
         |FROM documents,
-        |  unnest(generate_series(0, least(3, (strlen(text) - 1) // 64))) t(i)
+        |  unnest(generate_series(0, least(3, (length(text) - 1) // 64))) t(i)
         |ORDER BY doc_id, frame_idx""".stripMargin)),
 
     // Content-chunk storage dedup: chunk every payload into fixed
@@ -64,7 +68,7 @@ object MultimodalOps {
       },
       Some("""WITH c AS (SELECT doc_id,
         |  unnest(list_transform(
-        |    generate_series(0, CAST((strlen(text) - 1) // 64 AS INT)),
+        |    generate_series(0, CAST((length(text) - 1) // 64 AS INT)),
         |    i -> md5(substr(text, CAST(i * 64 + 1 AS INT), 64)))) AS chunk_md5
         |  FROM documents)
         |SELECT chunk_md5, count(*) AS n_chunks,
@@ -102,10 +106,10 @@ object MultimodalOps {
         val hashExpr = polyPowers(w).zipWithIndex.map { case (p, j) =>
           s"ord(substr(text, CAST(i + $j AS INT), 1))::BIGINT * ${p}"
         }.mkString("(", " + ", s") % $winnowP")
-        s"""WITH c AS (SELECT doc_id, text, strlen(text) AS len,
+        s"""WITH c AS (SELECT doc_id, text, length(text) AS len,
           |  list_transform(
-          |    list_filter(generate_series(1, strlen(text) - ${w - 1}), i ->
-          |      $hashExpr % 32 = 0 AND i + ${w - 1} < strlen(text)),
+          |    list_filter(generate_series(1, length(text) - ${w - 1}), i ->
+          |      $hashExpr % 32 = 0 AND i + ${w - 1} < length(text)),
           |    i -> i + ${w - 1}) AS bnd
           |  FROM documents),
           |s AS (SELECT doc_id, text,
@@ -137,10 +141,10 @@ object MultimodalOps {
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id,
-        |  array_to_string([strlen(text),
+        |  array_to_string([length(text),
         |   len(string_split(text, ' ')),
-        |   strlen(text) - strlen(regexp_replace(text, '[aeiou]', '', 'g')),
-        |   strlen(text) - strlen(regexp_replace(text, '[0-9]', '', 'g'))
+        |   length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')),
+        |   length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
         |  ]::BIGINT[], ',') AS features
         |FROM documents ORDER BY doc_id""".stripMargin))
   )

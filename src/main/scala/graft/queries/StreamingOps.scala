@@ -33,6 +33,11 @@ final case class AbRel(seq: Long, c_custkey: Option[Long],
 final case class LiRow(l_orderkey: Long, l_linenumber: Int, l_ver: Long,
                        l_extendedprice: Double)
 
+/** Slim streamed document row for incremental dedup (s19): content
+  * fingerprint + id only — the text itself never enters streaming
+  * state (at 100 TB the state holds fingerprints, not the corpus). */
+final case class DocFp(doc_id: Long, fp: String)
+
 /** Streaming operators, driven synchronously: the parquet tables are
   * range-split into chunked ingest directories and replayed through the
   * file source one file per trigger (so the engine sees multiple
@@ -117,7 +122,15 @@ object StreamingOps {
           .outputMode(mode)
           .option("checkpointLocation", ckpt.toString)
           .foreachBatch { (df: DataFrame, _: Long) =>
-            df.write.mode(logMode).parquet(log.toString)
+            // Bound the log's file count: without this, every microbatch
+            // appends one file PER SHUFFLE PARTITION (32 × trigger count
+            // small files), and the converge-scan pays the open/footer
+            // tax per file. repartition — not coalesce — so the stateful
+            // stage keeps its full parallelism and only the (small)
+            // emission set funnels through the single write task; a
+            // production deployment sizes this to emission volume
+            // (one file per few hundred MB) rather than 1.
+            df.repartition(1).write.mode(logMode).parquet(log.toString)
             ()
           }.start()
         try q.processAllAvailable() finally q.stop()
@@ -379,6 +392,117 @@ object StreamingOps {
             x => x.ts_us, y => y.ts_us).toDF()
         }(convergedJ1)
       } },
+      Some(ReferenceJoins.j1OracleSql)),
+
+    // INCREMENTAL EXACT-DEDUP over a GROWING documents corpus — the
+    // LLM-pipeline operator family (dedup_exact) in streaming form,
+    // tying the two halves of the engine together: each parquet drop
+    // landing in the ingest prefix upserts into fingerprint-keyed
+    // state (VersionedStreamDedup, the reference's D2 as a standalone
+    // op), and the compacted view converges to the same batch DuckDB
+    // oracle. Only (fp, doc_id) enters streaming state — the text
+    // stays in the scan, so state is O(corpus distinct-content), not
+    // O(corpus bytes). A production pipeline reads the keep-set off
+    // the converged state to admit only first-seen content.
+    Entry("s19_stream_doc_dedup",
+      (spark, dir) => { import spark.implicits._
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_docs_")
+          val in = tmp.resolve("in"); val log = tmp.resolve("log")
+          val ckpt = tmp.resolve("ckpt")
+          try {
+            Registry.table(spark, dir, "documents")
+              .select(col("doc_id"), md5(col("text")).as("fp"))
+              .repartitionByRange(chunks, col("doc_id"))
+              .write.parquet(in.toString)
+            val src = spark.readStream.schema("doc_id BIGINT, fp STRING")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString).as[DocFp]
+            val dd = VersionedStreamDedup.latestPerKeyId[DocFp](
+              src, _.fp, _.doc_id.toString, _.doc_id)
+            val q = dd.toDF().writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("key"))
+            raw
+              .withColumn("max_seq", max(col("seq")).over(wMax))
+              .filter(col("seq") === col("max_seq"))
+              .select(col("key").as("fp"), explode(col("xs")).as("x"))
+              .groupBy(col("fp"))
+              .agg(count(lit(1)).as("n_docs"),
+                min(col("x.doc_id")).as("keep_doc_id"))
+              .orderBy(col("fp"))
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(DedupOps.exactDedupOracleSql)),
+
+    // THE PRODUCTION DEPLOYMENT SHAPE: all three 100 TB configs at
+    // once — RocksDB state store (state >> heap), event-time TTL
+    // (state bounded to watermark-active keys; sized beyond this
+    // replay's horizon as in s17), and skew-salted keys — on the FULL
+    // OUTER join, against the unchanged batch J1 oracle. Salting an
+    // OUTER join needs the cross-salt pass s16's inner variant could
+    // skip: a replicated Y emits (None, y) from every salt whose
+    // sub-key holds no X, but the row is real only if NO salt holds an
+    // X for the base key (each X lives in exactly one sub-key), and
+    // the survivors are `salts`-fold replicas needing one dedup.
+    // (x, y) and (x, None) rows are already exact: each X is in one
+    // sub-key, and Y replicas reach it all.
+    Entry("s18_stream_production_join",
+      (spark, dir) => { import spark.implicits._
+        val salts = 4
+        VersionedStreamJoin.withStateStoreProvider(spark) {
+          VersionedStreamJoin.withEventTimeTtl(
+              ms = 1000L * 365 * 86400 * 1000,
+              watermarkDelay = "36500 days") {
+            runFileStream(spark, dir) { src =>
+              val ys = src().filter(isY _)
+                .flatMap(y => (0 until salts).map(s => (s, y)))
+              VersionedStreamJoin.fullOuter[Ev, (Int, Ev)](
+                src().filter(isX _), ys,
+                x => x.user_id.toString + "#" +
+                  math.floorMod(x.event_type.hashCode, salts),
+                y => y._2.user_id.toString + "#" + y._1,
+                x => x.event_type, y => y._2.event_type,
+                x => x.ts_us, y => y._2.ts_us).toDF()
+            } { raw =>
+              val wMax = Window.partitionBy(col("key"))
+              val wBase = Window.partitionBy(col("base_key"))
+              raw
+                .withColumn("max_seq", max(col("seq")).over(wMax))
+                .filter(col("seq") === col("max_seq"))
+                .withColumn("base_key", substring_index(col("key"), "#", 1))
+                // cross-salt suppression: (None, y) survives only when
+                // no salt of the base key holds any X
+                .withColumn("has_x",
+                  max(when(col("x").isNotNull, 1).otherwise(0)).over(wBase))
+                .filter(col("x").isNotNull || col("has_x") === 0)
+                .select(
+                  col("base_key").cast("long").as("user_id"),
+                  col("x.event_id").as("x_event_id"),
+                  col("x.event_type").as("x_type"),
+                  expr("timestamp_micros(x.ts_us)").as("x_ts"),
+                  col("y._2.event_id").as("y_event_id"),
+                  col("y._2.event_type").as("y_type"),
+                  expr("timestamp_micros(y._2.ts_us)").as("y_ts"))
+                // collapse the `salts`-fold (None, y) replicas; exact
+                // for the rest too — no duplicate rows exist in the J1
+                // answer (every row carries its event ids)
+                .distinct()
+                .orderBy(col("user_id"), asc_nulls_first("x_type"),
+                  asc_nulls_first("y_type"))
+            }
+          }
+        }
+      },
       Some(ReferenceJoins.j1OracleSql)),
 
     // Spark's NATIVE watermarked stream-stream join (the built-in

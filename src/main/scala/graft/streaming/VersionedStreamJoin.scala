@@ -284,7 +284,9 @@ object VersionedStreamJoin {
             JoinState[X, Y](Map.empty, Map.empty, 0L))
           var xs = st.xs
           var ys = st.ys
+          var maxEtsMs = Long.MinValue // latest event time in this batch
           rows.foreach { t =>
+            maxEtsMs = math.max(maxEtsMs, t.ets.getTime)
             t.x.foreach { x =>
               val id = idFromX(x)
               // strict >: on equal ts the earlier-arrived version wins,
@@ -303,10 +305,20 @@ object VersionedStreamJoin {
           ttl.foreach {
             case TtlConf(ms, ProcessingTimeTtl) => state.setTimeoutDuration(ms)
             case TtlConf(ms, _: EventTimeTtl) =>
-              // anchored at the current watermark: the key retires once
-              // the watermark advances `ms` past the batch that last
-              // touched it (watermark-driven cleanup, not wall clock)
-              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ms)
+              // Anchored at the LATER of the current watermark and the
+              // newest event time this batch delivered for the key, so
+              // the key retires once the watermark advances `ms` past
+              // the data that last touched it (watermark-driven
+              // cleanup, not wall clock). Anchoring at the watermark
+              // alone is a first-batch footgun: the watermark is 0
+              // during batch 1, so `0 + ms` is instantly passed once
+              // real event times arrive, retiring every batch-1-only
+              // key and restarting its emission seq — nondeterministic
+              // under input chunking. The data-side anchor keeps the
+              // timeout ≥ the key's own event-time frontier.
+              val anchor = math.max(state.getCurrentWatermarkMs(), maxEtsMs)
+              if (anchor > Long.MinValue)
+                state.setTimeoutTimestamp(anchor + ms)
           }
           expand(key, seq, xs, ys)
         }

@@ -46,6 +46,63 @@ class RegistrySpec extends SparkTestBase {
       s"driver-breaking schemas or cartesian plans: $offenders")
   }
 
+  // The driver's hasher is TYPE-sensitive: DuckDB's sum(INTEGER/BIGINT)
+  // returns HUGEINT where Spark emits BIGINT, so a value-identical
+  // result still hashes red. This class has cost three red rows across
+  // rounds (r4 ×2, r6 ×1: q12_late_by_status); the fix is always
+  // CAST(sum(...) AS BIGINT) in the oracle SQL. This static guard flags
+  // any sum over an integer-typed argument that is not wrapped in a
+  // CAST. (tools/check.py carries the exact twin of this check: it
+  // DESCRIBEs every oracle in DuckDB and fails on HUGEINT output
+  // columns — this spec is the fast in-sbt approximation.)
+  test("no oracle contains an un-cast integer sum (DuckDB HUGEINT trap)") {
+    // columns whose DuckDB type is DOUBLE/FLOAT in the testdata layout —
+    // sums over these stay DOUBLE and are safe
+    val floatCols = Set("c_acctbal", "s_acctbal", "p_retailprice",
+      "o_totalprice", "l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "value")
+    // sums whose HUGEINT provably never reaches the output schema:
+    //   q_session_window / s12 / s15: sum(new_s) OVER ... builds the
+    //   session id `sid`, consumed only by GROUP BY — never projected;
+    //   dedup_simhash: the 32 per-bit sign-sums feed only
+    //   `CASE WHEN sN > 0` comparisons, packed into an explicit BIGINT
+    val exempt = Set("q_session_window", "s12_stream_session_window",
+      "s15_stream_session_append", "dedup_simhash")
+    def floatish(arg: String): Boolean = {
+      val a = arg.toLowerCase.replaceAll("'[^']*'", "''")
+      floatCols.exists(c => s"(?s).*\\b$c\\b.*".r.matches(a)) ||
+        "(?s).*\\d+\\.\\d+.*".r.matches(a) || a.contains("/") ||
+        a.contains("round(") || a.contains("avg(") ||
+        a.contains("::double") || a.contains("as double") ||
+        a.contains("::float") || a.contains("as float")
+    }
+    val offenders = Registry.all.filterNot(e => exempt(e.name)).flatMap { e =>
+      e.oracle.toSeq.flatMap { sql =>
+        val s = sql.toLowerCase
+        Iterator.unfold(0) { from =>
+          val i = s.indexOf("sum(", from)
+          if (i < 0) None else Some((i, i + 4))
+        }.filter(i => i == 0 || !s(i - 1).isLetterOrDigit)
+          .flatMap { i =>
+            // balanced-paren extraction of the sum argument
+            var depth = 0; var j = i + 3
+            do { if (s(j) == '(') depth += 1
+                 else if (s(j) == ')') depth -= 1
+                 j += 1 } while (depth > 0 && j < s.length)
+            val arg = s.substring(i + 4, j - 1)
+            val before = s.substring(0, i).replaceAll("\\s+$", "")
+            val wrapped = before.endsWith("cast(")
+            if (!floatish(arg) && !wrapped)
+              Some(s"${e.name}: sum(${arg.take(60)}…)")
+            else None
+          }.toSeq
+      }
+    }
+    assert(offenders.isEmpty,
+      s"oracle sums that will emit DuckDB HUGEINT — wrap in " +
+        s"CAST(... AS BIGINT): $offenders")
+  }
+
   test("every query has a DuckDB oracle (or is explicitly exempt)") {
     val exempt = Set.empty[String] // rows-only checks allowed, but list them
     val missing = Registry.all.filter(e => e.oracle.isEmpty &&

@@ -264,7 +264,9 @@ class StreamJoinSpec extends SparkTestBase {
       .format("memory").queryName("stream_ettl").start()
     def rows() = spark.table("stream_ettl").as[Emitted[A, B]].collect()
     try {
-      // batch 1: key "1" updates; its timeout = watermark(0) + 500
+      // batch 1: key "1" updates; its timeout anchors at its own event
+      // time (max(watermark=0, ets=1000) + 500 = 1500) — never at the
+      // zero first-batch watermark
       sx.addData(Seq(A(1, 1000L)))
       q.processAllAvailable()
       // batch 2: unrelated key advances the watermark to
@@ -282,6 +284,51 @@ class StreamJoinSpec extends SparkTestBase {
     assert(rebuilt.nonEmpty && rebuilt.forall(_.x.isEmpty))
     // the pre-retirement emission is still in the raw update log
     assert(rows().exists(e => e.key == "1" && e.x.contains(A(1, 1000L))))
+  }
+
+  test("event-time TTL: keys quiet after batch 1 survive many chunks within the TTL horizon (seq never restarts)") {
+    // Regression shape for the first-batch timeout-anchor bug: event
+    // times far LARGER than the TTL (epoch-scale data, sub-epoch TTL).
+    // The buggy anchor `watermark(=0) + ttl` was instantly passed once
+    // the watermark first advanced, retiring every batch-1-only key and
+    // restarting its emission seq — nondeterministic under input
+    // chunking (the driver replays 32+ file chunks). The fixed anchor
+    // `max(watermark, max ets in batch) + ttl` keeps a quiet key alive
+    // as long as the watermark stays within ttl of the key's own data.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1000000000L // epoch-scale event times >> the 500_000 TTL
+    val sx = MemoryStream[A]
+    val sy = MemoryStream[B]
+    val joined = VersionedStreamJoin.withEventTimeTtl(500000L) {
+      VersionedStreamJoin.fullOuter[A, B](sx.toDS(), sy.toDS(),
+        _.id.toString, _.ida.toString, _.id.toString, _.id.toString,
+        _.ts, _.ts)
+    }
+    val q = joined.toDF().writeStream.outputMode("update")
+      .format("memory").queryName("stream_ettl_quiet").start()
+    def rows() = spark.table("stream_ettl_quiet").as[Emitted[A, B]].collect()
+    try {
+      // chunk 1: the key that then goes quiet
+      sx.addData(Seq(A(1, base)))
+      q.processAllAvailable()
+      // 40 more chunks (> the driver's 32), none touching key "1",
+      // each advancing the watermark — but never past base + TTL
+      (1 to 40).foreach { i =>
+        sx.addData(Seq(A(100 + i, base + i * 1000L)))
+        q.processAllAvailable()
+      }
+      // final chunk: a partner for key "1"; ets is inside the watermark
+      // (base + 40_000 − 10_000 delay) so it is not late-dropped
+      sy.addData(Seq(B(60, base + 39000L, 1)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val k1 = rows().filter(_.key == "1")
+    // seq never restarted: exactly the two emissions, in order
+    assert(k1.map(_.seq).sorted.toSeq == Seq(1L, 2L),
+      s"key 1 emissions: ${k1.mkString(", ")}")
+    // and the final emission still carries the batch-1 A — state survived
+    assert(k1.filter(_.seq == 2L).map(e => (e.x, e.y)).toSet ==
+      Set((Some(A(1, base)), Some(B(60, base + 39000L, 1)))))
   }
 
   test("state TTL retires idle keys; later records rebuild from scratch") {

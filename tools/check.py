@@ -78,6 +78,19 @@ def main():
         gcols = [d[0] for d in got.description]
         grows = got.fetchall()
         try:
+            # HUGEINT guard: the driver's hasher is type-sensitive, and
+            # DuckDB's sum(INTEGER/BIGINT) yields HUGEINT where Spark
+            # emits BIGINT — a value-identical, hash-red trap that has
+            # cost three red rows across rounds. Reject any oracle whose
+            # OUTPUT schema contains HUGEINT before comparing values.
+            desc = con.execute(f"DESCRIBE {oracle[name]}").fetchall()
+            huge = [d[0] for d in desc if "HUGEINT" in str(d[1]).upper()
+                    or "INT128" in str(d[1]).upper()]
+            if huge:
+                print(f"FAIL {name}: oracle emits HUGEINT column(s) {huge}"
+                      " — wrap in CAST(... AS BIGINT)")
+                nfail += 1
+                continue
             exp = con.execute(oracle[name])
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); nfail += 1; continue
