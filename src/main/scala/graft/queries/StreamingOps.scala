@@ -505,6 +505,30 @@ object StreamingOps {
       },
       Some(ReferenceJoins.j1OracleSql)),
 
+    // The s4 shape on Spark 4's transformWithState (TwsVersionedJoin):
+    // typed MapState per (key, id) — an upsert rewrites one RocksDB
+    // entry, not the key's whole compacted blob — and TTL as an
+    // explicit per-key timer anchored at the key's own event-time
+    // frontier (the zero-watermark first-batch hazard is impossible by
+    // construction). TTL sized beyond the replay horizon exactly as
+    // s17; RocksDB provider is REQUIRED by the API. Same J1 oracle:
+    // the two state-API generations must agree bit-for-bit.
+    Entry("s20_stream_tws_join",
+      (spark, dir) => { import spark.implicits._
+        VersionedStreamJoin.withStateStoreProvider(spark) {
+          runFileStream(spark, dir) { src =>
+            graft.streaming.TwsVersionedJoin.fullOuter[Ev, Ev](
+              src().filter(isX _), src().filter(isY _),
+              x => x.user_id.toString, y => y.user_id.toString,
+              x => x.event_type, y => y.event_type,
+              x => x.ts_us, y => y.ts_us,
+              ttlMs = Some(1000L * 365 * 86400 * 1000),
+              watermarkDelay = "36500 days").toDF()
+          }(convergedJ1)
+        }
+      },
+      Some(ReferenceJoins.j1OracleSql)),
+
     // Spark's NATIVE watermarked stream-stream join (the built-in
     // operator family, distinct from the custom versioned-join core):
     // the same bounded range join as q_range_join, run append-mode with

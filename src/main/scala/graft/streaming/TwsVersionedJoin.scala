@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** The J1 full-outer versioned join on Spark 4's `transformWithState`
+  * — the typed-state/typed-timer successor to
+  * `flatMapGroupsWithState` (SURVEY.md §7.3 named it as the
+  * alternative implementation). Semantics are identical to
+  * [[VersionedStreamJoin.fullOuter]] (reference joins.scala:10-23,
+  * cogroupFunctions.scala:7-30): latest-wins upsert state per
+  * (key, id), full per-key cross product re-emitted each trigger with
+  * a monotone emission seq.
+  *
+  * What the newer API buys at 100 TB:
+  *   - per-id `MapState` entries instead of one monolithic state blob:
+  *     an upsert rewrites ONE map entry in RocksDB, not the whole
+  *     key's compacted window (the fMGWS path re-serializes its full
+  *     `JoinState` on every touch);
+  *   - TTL as an explicit per-key TIMER registered at the key's own
+  *     event-time frontier + ttl — the first-batch zero-watermark
+  *     footgun the fMGWS path had to code around (see
+  *     VersionedStreamJoin's anchor note) cannot arise: the anchor is
+  *     always data-derived;
+  *   - timers and state live in RocksDB column families
+  *     (transformWithState REQUIRES the RocksDB provider — callers
+  *     wrap in [[VersionedStreamJoin.withStateStoreProvider]]).
+  */
+object TwsVersionedJoin {
+
+  /** Per-key processor: upsert maps + seq counter + optional
+    * event-time retirement timer. */
+  private final class TwsJoinProcessor[X, Y](
+      idFromX: X => String, idFromY: Y => String,
+      tsFromX: X => Long, tsFromY: Y => Long,
+      ttlMs: Option[Long], ex: Encoder[X], ey: Encoder[Y])
+    extends StatefulProcessor[String, Tagged[X, Y], Emitted[X, Y]] {
+
+    @transient private var xs: MapState[String, X] = _
+    @transient private var ys: MapState[String, Y] = _
+    @transient private var seqS: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      xs = getHandle.getMapState[String, X]("xs", Encoders.STRING, ex,
+        TTLConfig.NONE)
+      ys = getHandle.getMapState[String, Y]("ys", Encoders.STRING, ey,
+        TTLConfig.NONE)
+      seqS = getHandle.getValueState[Long]("seq", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[Tagged[X, Y]],
+        timerValues: TimerValues): Iterator[Emitted[X, Y]] = {
+      var maxEtsMs = Long.MinValue
+      rows.foreach { t =>
+        maxEtsMs = math.max(maxEtsMs, t.ets.getTime)
+        t.x.foreach { x =>
+          val id = idFromX(x)
+          // strict >: on equal ts the earlier-arrived version wins,
+          // matching the reference (versionDeduplicator.scala:17,25)
+          if (!xs.containsKey(id) || tsFromX(x) > tsFromX(xs.getValue(id)))
+            xs.updateValue(id, x)
+        }
+        t.y.foreach { y =>
+          val id = idFromY(y)
+          if (!ys.containsKey(id) || tsFromY(y) > tsFromY(ys.getValue(id)))
+            ys.updateValue(id, y)
+        }
+      }
+      val seq = (if (seqS.exists()) seqS.get() else 0L) + 1
+      seqS.update(seq)
+      ttlMs.foreach { ms =>
+        // one live timer per key: re-arm on every touch, anchored at
+        // the key's own event-time frontier (never below the data)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        val anchor = math.max(timerValues.getCurrentWatermarkInMs(), maxEtsMs)
+        if (anchor > Long.MinValue) getHandle.registerTimer(anchor + ms)
+      }
+      val xsNow = xs.iterator().toIndexedSeq.sortBy(_._1).map(_._2)
+      val ysNow = ys.iterator().toIndexedSeq.sortBy(_._1).map(_._2)
+      if (xsNow.isEmpty)
+        ysNow.iterator.map(y => Emitted(key, seq, None, Some(y)))
+      else if (ysNow.isEmpty)
+        xsNow.iterator.map(x => Emitted(key, seq, Some(x), None))
+      else
+        for (x <- xsNow.iterator; y <- ysNow)
+          yield Emitted(key, seq, Some(x), Some(y))
+    }
+
+    /** Key retirement: drop state and counter; a later record rebuilds
+      * the key from scratch (seq restarts — same contract as the
+      * fMGWS TTL modes). */
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Emitted[X, Y]] = {
+      xs.clear(); ys.clear(); seqS.clear()
+      Iterator.empty
+    }
+  }
+
+  /** J1 full-outer via transformWithState. With `ttlMs` set the union
+    * is watermarked on the version axis (`watermarkDelay` = bounded
+    * out-of-orderness, reference uses 10,000 ms) and idle keys retire
+    * once the watermark passes their last event time + ttl; without it
+    * state is kept forever, matching the reference's GlobalWindows. */
+  def fullOuter[X, Y](
+      dsx: Dataset[X], dsy: Dataset[Y],
+      keyFromX: X => String, keyFromY: Y => String,
+      idFromX: X => String, idFromY: Y => String,
+      tsFromX: X => Long, tsFromY: Y => Long,
+      ttlMs: Option[Long] = None,
+      watermarkDelay: String = "10 seconds")(
+      implicit ex: Encoder[X], ey: Encoder[Y],
+      et: Encoder[Tagged[X, Y]], es: Encoder[String],
+      ee: Encoder[Emitted[X, Y]]): Dataset[Emitted[X, Y]] = {
+    val tagged = dsx
+      .map(x => Tagged[X, Y](keyFromX(x), Some(x), None,
+        new java.sql.Timestamp(tsFromX(x))))
+      .union(dsy.map(y => Tagged[X, Y](keyFromY(y), None, Some(y),
+        new java.sql.Timestamp(tsFromY(y)))))
+    val (withWm, timeMode) = ttlMs match {
+      case Some(_) =>
+        (tagged.withWatermark("ets", watermarkDelay), TimeMode.EventTime())
+      case None => (tagged, TimeMode.None())
+    }
+    withWm.groupByKey(_.key).transformWithState(
+      new TwsJoinProcessor[X, Y](idFromX, idFromY, tsFromX, tsFromY,
+        ttlMs, ex, ey),
+      timeMode, OutputMode.Update())
+  }
+}
