@@ -68,23 +68,25 @@ object TextFunctions {
 
   /** Polynomial rolling hashes of all char k-grams of `text`, as an
     * array column (integer math only — no per-window digest calls —
-    * reproduced exactly by the DuckDB oracles). Shared by winnowing
+    * reproduced exactly by the DuckDB oracles, which are generated
+    * from the same [[polyPowers]] constants). Shared by winnowing
     * (k = [[winnowK]]) and the CDC chunker's boundary rule
     * (MultimodalPipeline.cdcChunkHashes).
     *
-    * PERF: project this into its own column and pass that ATTRIBUTE to
-    * the consuming stage — composing the stages as one expression
-    * inlines this whole array into every element of the consumer,
-    * turning O(n·k) → O(n²·k) interpreted (observed: a single task
-    * burning 30+ min at sf0.1). Same pitfall as
+    * Computed by the native codegen'd [[RollingHashExpr]] — O(n)
+    * incremental (one char read per position) instead of the
+    * interpreted k-term-per-position HOF it replaces (measured 32 s →
+    * sub-second for the CDC boundary scan at sf0.1; HOF lambdas are
+    * never whole-stage-codegen'd).
+    *
+    * PERF: still project this into its own column and pass that
+    * ATTRIBUTE to the consuming stage — composing the stages as one
+    * expression inlines this whole array into every element of the
+    * consumer, turning O(n) → O(n²). Same pitfall as
     * [[shingles3FromTokens]]. */
-  def polyWindowHashes(text: Column, k: Int): Column = {
-    val nGrams = greatest(lit(1), length(text) - lit(k - 1))
-    transform(sequence(lit(1), nGrams), i =>
-      polyPowers(k).zipWithIndex.map { case (p, j) =>
-        ascii(text.substr(i + lit(j), lit(1))) * lit(p)
-      }.reduce(_ + _) % lit(winnowP))
-  }
+  def polyWindowHashes(text: Column, k: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(RollingHashExpr(
+      org.apache.spark.sql.graft.Bridge.expression(text), k))
 
   /** Stage 1 of winnowing: [[polyWindowHashes]] at k = [[winnowK]]. */
   def winnowHashes(text: Column): Column = polyWindowHashes(text, winnowK)

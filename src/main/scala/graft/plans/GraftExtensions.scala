@@ -4,7 +4,10 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProductExpr
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{DotProductExpr, RollingHashExpr}
 
 /** Session-extension wiring for the library's native expressions —
   * the `SparkSessionExtensions` integration point, so a cluster deploy
@@ -39,6 +42,17 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_dot(a, b) takes exactly two arguments")
         DotProductExpr(args.head, args(1))
+      }), (
+      FunctionIdentifier("graft_rolling_hash"),
+      new ExpressionInfo(classOf[RollingHashExpr].getName, "graft_rolling_hash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_rolling_hash(text, k) takes exactly two arguments")
+        args(1) match {
+          case Literal(k: Int, IntegerType) => RollingHashExpr(args.head, k)
+          case other => throw new IllegalArgumentException(
+            s"graft_rolling_hash window must be an integer literal, got $other")
+        }
       }))
 
   /** Runtime registration on a live session (the notebook/REPL path —

@@ -72,8 +72,11 @@ object TwsVersionedJoin {
       seqS.update(seq)
       ttlMs.foreach { ms =>
         // one live timer per key: re-arm on every touch, anchored at
-        // the key's own event-time frontier (never below the data)
-        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        // the key's own event-time frontier (never below the data).
+        // Materialize before deleting: the listTimers iterator is
+        // state-store-backed and not guaranteed safe under concurrent
+        // mutation on the RocksDB provider.
+        getHandle.listTimers().toList.foreach(getHandle.deleteTimer)
         val anchor = math.max(timerValues.getCurrentWatermarkInMs(), maxEtsMs)
         if (anchor > Long.MinValue) getHandle.registerTimer(anchor + ms)
       }

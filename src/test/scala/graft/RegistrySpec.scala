@@ -90,8 +90,12 @@ class RegistrySpec extends SparkTestBase {
                  else if (s(j) == ')') depth -= 1
                  j += 1 } while (depth > 0 && j < s.length)
             val arg = s.substring(i + 4, j - 1)
-            val before = s.substring(0, i).replaceAll("\\s+$", "")
-            val wrapped = before.endsWith("cast(")
+            // tolerate whitespace between 'cast' and '(' so a
+            // legitimately wrapped 'CAST (sum(...) AS BIGINT)' is not
+            // flagged; require a non-identifier char before 'cast' so
+            // e.g. 'broadcast(' is never mistaken for a cast
+            val wrapped = "(?s).*(^|[^a-z0-9_])cast\\s*\\(\\s*$".r
+              .matches(s.substring(0, i))
             if (!floatish(arg) && !wrapped)
               Some(s"${e.name}: sum(${arg.take(60)}…)")
             else None
