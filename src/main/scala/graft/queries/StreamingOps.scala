@@ -78,6 +78,88 @@ object StreamingOps {
       .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
   }
 
+  // -- shared immutable replay-ingest chunk dirs ----------------------
+  //
+  // Every streaming row replays a table as range-split parquet chunks.
+  // The chunk files are a pure function of (sf dir, projection, chunk
+  // count), so they are written ONCE into a shared immutable dir and
+  // reused by all replay rows — each row keeps its own checkpoint and
+  // sink-log dirs (the stateful parts), only the read-only ingest
+  // prefix is shared. Previously each of the 20 s-rows paid the
+  // repartition+write fixed cost (~the dominant non-state cost of the
+  // streaming suite). Publication is atomic (write to a pid-suffixed
+  // sibling, rename into place) so a concurrent second process either
+  // wins the rename or reuses the winner's dir; _SUCCESS (written by
+  // Spark's committer) marks completeness across JVM restarts.
+
+  private val sharedIngestRoot = java.nio.file.Paths
+    .get(sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_shared_ingest")
+
+  private def sharedChunkDir(sfDir: String, name: String)(
+      write: java.nio.file.Path => Unit): java.nio.file.Path = synchronized {
+    val key = (sfDir + "_" + name + "_" + chunks)
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val target = sharedIngestRoot.resolve(key)
+    if (java.nio.file.Files.exists(target.resolve("_SUCCESS"))) target
+    else {
+      java.nio.file.Files.createDirectories(sharedIngestRoot)
+      val tmp = sharedIngestRoot.resolve(
+        key + ".tmp." + ProcessHandle.current().pid())
+      if (java.nio.file.Files.exists(tmp)) deleteRecursively(tmp)
+      write(tmp)
+      try java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileSystemException =>
+        deleteRecursively(tmp) // another process published first; reuse
+      }
+      target
+    }
+  }
+
+  /** The events table as `chunks` range-split replay files (the shape
+    * every events-replay row consumes; see [[evReplaySchema]]). */
+  private def sharedEventsChunks(spark: SparkSession,
+                                 dir: String): java.nio.file.Path =
+    sharedChunkDir(dir, "events") { p =>
+      Registry.table(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("ts_us"), col("value"))
+        .repartitionByRange(chunks, col("event_id"))
+        .write.parquet(p.toString)
+    }
+
+  /** The chained-join tables (customer / orders / lineitem) as chunked
+    * replay dirs — shared by s11 and s22. `l_ver` packs (shipdate
+    * epoch-days, price cents) so its strict ordering equals the batch
+    * oracle's dedup (see [[LiRow]]). */
+  private def chainChunkDirs(spark: SparkSession, dir: String)
+      : (java.nio.file.Path, java.nio.file.Path, java.nio.file.Path) = {
+    val cust = sharedChunkDir(dir, "chain_cust") { p =>
+      Registry.table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+        .repartitionByRange(chunks, col("c_custkey"))
+        .write.parquet(p.toString)
+    }
+    val ord = sharedChunkDir(dir, "chain_ord") { p =>
+      Registry.table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderkey").as("o_ver"), col("o_totalprice"))
+        .repartitionByRange(chunks, col("o_orderkey"))
+        .write.parquet(p.toString)
+    }
+    val li = sharedChunkDir(dir, "chain_li") { p =>
+      Registry.table(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (expr("unix_date(cast(l_shipdate as date))") * lit(10000000000L)
+            + expr("cast(round(l_extendedprice * 100) as bigint)"))
+            .as("l_ver"),
+          col("l_extendedprice"))
+        .repartitionByRange(chunks, col("l_orderkey"))
+        .write.parquet(p.toString)
+    }
+    (cust, ord, li)
+  }
+
   /** Schema of the range-split events replay files (runFileStream and
     * s13 must agree — the same writer feeds both). */
   private val evReplaySchema = "event_id BIGINT, user_id BIGINT, " +
@@ -105,14 +187,12 @@ object StreamingOps {
     withStreamConf(spark) {
       import spark.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft_fs_")
-      val in = tmp.resolve("in"); val log = tmp.resolve("log")
+      val log = tmp.resolve("log")
       val ckpt = tmp.resolve("ckpt")
       try {
-        Registry.table(spark, dir, "events")
-          .select(col("event_id"), col("user_id"), col("event_type"),
-            expr("unix_micros(ts)").as("ts_us"), col("value"))
-          .repartitionByRange(chunks, col("event_id"))
-          .write.parquet(in.toString)
+        // read-only ingest chunks are shared across rows; checkpoint
+        // and sink log stay private to this row
+        val in = sharedEventsChunks(spark, dir)
         def src = spark.readStream.schema(evReplaySchema)
           .option("maxFilesPerTrigger", "1")
           .option("pathGlobFilter", "part-*")
@@ -408,13 +488,15 @@ object StreamingOps {
       (spark, dir) => { import spark.implicits._
         withStreamConf(spark) {
           val tmp = java.nio.file.Files.createTempDirectory("graft_docs_")
-          val in = tmp.resolve("in"); val log = tmp.resolve("log")
+          val log = tmp.resolve("log")
           val ckpt = tmp.resolve("ckpt")
           try {
-            Registry.table(spark, dir, "documents")
-              .select(col("doc_id"), md5(col("text")).as("fp"))
-              .repartitionByRange(chunks, col("doc_id"))
-              .write.parquet(in.toString)
+            val in = sharedChunkDir(dir, "docfp") { p =>
+              Registry.table(spark, dir, "documents")
+                .select(col("doc_id"), md5(col("text")).as("fp"))
+                .repartitionByRange(chunks, col("doc_id"))
+                .write.parquet(p.toString)
+            }
             val src = spark.readStream.schema("doc_id BIGINT, fp STRING")
               .option("maxFilesPerTrigger", "1")
               .option("pathGlobFilter", "part-*")
@@ -598,28 +680,11 @@ object StreamingOps {
       (spark, dir) => withStreamConf(spark) {
         import spark.implicits._
         val tmp = java.nio.file.Files.createTempDirectory("graft_chain_")
-        val custDir = tmp.resolve("cust"); val ordDir = tmp.resolve("ord")
-        val liDir = tmp.resolve("li"); val abLog = tmp.resolve("ablog")
+        val abLog = tmp.resolve("ablog")
         val bcLog = tmp.resolve("bclog")
         try {
-          // range-split the three tables into chunked ingest dirs
-          Registry.table(spark, dir, "customer")
-            .select(col("c_custkey"), col("c_name"))
-            .repartitionByRange(chunks, col("c_custkey"))
-            .write.parquet(custDir.toString)
-          Registry.table(spark, dir, "orders")
-            .select(col("o_orderkey"), col("o_custkey"),
-              col("o_orderkey").as("o_ver"), col("o_totalprice"))
-            .repartitionByRange(chunks, col("o_orderkey"))
-            .write.parquet(ordDir.toString)
-          Registry.table(spark, dir, "lineitem")
-            .select(col("l_orderkey"), col("l_linenumber"),
-              (expr("unix_date(cast(l_shipdate as date))") * lit(10000000000L)
-                + expr("cast(round(l_extendedprice * 100) as bigint)"))
-                .as("l_ver"),
-              col("l_extendedprice"))
-            .repartitionByRange(chunks, col("l_orderkey"))
-            .write.parquet(liDir.toString)
+          // range-split chunked ingest dirs, shared with s22 (read-only)
+          val (custDir, ordDir, liDir) = chainChunkDirs(spark, dir)
 
           def src(d: java.nio.file.Path, schema: String,
                   filesPerTrigger: Int = 1): DataFrame =
@@ -895,15 +960,23 @@ object StreamingOps {
     val ckpt = tmp.resolve("ckpt")
     try {
       import spark.implicits._
-      val ev = Registry.table(spark, dir, "events")
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          expr("unix_micros(ts)").as("ts_us"), col("value"))
-      ev.repartitionByRange(chunks, col("event_id"))
-        .write.parquet(in.toString)
+      // the immutable shared chunks, HARDLINKED into this row's private
+      // dir (the sentinel below must not pollute the shared prefix);
+      // links cost no copy and no re-write
+      java.nio.file.Files.createDirectories(in)
+      locally {
+        import scala.jdk.CollectionConverters._
+        val shared = sharedEventsChunks(spark, dir)
+        java.nio.file.Files.list(shared).iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .foreach { p =>
+            java.nio.file.Files.createLink(in.resolve(p.getFileName), p)
+          }
+      }
       // sentinel bounds: one scalar row to the driver, not a data
-      // collect — read back from the just-written narrow chunk files,
-      // not a second source scan. Fail fast if data growth ever breaks
-      // the delay-exceeds-span invariant.
+      // collect — read back from the narrow chunk files, not a second
+      // source scan. Fail fast if data growth ever breaks the
+      // delay-exceeds-span invariant.
       val bounds = spark.read.parquet(in.toString)
         .agg(min(col("ts_us")), max(col("ts_us"))).head()
       val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
