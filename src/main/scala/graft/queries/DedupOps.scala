@@ -75,6 +75,12 @@ object DedupOps {
     s"""sig AS (SELECT doc_id, $minhashAggSql
        | FROM (SELECT doc_id, $thSql AS th FROM sh) GROUP BY doc_id)""".stripMargin
 
+  /** Shared with StreamingOps: the incremental streaming signature row
+    * (s21) must converge to exactly this batch answer. */
+  private[queries] val minhashSigOracleSql: String =
+    s"""WITH $shCte, $sigCte
+       |SELECT * FROM sig ORDER BY doc_id""".stripMargin
+
   /** Near-duplicate candidate pairs (d1 < d2, jaccard ≥ threshold) —
     * the shared core of dedup_shingle_jaccard and dedup_clusters. See
     * the dedup_shingle_jaccard entry for the localCheckpoint + df-cutoff
@@ -254,8 +260,7 @@ object DedupOps {
         SketchFunctions.minhashSignature(explodedShingles(spark, dir), "doc_id")
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH $shCte, $sigCte
-        |SELECT * FROM sig ORDER BY doc_id""".stripMargin)),
+      Some(minhashSigOracleSql)),
 
     Entry("dedup_minhash_pairs",
       (spark, dir) => {

@@ -611,6 +611,28 @@ object StreamingOps {
       },
       Some(ReferenceJoins.j1OracleSql)),
 
+    // The J2 per-KEY X dedup quirk (the subtlest semantic in the
+    // reference, cogroupFunctions.scala:31-47) on the
+    // transformWithState path — so BOTH state-API generations prove
+    // the quirk, not just flatMapGroupsWithState (s5). Same RocksDB +
+    // beyond-horizon TTL config as s20; converges to the one batch J2
+    // oracle.
+    Entry("s23_stream_tws_left_outer",
+      (spark, dir) => { import spark.implicits._
+        VersionedStreamJoin.withStateStoreProvider(spark) {
+          runFileStream(spark, dir) { src =>
+            graft.streaming.TwsVersionedJoin.leftOuter[Ev, Ev](
+              src().filter(isX _), src().filter(isY _),
+              x => x.user_id.toString, y => y.user_id.toString,
+              x => x.event_type, y => y.event_type,
+              x => x.ts_us, y => y.ts_us,
+              ttlMs = Some(1000L * 365 * 86400 * 1000),
+              watermarkDelay = "36500 days").toDF()
+          }(convergedJ1)
+        }
+      },
+      Some(ReferenceJoins.j2OracleSql)),
+
     // Spark's NATIVE watermarked stream-stream join (the built-in
     // operator family, distinct from the custom versioned-join core):
     // the same bounded range join as q_range_join, run append-mode with

@@ -30,11 +30,16 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode,
 object TwsVersionedJoin {
 
   /** Per-key processor: upsert maps + seq counter + optional
-    * event-time retirement timer. */
+    * event-time retirement timer. `expand` turns the key's compacted
+    * (id-ordered) sides into this trigger's emissions — the J1/J2
+    * variants differ only here, exactly like the fMGWS core's
+    * `joined(...)(expand)`. */
   private final class TwsJoinProcessor[X, Y](
       idFromX: X => String, idFromY: Y => String,
       tsFromX: X => Long, tsFromY: Y => Long,
-      ttlMs: Option[Long], ex: Encoder[X], ey: Encoder[Y])
+      ttlMs: Option[Long], ex: Encoder[X], ey: Encoder[Y],
+      expand: (String, Long, IndexedSeq[X], IndexedSeq[Y]) =>
+        Iterator[Emitted[X, Y]])
     extends StatefulProcessor[String, Tagged[X, Y], Emitted[X, Y]] {
 
     @transient private var xs: MapState[String, X] = _
@@ -82,13 +87,7 @@ object TwsVersionedJoin {
       }
       val xsNow = xs.iterator().toIndexedSeq.sortBy(_._1).map(_._2)
       val ysNow = ys.iterator().toIndexedSeq.sortBy(_._1).map(_._2)
-      if (xsNow.isEmpty)
-        ysNow.iterator.map(y => Emitted(key, seq, None, Some(y)))
-      else if (ysNow.isEmpty)
-        xsNow.iterator.map(x => Emitted(key, seq, Some(x), None))
-      else
-        for (x <- xsNow.iterator; y <- ysNow)
-          yield Emitted(key, seq, Some(x), Some(y))
+      expand(key, seq, xsNow, ysNow)
     }
 
     /** Key retirement: drop state and counter; a later record rebuilds
@@ -115,6 +114,53 @@ object TwsVersionedJoin {
       watermarkDelay: String = "10 seconds")(
       implicit ex: Encoder[X], ey: Encoder[Y],
       et: Encoder[Tagged[X, Y]], es: Encoder[String],
+      ee: Encoder[Emitted[X, Y]]): Dataset[Emitted[X, Y]] =
+    run(dsx, dsy, keyFromX, keyFromY, idFromX, idFromY, tsFromX, tsFromY,
+      ttlMs, watermarkDelay) { (key, seq, xs, ys) =>
+      if (xs.isEmpty) ys.iterator.map(y => Emitted(key, seq, None, Some(y)))
+      else if (ys.isEmpty) xs.iterator.map(x => Emitted(key, seq, Some(x), None))
+      else for (x <- xs.iterator; y <- ys)
+        yield Emitted(key, seq, Some(x), Some(y))
+    }
+
+  /** J2 left-outer via transformWithState — the reference's per-KEY X
+    * dedup quirk (cogroupFunctions.scala:31-47): at most one x per key,
+    * the latest by ts over the WHOLE key (not per id); keys with no x
+    * emit nothing. Same contract as
+    * [[VersionedStreamJoin.leftOuter]] — both state-API generations
+    * must converge to the one batch J2 oracle. */
+  def leftOuter[X, Y](
+      dsx: Dataset[X], dsy: Dataset[Y],
+      keyFromX: X => String, keyFromY: Y => String,
+      idFromX: X => String, idFromY: Y => String,
+      tsFromX: X => Long, tsFromY: Y => Long,
+      ttlMs: Option[Long] = None,
+      watermarkDelay: String = "10 seconds")(
+      implicit ex: Encoder[X], ey: Encoder[Y],
+      et: Encoder[Tagged[X, Y]], es: Encoder[String],
+      ee: Encoder[Emitted[X, Y]]): Dataset[Emitted[X, Y]] =
+    run(dsx, dsy, keyFromX, keyFromY, idFromX, idFromY, tsFromX, tsFromY,
+      ttlMs, watermarkDelay) { (key, seq, xs, ys) =>
+      graft.core.VersionedDedup.latestOne[X](xs.iterator, tsFromX) match {
+        case None => Iterator.empty
+        case Some(x) =>
+          if (ys.isEmpty) Iterator.single(Emitted(key, seq, Some(x), None))
+          else ys.iterator.map(y => Emitted(key, seq, Some(x), Some(y)))
+      }
+    }
+
+  /** Shared driver: tag + union the sides, watermark iff TTL'd, group
+    * by key, run the processor with the variant's `expand`. */
+  private def run[X, Y](
+      dsx: Dataset[X], dsy: Dataset[Y],
+      keyFromX: X => String, keyFromY: Y => String,
+      idFromX: X => String, idFromY: Y => String,
+      tsFromX: X => Long, tsFromY: Y => Long,
+      ttlMs: Option[Long], watermarkDelay: String)(
+      expand: (String, Long, IndexedSeq[X], IndexedSeq[Y]) =>
+        Iterator[Emitted[X, Y]])(
+      implicit ex: Encoder[X], ey: Encoder[Y],
+      et: Encoder[Tagged[X, Y]], es: Encoder[String],
       ee: Encoder[Emitted[X, Y]]): Dataset[Emitted[X, Y]] = {
     val tagged = dsx
       .map(x => Tagged[X, Y](keyFromX(x), Some(x), None,
@@ -128,7 +174,7 @@ object TwsVersionedJoin {
     }
     withWm.groupByKey(_.key).transformWithState(
       new TwsJoinProcessor[X, Y](idFromX, idFromY, tsFromX, tsFromY,
-        ttlMs, ex, ey),
+        ttlMs, ex, ey, expand),
       timeMode, OutputMode.Update())
   }
 }
