@@ -42,6 +42,17 @@ object SketchFunctions {
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** The k minhash columns computed scan-locally from ONE row's
+    * already-hashed shingle array (`ths`: array<bigint>) — the
+    * streaming-ingest form of [[minhashSignature]]: a document arrives
+    * whole, so its signature needs no explode + groupBy (which on a
+    * stream would be a stateful aggregation); same coefficients, same
+    * values. Pass a MATERIALIZED attribute for `ths` (see
+    * TextFunctions.shingles3FromTokens perf note). */
+  def rowSignature(ths: Column): Seq[Column] =
+    minhashCoeffs.indices.map(i =>
+      array_min(transform(ths, t => permute(t, i))).as(s"h$i"))
+
   /** Band columns b0..b{numBands-1} derived from a signature row:
     * each band is the pair (h_{2j}, h_{2j+1}) packed into a string. */
   def withBands(sig: DataFrame): DataFrame =

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.{SketchFunctions, TextFunctions}
 import graft.streaming.{VersionedStreamDedup, VersionedStreamJoin}
 
 /** A typed event row for the streaming paths: `ts_us` is the event
@@ -37,6 +38,12 @@ final case class LiRow(l_orderkey: Long, l_linenumber: Int, l_ver: Long,
   * fingerprint + id only — the text itself never enters streaming
   * state (at 100 TB the state holds fingerprints, not the corpus). */
 final case class DocFp(doc_id: Long, fp: String)
+
+/** One document's minhash signature (s21): the k=8 permutation minima.
+  * Like [[DocFp]], this is all that enters streaming state — 9 longs
+  * per document, not the text. */
+final case class DocSig(doc_id: Long, h0: Long, h1: Long, h2: Long,
+                        h3: Long, h4: Long, h5: Long, h6: Long, h7: Long)
 
 /** Streaming operators, driven synchronously: the parquet tables are
   * range-split into chunked ingest directories and replayed through the
@@ -525,6 +532,72 @@ object StreamingOps {
         }
       },
       Some(DedupOps.exactDedupOracleSql)),
+
+    // INCREMENTAL NEAR-DUP SIGNATURES over a growing corpus — the
+    // minhash half of the streaming dedup story (s19 streams the exact
+    // half). A document arrives whole, so its k=8 signature is
+    // computed SCAN-LOCALLY in the microbatch (tokens → distinct
+    // 3-shingles → shingle hashes → per-permutation minima; no
+    // explode + groupBy, which on a stream would be a stateful
+    // aggregation), then upserted into signature-keyed state via
+    // VersionedStreamDedup — a re-crawled doc (newer version) replaces
+    // its signature in place. Only (doc_id, 8 minima) enters state;
+    // the converged view must equal the batch dedup_minhash_sig
+    // answer, so the LSH banding/bucket join downstream can run
+    // incrementally off this state at 100 TB.
+    Entry("s21_stream_minhash_sig",
+      (spark, dir) => { import spark.implicits._
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_sig_")
+          val log = tmp.resolve("log")
+          val ckpt = tmp.resolve("ckpt")
+          try {
+            val in = sharedChunkDir(dir, "doctext") { p =>
+              Registry.table(spark, dir, "documents")
+                .select(col("doc_id"), col("text"))
+                .repartitionByRange(chunks, col("doc_id"))
+                .write.parquet(p.toString)
+            }
+            val src = spark.readStream.schema("doc_id BIGINT, text STRING")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+            // each projection materializes the previous stage's array
+            // so the next HOF reads an attribute (shingles3FromTokens
+            // perf note), never a re-evaluated expression
+            val sigs = src
+              .select(col("doc_id"),
+                TextFunctions.tokens(col("text")).as("toks"))
+              .select(col("doc_id"), array_distinct(
+                TextFunctions.shingles3FromTokens(col("toks"))).as("shs"))
+              .select(col("doc_id"), transform(col("shs"),
+                s => TextFunctions.tokenHash(s)).as("ths"))
+              .select(col("doc_id") +:
+                SketchFunctions.rowSignature(col("ths")): _*)
+              .as[DocSig]
+            val dd = VersionedStreamDedup.latestPerKeyId[DocSig](
+              sigs, _.doc_id.toString, _.doc_id.toString, _ => 0L)
+            val q = dd.toDF().writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("key"))
+            raw
+              .withColumn("max_seq", max(col("seq")).over(wMax))
+              .filter(col("seq") === col("max_seq"))
+              .select(explode(col("xs")).as("x"))
+              .select(col("x.doc_id").as("doc_id") +:
+                (0 to 7).map(i => col(s"x.h$i").as(s"h$i")): _*)
+              .orderBy(col("doc_id"))
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(DedupOps.minhashSigOracleSql)),
 
     // THE PRODUCTION DEPLOYMENT SHAPE: all three 100 TB configs at
     // once — RocksDB state store (state >> heap), event-time TTL
