@@ -147,10 +147,17 @@ object StreamingOps {
         .repartitionByRange(chunks, col("c_custkey"))
         .write.parquet(p.toString)
     }
-    val ord = sharedChunkDir(dir, "chain_ord") { p =>
+    // "_v2" = the +1 o_ver shift below: sharedChunkDir keys carry no
+    // content hash, so a schema/derivation change must bump the name
+    // or a stale cache from an older build poisons the replay
+    val ord = sharedChunkDir(dir, "chain_ord_v2") { p =>
       Registry.table(spark, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"),
-          col("o_orderkey").as("o_ver"), col("o_totalprice"))
+          // +1: versions must stay POSITIVE — o_orderkey 0 exists, and
+          // under s22's event-time TTL an epoch-zero version is dropped
+          // by the watermarked union (EventTimeZeroVersionSpec); a
+          // strictly monotone shift changes no dedup outcome
+          (col("o_orderkey") + lit(1)).as("o_ver"), col("o_totalprice"))
         .repartitionByRange(chunks, col("o_orderkey"))
         .write.parquet(p.toString)
     }
@@ -890,6 +897,154 @@ object StreamingOps {
               asc_nulls_first("l_linenumber"))
             .localCheckpoint()
         } finally deleteRecursively(tmp)
+      },
+      Some(ReferenceJoins.j6OracleSql)),
+
+    // THE CHAIN UNDER THE PRODUCTION CONFIG — s11's two-stage topology
+    // (decomposition proof there) with the three 100 TB state knobs
+    // s18 proved on a single join: RocksDB state store on BOTH stages,
+    // event-time TTL (watermarked unions + per-key retirement timers;
+    // the delay must cover the chain's MIXED version axes — stage-2
+    // versions span stage-1 seqs to packed shipdate·1e10 values, so
+    // the watermark stays at zero through the replay and timers are
+    // armed but never fire, exactly the beyond-horizon sizing of
+    // s17/s18; retirement itself is sbt-asserted where arrival order
+    // is controllable), and a 4-way SALTED stage 2. Salting composes
+    // with the relay because stage 1 stays unsalted: a salted stage 1
+    // would relay its per-sub-key (None, order) rows as AB versions of
+    // the same o_orderkey identity, colliding with the true
+    // (customer, order) row under stage 2's upsert — the converged
+    // suppression that removes them cannot run per-microbatch. Stage
+    // 2's X side (AB rows, identity = o_orderkey) lands in exactly one
+    // sub-key; lineitem replicas reach all of them; the converged view
+    // applies s18's cross-salt (None, y) suppression + replica dedup.
+    Entry("s22_stream_production_chain",
+      (spark, dir) => withStreamConf(spark) {
+        import spark.implicits._
+        val salts = 4
+        VersionedStreamJoin.withStateStoreProvider(spark) {
+          VersionedStreamJoin.withEventTimeTtl(
+              ms = 1000L * 365 * 86400 * 1000,
+              watermarkDelay = "36500000 days") {
+            val tmp = java.nio.file.Files.createTempDirectory("graft_pchain_")
+            val abLog = tmp.resolve("ablog")
+            val bcLog = tmp.resolve("bclog")
+            try {
+              val (custDir, ordDir, liDir) = chainChunkDirs(spark, dir)
+
+              def src(d: java.nio.file.Path, schema: String,
+                      filesPerTrigger: Int = 1): DataFrame =
+                spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", filesPerTrigger.toString)
+                  .option("pathGlobFilter", "part-*")
+                  .parquet(d.toString)
+
+              val q1 = VersionedStreamJoin.fullOuter[CustRow, OrdRow](
+                  src(custDir, "c_custkey BIGINT, c_name STRING").as[CustRow],
+                  src(ordDir, "o_orderkey BIGINT, o_custkey BIGINT, " +
+                    "o_ver BIGINT, o_totalprice DOUBLE").as[OrdRow],
+                  _.c_custkey.toString, _.o_custkey.toString,
+                  _.c_custkey.toString, _.o_orderkey.toString,
+                  // NOT 0: the watermarked union drops rows whose event
+                  // time is ≤ the watermark, and the watermark floor is
+                  // epoch 0 — a constant version of 0 silently deletes
+                  // the whole side once TTL mode watermarks the stream
+                  // (s11's unwatermarked stage can use 0; here it must
+                  // be positive)
+                  _ => 1L, _.o_ver)
+                .toDF()
+                .writeStream.outputMode("update")
+                .foreachBatch { (df: DataFrame, _: Long) =>
+                  df.select(col("key"), col("seq"),
+                      col("x.c_custkey").as("c_custkey"),
+                      col("x.c_name").as("c_name"),
+                      col("y.o_orderkey").as("o_orderkey"),
+                      col("y.o_totalprice").as("o_totalprice"))
+                    .write.mode("append").parquet(abLog.toString)
+                  ()
+                }.start()
+
+              val abSchema = "key STRING, seq BIGINT, c_custkey BIGINT, " +
+                "c_name STRING, o_orderkey BIGINT, o_totalprice DOUBLE"
+
+              java.nio.file.Files.createDirectories(abLog)
+              val lis = src(liDir, "l_orderkey BIGINT, l_linenumber INT, " +
+                  "l_ver BIGINT, l_extendedprice DOUBLE").as[LiRow]
+                .flatMap(li => (0 until salts).map(s => (s, li)))
+              val q2 = VersionedStreamJoin.fullOuter[AbRel, (Int, LiRow)](
+                  src(abLog, abSchema,
+                    filesPerTrigger = streamShufflePartitions.toInt)
+                    .where(col("o_orderkey").isNotNull)
+                    .select(col("seq"), col("c_custkey"), col("c_name"),
+                      col("o_orderkey"), col("o_totalprice")).as[AbRel],
+                  lis,
+                  ab => ab.o_orderkey.toString + "#" +
+                    math.floorMod(ab.o_orderkey, salts),
+                  li => li._2.l_orderkey.toString + "#" + li._1,
+                  _.o_orderkey.toString,
+                  li => li._2.l_orderkey.toString + "_" + li._2.l_linenumber,
+                  _.seq, _._2.l_ver)
+                .toDF()
+                .writeStream.outputMode("update")
+                .foreachBatch { (df: DataFrame, _: Long) =>
+                  df.select(col("key"), col("seq"),
+                      col("x.c_custkey").as("c_custkey"),
+                      col("x.c_name").as("c_name"),
+                      col("x.o_orderkey").as("o_orderkey"),
+                      col("x.o_totalprice").as("o_totalprice"),
+                      col("y._2.l_linenumber").as("l_linenumber"),
+                      col("y._2.l_extendedprice").as("l_extendedprice"))
+                    .write.mode("append").parquet(bcLog.toString)
+                  ()
+                }.start()
+              try {
+                q1.processAllAvailable()
+                q2.processAllAvailable()
+              } finally {
+                try q1.stop() finally q2.stop()
+              }
+
+              val wMax = Window.partitionBy(col("key"))
+              val wBase = Window.partitionBy(col("base_key"))
+              // converged stage-2 view with cross-salt suppression: a
+              // (None, lineitem) row is real only if NO sub-key of its
+              // base o_orderkey holds an AB row (none here — every
+              // lineitem's order exists — but the plan must not assume
+              // that), and survivors are salts-fold replicas → distinct
+              val viaBc = spark.read
+                .schema(abSchema + ", l_linenumber INT, l_extendedprice DOUBLE")
+                .parquet(bcLog.toString)
+                .withColumn("max_seq", max(col("seq")).over(wMax))
+                .filter(col("seq") === col("max_seq"))
+                .withColumn("base_key", substring_index(col("key"), "#", 1))
+                // x present ⟺ o_orderkey non-null: AbRel.o_orderkey is
+                // mandatory, so (None, li) emissions are the only rows
+                // where it is null
+                .withColumn("has_x",
+                  max(when(col("o_orderkey").isNotNull, 1).otherwise(0))
+                    .over(wBase))
+                .filter(col("o_orderkey").isNotNull || col("has_x") === 0)
+                .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+                  col("o_totalprice"), col("l_linenumber"),
+                  col("l_extendedprice"))
+                .distinct()
+              val aOnly = spark.read.schema(abSchema).parquet(abLog.toString)
+                .withColumn("max_seq", max(col("seq")).over(wMax))
+                .filter(col("seq") === col("max_seq") &&
+                  col("o_orderkey").isNull)
+                .select(col("c_custkey"), col("c_name"),
+                  lit(null).cast("long").as("o_orderkey"),
+                  lit(null).cast("double").as("o_totalprice"),
+                  lit(null).cast("int").as("l_linenumber"),
+                  lit(null).cast("double").as("l_extendedprice"))
+              viaBc.unionByName(aOnly)
+                .orderBy(asc_nulls_first("c_custkey"),
+                  asc_nulls_first("o_orderkey"),
+                  asc_nulls_first("l_linenumber"))
+                .localCheckpoint()
+            } finally deleteRecursively(tmp)
+          }
+        }
       },
       Some(ReferenceJoins.j6OracleSql)),
 
