@@ -43,12 +43,35 @@ object Bench {
         .split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val loads = scala.collection.mutable.ArrayBuffer[Double]()
+    // NOISE CONTROL: a constant pure-CPU query (no IO, no shuffle,
+    // fixed cardinality) timed at the start of every pass. Its
+    // cross-round ratio isolates host/co-tenant noise from real
+    // regressions — if the control moved 1.3x, a uniform 1.3x on real
+    // queries is the host, not the code.
+    def controlSec(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("sum(id * 3 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val controls = scala.collection.mutable.ArrayBuffer[Double]()
+    // Optional load gate: wait (bounded) for the 1-min loadavg to drop
+    // below SPARK_GRAFT_BENCH_LOADGATE before the timed passes start,
+    // so a co-tenant burst at launch doesn't poison pass 1. Off by
+    // default — the driver's window must not be eaten by waiting.
+    sys.env.get("SPARK_GRAFT_BENCH_LOADGATE").map(_.toDouble).foreach { gate =>
+      val deadline = System.nanoTime() + 180L * 1000000000L
+      while (loadavg1 >= gate && System.nanoTime() < deadline) {
+        System.err.println(f"[bench] loadavg ${loadavg1}%.2f >= $gate%.2f, waiting")
+        Thread.sleep(5000)
+      }
+    }
     val tStart = System.nanoTime()
     def elapsed = (System.nanoTime() - tStart) / 1e9
     var pass = 1
     var go = queries.nonEmpty
     while (go) {
       loads += loadavg1
+      controls += controlSec()
       queries.foreach { case (name, fn) =>
         if (pass == 1 && sys.env.contains("SPARK_GRAFT_EXPLAIN"))
           try fn(spark, sfDir).explain("formatted")
@@ -71,15 +94,27 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (best.nonEmpty) best.values.sum else 0.0
     val la = loads.mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":${pass - 1},"loadavg":$la}"""
+    val ctl = controls.mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":${pass - 1},"loadavg":$la,"control":$ctl}"""
     println(json)
     // The driver captures only the TAIL of stdout; with 100+ queries
     // the head of this one line (everything alphabetically early in
     // `queries`) gets truncated out of the BENCH_r{N} artifact. Persist
     // the whole record to files the driver/judge can read verbatim.
+    // BENCH_FULL.json resolves against the repo root (derived from the
+    // classpath the bench was launched from), not the process CWD — a
+    // bench launched elsewhere must not silently strand the artifact.
+    val repoRoot =
+      try {
+        // …/target/scala-2.13/classes → repo root three levels up
+        val cls = java.nio.file.Paths.get(
+          Bench.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+        if (cls.getNameCount >= 3) cls.getParent.getParent.getParent
+        else java.nio.file.Paths.get(".")
+      } catch { case _: Throwable => java.nio.file.Paths.get(".") }
     for (p <- Seq(java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")),
-        java.nio.file.Paths.get("BENCH_FULL.json"))) {
+        repoRoot.resolve("BENCH_FULL.json"))) {
       try java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
       catch { case e: Throwable =>
         System.err.println(s"[bench] could not write $p: ${e.getMessage}") }
