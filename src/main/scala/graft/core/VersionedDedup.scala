@@ -40,6 +40,18 @@ object VersionedDedup {
                      ts: Column, tiebreak: Column): DataFrame =
     keepFirst(df, keys, keys ++ ids, ts, tiebreak)
 
+  /** D2 dedup with an explicit shuffle clustering, for arms where the
+    * key columns are degenerate: the null-key arm of
+    * [[VersionedJoins.fullOuterNullSplit]] has every key null, so
+    * shuffling on the keys would put the WHOLE arm in one partition —
+    * clustering on the ids distributes it and still satisfies the
+    * window's (keys ++ ids) co-location (ids are a subset of the
+    * window partition set). */
+  private[core] def latestPerKeyIdClusteredBy(
+      df: DataFrame, shuffleKeys: Seq[Column], keys: Seq[Column],
+      ids: Seq[Column], ts: Column, tiebreak: Column): DataFrame =
+    keepFirst(df, shuffleKeys, keys ++ ids, ts, tiebreak)
+
   /** D1 X-side quirk: latest version per *key alone* (not per id) —
     * the reference's left-outer left side keeps at most one X per key
     * (reference versionDeduplicator.scala:12-18, TODO at

@@ -89,6 +89,48 @@ object VersionedJoins {
       .withColumn(rightName, coalesce(col(rightName), emptyR))
   }
 
+  /** J1 for NULLABLE-key sides at scale (the j6 chain's second join:
+    * customers without orders carry a null o_orderkey). A null key can
+    * never satisfy an equi-join condition, yet a plain full-outer
+    * hashes every null-key row into ONE shuffle partition — and AQE
+    * cannot rescue it: OptimizeSkewedJoin splits inner/semi/one-sided
+    * outer joins only, never FULL OUTER (splitting would duplicate
+    * the preserved null-padded rows). So the fix must be static: split
+    * each side into a null-key arm and a join arm BEFORE any exchange.
+    * The join arm dedups + joins exactly as [[fullOuter]]; the null
+    * arm dedups clustered by its ids (its keys are all null — see
+    * VersionedDedup.latestPerKeyIdClusteredBy) and is unioned into the
+    * output null-padded on the other side. Result values are identical
+    * to [[fullOuter]]; no stage sees a null hot partition, and the
+    * isnotnull filters reach the scans. */
+  def fullOuterNullSplit(x: VersionedTable, y: VersionedTable,
+                         leftKeyNames: Seq[String],
+                         rightKeyNames: Seq[String]): DataFrame = {
+    val (lJoin, lNull) = splitNullKeys(x, leftKeyNames)
+    val (rJoin, rNull) = splitNullKeys(y, rightKeyNames)
+    val joined = joinOn(lJoin, rJoin, leftKeyNames, rightKeyNames,
+      "full_outer")
+    val lPadded = lNull.select(lNull.columns.map(col) ++
+      rJoin.schema.fields.map(f =>
+        lit(null).cast(f.dataType).as(f.name)): _*)
+    val rPadded = rNull.select(lJoin.schema.fields.map(f =>
+      lit(null).cast(f.dataType).as(f.name)) ++
+      rNull.columns.map(col): _*)
+    joined.unionByName(lPadded).unionByName(rPadded)
+  }
+
+  /** (deduped join arm, deduped null arm) of a versioned side: rows
+    * with any null key can never match, and their dedup groups never
+    * straddle the split (the keys are part of the group identity). */
+  private def splitNullKeys(t: VersionedTable,
+                            keyNames: Seq[String]): (DataFrame, DataFrame) = {
+    val anyNull = keyNames.map(col(_).isNull).reduce(_ || _)
+    val joinArm = t.copy(df = t.df.filter(!anyNull)).latestPerKeyId
+    val nullArm = VersionedDedup.latestPerKeyIdClusteredBy(
+      t.df.filter(anyNull), t.ids, t.keys, t.ids, t.ts, t.tiebreak)
+    (joinArm, nullArm)
+  }
+
   /** J5 (reference C5, promoted to first-class): latest-version inner join. */
   def inner(x: VersionedTable, y: VersionedTable,
             leftKeyNames: Seq[String], rightKeyNames: Seq[String]): DataFrame =

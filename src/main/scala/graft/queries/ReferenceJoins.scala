@@ -194,8 +194,12 @@ object ReferenceJoins {
     // exchanges — exactly the chain shape at 100 TB. Customers without
     // orders carry a null o_orderkey through the second join
     // (never matching, preserved by the outer arm); at scale such
-    // null-FK rows all land in one shuffle partition, so a skewed real
-    // deployment would AQE-split or pre-filter them.
+    // null-FK rows all land in one shuffle partition, and AQE cannot
+    // split a skewed FULL OUTER join — so the second join uses the
+    // null-split plan (VersionedJoins.fullOuterNullSplit): null-key
+    // rows bypass the join exchange entirely and are unioned in
+    // null-padded, with NullKeySkewSpec pinning both the plan shape
+    // and value-equality with the plain full outer.
     Entry("j6_chain_abc",
       (spark, dir) => {
         val cust = Registry.table(spark, dir, "customer")
@@ -217,7 +221,8 @@ object ReferenceJoins {
         val c = VersionedTable(li, Seq(col("l_orderkey")),
           Seq(col("l_orderkey"), col("l_linenumber")), col("l_shipdate"),
           col("l_extendedprice"))
-        VersionedJoins.fullOuter(abT, c, Seq("o_orderkey"), Seq("l_orderkey"))
+        VersionedJoins.fullOuterNullSplit(abT, c,
+            Seq("o_orderkey"), Seq("l_orderkey"))
           .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
             col("o_totalprice"), col("l_linenumber"), col("l_extendedprice"))
           .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey"),
