@@ -921,7 +921,11 @@ object StreamingOps {
     Entry("s22_stream_production_chain",
       (spark, dir) => withStreamConf(spark) {
         import spark.implicits._
-        val salts = 4
+        // 2, not s18's 4: the salt factor multiplies the biggest
+        // table's state writes (lineitem replicas × RocksDB upserts),
+        // and two sub-keys already prove the cross-salt composition;
+        // a deployment sizes this to its real hot-key fan-in
+        val salts = 2
         VersionedStreamJoin.withStateStoreProvider(spark) {
           VersionedStreamJoin.withEventTimeTtl(
               ms = 1000L * 365 * 86400 * 1000,
