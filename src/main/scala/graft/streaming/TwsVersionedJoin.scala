@@ -4,14 +4,14 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode,
   StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
-/** The J1 full-outer versioned join on Spark 4's `transformWithState`
-  * — the typed-state/typed-timer successor to
-  * `flatMapGroupsWithState` (SURVEY.md §7.3 named it as the
-  * alternative implementation). Semantics are identical to
-  * [[VersionedStreamJoin.fullOuter]] (reference joins.scala:10-23,
-  * cogroupFunctions.scala:7-30): latest-wins upsert state per
-  * (key, id), full per-key cross product re-emitted each trigger with
-  * a monotone emission seq.
+/** The J1–J4 versioned joins on Spark 4's `transformWithState` — the
+  * typed-state/typed-timer successor to `flatMapGroupsWithState`
+  * (SURVEY.md §7.3 named it as the alternative implementation).
+  * Semantics are identical to the [[VersionedStreamJoin]] twins
+  * (reference joins.scala:10-70, cogroupFunctions.scala:7-73):
+  * latest-wins upsert state per (key, id), per-key re-expansion each
+  * trigger with a monotone emission seq; the variants differ only in
+  * their `expand`.
   *
   * What the newer API buys at 100 TB:
   *   - per-id `MapState` entries instead of one monolithic state blob:
@@ -34,13 +34,13 @@ object TwsVersionedJoin {
     * (id-ordered) sides into this trigger's emissions — the J1/J2
     * variants differ only here, exactly like the fMGWS core's
     * `joined(...)(expand)`. */
-  private final class TwsJoinProcessor[X, Y](
+  private final class TwsJoinProcessor[X, Y, U](
       idFromX: X => String, idFromY: Y => String,
       tsFromX: X => Long, tsFromY: Y => Long,
       ttlMs: Option[Long], ex: Encoder[X], ey: Encoder[Y],
       expand: (String, Long, IndexedSeq[X], IndexedSeq[Y]) =>
-        Iterator[Emitted[X, Y]])
-    extends StatefulProcessor[String, Tagged[X, Y], Emitted[X, Y]] {
+        Iterator[U])
+    extends StatefulProcessor[String, Tagged[X, Y], U] {
 
     @transient private var xs: MapState[String, X] = _
     @transient private var ys: MapState[String, Y] = _
@@ -56,7 +56,7 @@ object TwsVersionedJoin {
     }
 
     override def handleInputRows(key: String, rows: Iterator[Tagged[X, Y]],
-        timerValues: TimerValues): Iterator[Emitted[X, Y]] = {
+        timerValues: TimerValues): Iterator[U] = {
       var maxEtsMs = Long.MinValue
       rows.foreach { t =>
         maxEtsMs = math.max(maxEtsMs, t.ets.getTime)
@@ -94,7 +94,7 @@ object TwsVersionedJoin {
       * the key from scratch (seq restarts — same contract as the
       * fMGWS TTL modes). */
     override def handleExpiredTimer(key: String, timerValues: TimerValues,
-        expiredTimerInfo: ExpiredTimerInfo): Iterator[Emitted[X, Y]] = {
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[U] = {
       xs.clear(); ys.clear(); seqS.clear()
       Iterator.empty
     }
@@ -149,19 +149,61 @@ object TwsVersionedJoin {
       }
     }
 
+  /** J3 left-outer nested via transformWithState: per trigger the
+    * key's single latest x (the per-key quirk, as [[leftOuter]]) with
+    * all latest ys as an id-ordered Seq; keys with no x emit nothing
+    * (reference joins.scala:39-54, C3). Twin of
+    * [[VersionedStreamJoin.leftOuterSeq]]. */
+  def leftOuterSeq[X, Y](
+      dsx: Dataset[X], dsy: Dataset[Y],
+      keyFromX: X => String, keyFromY: Y => String,
+      idFromX: X => String, idFromY: Y => String,
+      tsFromX: X => Long, tsFromY: Y => Long,
+      ttlMs: Option[Long] = None,
+      watermarkDelay: String = "10 seconds")(
+      implicit ex: Encoder[X], ey: Encoder[Y],
+      et: Encoder[Tagged[X, Y]], es: Encoder[String],
+      ee: Encoder[EmittedSeq[X, Y]]): Dataset[EmittedSeq[X, Y]] =
+    run(dsx, dsy, keyFromX, keyFromY, idFromX, idFromY, tsFromX, tsFromY,
+      ttlMs, watermarkDelay) { (key, seq, xs, ys) =>
+      graft.core.VersionedDedup.latestOne[X](xs.iterator, tsFromX) match {
+        case None    => Iterator.empty
+        case Some(x) => Iterator.single(EmittedSeq(key, seq, Seq(x), ys))
+      }
+    }
+
+  /** J4 per-key cogroup via transformWithState: all latest versions on
+    * both sides as id-ordered Seqs, either possibly empty (reference
+    * joins.scala:56-70, C4). Twin of
+    * [[VersionedStreamJoin.fullOuterSeq]]. */
+  def fullOuterSeq[X, Y](
+      dsx: Dataset[X], dsy: Dataset[Y],
+      keyFromX: X => String, keyFromY: Y => String,
+      idFromX: X => String, idFromY: Y => String,
+      tsFromX: X => Long, tsFromY: Y => Long,
+      ttlMs: Option[Long] = None,
+      watermarkDelay: String = "10 seconds")(
+      implicit ex: Encoder[X], ey: Encoder[Y],
+      et: Encoder[Tagged[X, Y]], es: Encoder[String],
+      ee: Encoder[EmittedSeq[X, Y]]): Dataset[EmittedSeq[X, Y]] =
+    run(dsx, dsy, keyFromX, keyFromY, idFromX, idFromY, tsFromX, tsFromY,
+      ttlMs, watermarkDelay) { (key, seq, xs, ys) =>
+      Iterator.single(EmittedSeq(key, seq, xs, ys))
+    }
+
   /** Shared driver: tag + union the sides, watermark iff TTL'd, group
     * by key, run the processor with the variant's `expand`. */
-  private def run[X, Y](
+  private def run[X, Y, U](
       dsx: Dataset[X], dsy: Dataset[Y],
       keyFromX: X => String, keyFromY: Y => String,
       idFromX: X => String, idFromY: Y => String,
       tsFromX: X => Long, tsFromY: Y => Long,
       ttlMs: Option[Long], watermarkDelay: String)(
       expand: (String, Long, IndexedSeq[X], IndexedSeq[Y]) =>
-        Iterator[Emitted[X, Y]])(
+        Iterator[U])(
       implicit ex: Encoder[X], ey: Encoder[Y],
       et: Encoder[Tagged[X, Y]], es: Encoder[String],
-      ee: Encoder[Emitted[X, Y]]): Dataset[Emitted[X, Y]] = {
+      eu: Encoder[U]): Dataset[U] = {
     val tagged = dsx
       .map(x => Tagged[X, Y](keyFromX(x), Some(x), None,
         new java.sql.Timestamp(tsFromX(x))))
@@ -173,7 +215,7 @@ object TwsVersionedJoin {
       case None => (tagged, TimeMode.None())
     }
     withWm.groupByKey(_.key).transformWithState(
-      new TwsJoinProcessor[X, Y](idFromX, idFromY, tsFromX, tsFromY,
+      new TwsJoinProcessor[X, Y, U](idFromX, idFromY, tsFromX, tsFromY,
         ttlMs, ex, ey, expand),
       timeMode, OutputMode.Update())
   }

@@ -67,6 +67,97 @@ class TwsJoinSpec extends SparkTestBase {
     }
   }
 
+  test("tws J2/J3/J4 variants converge to the fMGWS twins' answers") {
+    VersionedStreamJoin.withStateStoreProvider(spark) {
+      val truth = sampleExactlyN(genABNonempty(leftOptional = true,
+        fanoutMax = 3), seed = 321L, numSamples)
+      val asFresh = truth.flatMap(_._1)
+      val bsFresh = truth.flatMap(_._2)
+      val as = asFresh.map(a => a.copy(ts = a.ts - 17L)) ++ asFresh
+      val bs = bsFresh.map(b => b.copy(ts = b.ts - 17L)) ++ bsFresh
+
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+      // shared replay driver: build the joined stream from fresh
+      // MemoryStreams, replay chunked, return the converged rows
+      def replay[R](name: String)(
+          build: (org.apache.spark.sql.Dataset[A],
+                  org.apache.spark.sql.Dataset[B]) =>
+            org.apache.spark.sql.Dataset[R])(
+          implicit enc: org.apache.spark.sql.Encoder[R]): Seq[R] = {
+        val sx = MemoryStream[A]
+        val sy = MemoryStream[B]
+        val q = build(sx.toDS(), sy.toDS()).toDF().writeStream
+          .outputMode("update").format("memory").queryName(name).start()
+        try {
+          val chunks = 8
+          val sa = math.max(1, (as.length + chunks - 1) / chunks)
+          val sb = math.max(1, (bs.length + chunks - 1) / chunks)
+          as.grouped(sa).zipAll(bs.grouped(sb), Nil, Nil).foreach {
+            case (ca, cb) =>
+              if (ca.nonEmpty) sx.addData(ca)
+              if (cb.nonEmpty) sy.addData(cb)
+              q.processAllAvailable()
+          }
+        } finally q.stop()
+        spark.table(name).as[R].collect().toSeq
+      }
+
+      // expected building blocks (the same derivation the fMGWS specs
+      // use): per-key latest A (J2/J3 quirk), per-(key,id) latest Bs
+      val latestA = as.groupBy(_.id).map { case (k, g) => k -> g.maxBy(_.ts) }
+      val bByKey = bs.groupBy(b => (b.ida, b.id)).values.map(_.maxBy(_.ts))
+        .toSeq.groupBy(_.ida)
+      def ysSorted(k: Int): Seq[B] =
+        bByKey.getOrElse(k, Seq.empty).sortBy(_.id.toString)
+
+      // J2: at most one x per key; keyless-x keys emit nothing
+      val j2raw = replay("tws_j2") { (dx, dy) =>
+        TwsVersionedJoin.leftOuter[A, B](dx, dy,
+          _.id.toString, _.ida.toString, _.id.toString, _.id.toString,
+          _.ts, _.ts).map(e => (e.key, e.seq, e.x, e.y))
+      }
+      val j2conv = j2raw.groupBy(_._1).values
+        .flatMap(g => { val m = g.map(_._2).max; g.filter(_._2 == m) })
+        .map(t => (t._3, t._4)).toSet
+      // .toSeq first: flatMap on a Map with tuple results rebuilds a
+      // MAP keyed by the first element, collapsing a key's multiple Bs
+      val j2exp: Set[(Option[A], Option[B])] = latestA.toSeq.flatMap { case (k, a) =>
+        ysSorted(k) match {
+          case Seq() => Seq((Some(a), None))
+          case ys2   => ys2.map(b => (Some(a): Option[A], Some(b): Option[B]))
+        }
+      }.toSet
+      assert(j2conv == j2exp)
+
+      // J3: single latest x + all ys as an id-ordered Seq
+      val j3raw = replay("tws_j3") { (dx, dy) =>
+        TwsVersionedJoin.leftOuterSeq[A, B](dx, dy,
+          _.id.toString, _.ida.toString, _.id.toString, _.id.toString,
+          _.ts, _.ts).map(e => (e.key, e.seq, e.xs, e.ys))
+      }
+      val j3conv = j3raw.groupBy(_._1).values
+        .flatMap(g => { val m = g.map(_._2).max; g.filter(_._2 == m) })
+        .map(t => (t._3, t._4)).toSet
+      val j3exp = latestA.toSeq.map { case (k, a) => (Seq(a), ysSorted(k)) }.toSet
+      assert(j3conv == j3exp)
+
+      // J4: both sides as Seqs, either possibly empty (never both)
+      val j4raw = replay("tws_j4") { (dx, dy) =>
+        TwsVersionedJoin.fullOuterSeq[A, B](dx, dy,
+          _.id.toString, _.ida.toString, _.id.toString, _.id.toString,
+          _.ts, _.ts).map(e => (e.key, e.seq, e.xs, e.ys))
+      }
+      val j4conv = j4raw.groupBy(_._1).values
+        .flatMap(g => { val m = g.map(_._2).max; g.filter(_._2 == m) })
+        .map(t => (t._3, t._4)).toSet
+      val j4keys = latestA.keySet ++ bByKey.keySet
+      val j4exp = j4keys.map(k =>
+        (latestA.get(k).toSeq, ysSorted(k))).toSet
+      assert(j4conv == j4exp)
+    }
+  }
+
   test("tws typed-timer TTL: quiet keys inside the horizon survive; idle keys beyond it retire") {
     VersionedStreamJoin.withStateStoreProvider(spark) {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
