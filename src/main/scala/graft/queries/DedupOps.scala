@@ -81,6 +81,20 @@ object DedupOps {
     s"""WITH $shCte, $sigCte
        |SELECT * FROM sig ORDER BY doc_id""".stripMargin
 
+  /** Shared with StreamingOps: the incremental LSH band-pair row (s24)
+    * must converge to exactly this batch answer. */
+  private[queries] val minhashPairsOracleSql: String = {
+    val bandSelects = (0 until SketchFunctions.numBands).map { j =>
+      s"SELECT doc_id, $j AS bi, concat_ws('_', h${2 * j}, h${2 * j + 1}) AS bv FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH $shCte, $sigCte,
+       |bands AS ($bandSelects)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_bands
+       |FROM bands a JOIN bands b
+       |  ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin
+  }
+
   /** Near-duplicate candidate pairs (d1 < d2, jaccard ≥ threshold) —
     * the shared core of dedup_shingle_jaccard and dedup_clusters. See
     * the dedup_shingle_jaccard entry for the localCheckpoint + df-cutoff
@@ -279,17 +293,7 @@ object DedupOps {
           .agg(count(lit(1)).as("n_bands"))
           .orderBy(col("d1"), col("d2"))
       },
-      Some {
-        val bandSelects = (0 until SketchFunctions.numBands).map { j =>
-          s"SELECT doc_id, $j AS bi, concat_ws('_', h${2 * j}, h${2 * j + 1}) AS bv FROM sig"
-        }.mkString(" UNION ALL ")
-        s"""WITH $shCte, $sigCte,
-           |bands AS ($bandSelects)
-           |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_bands
-           |FROM bands a JOIN bands b
-           |  ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
-           |GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin
-      }),
+      Some(minhashPairsOracleSql)),
 
     Entry("dedup_simhash",
       (spark, dir) => {

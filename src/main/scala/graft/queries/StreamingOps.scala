@@ -45,6 +45,10 @@ final case class DocFp(doc_id: Long, fp: String)
 final case class DocSig(doc_id: Long, h0: Long, h1: Long, h2: Long,
                         h3: Long, h4: Long, h5: Long, h6: Long, h7: Long)
 
+/** One LSH band row (s24): band index, packed band value, doc id —
+  * the unit of bucket membership in the streaming LSH state. */
+final case class BandRow(bi: Int, bv: String, doc_id: Long)
+
 /** Streaming operators, driven synchronously: the parquet tables are
   * range-split into chunked ingest directories and replayed through the
   * file source one file per trigger (so the engine sees multiple
@@ -605,6 +609,80 @@ object StreamingOps {
         }
       },
       Some(DedupOps.minhashSigOracleSql)),
+
+    // INCREMENTAL LSH CANDIDATE PAIRS — the banding half on top of
+    // s21's signatures, completing the streaming near-dup pipeline:
+    // each arriving document's signature is banded scan-locally and
+    // upserted into BUCKET-keyed state ((band index, band value) →
+    // member doc ids via VersionedStreamDedup), so a new document
+    // joins exactly the buckets its bands hash to — candidate
+    // generation stays an equi-join on buckets, never all-pairs, and
+    // the converged buckets reproduce the batch dedup_minhash_pairs
+    // answer (shared-band pair counts). At 100 TB the pair projection
+    // runs per-bucket off this state; only (bucket, doc_id) rows are
+    // ever stateful.
+    Entry("s24_stream_lsh_pairs",
+      (spark, dir) => { import spark.implicits._
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_")
+          val log = tmp.resolve("log")
+          val ckpt = tmp.resolve("ckpt")
+          try {
+            val in = sharedChunkDir(dir, "doctext") { p =>
+              Registry.table(spark, dir, "documents")
+                .select(col("doc_id"), col("text"))
+                .repartitionByRange(chunks, col("doc_id"))
+                .write.parquet(p.toString)
+            }
+            val src = spark.readStream.schema("doc_id BIGINT, text STRING")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+            val bandStructs = (0 until SketchFunctions.numBands).map { j =>
+              struct(lit(j).as("bi"),
+                concat_ws("_", col(s"h${2 * j}"), col(s"h${2 * j + 1}"))
+                  .as("bv"))
+            }
+            val bandRows = src
+              .select(col("doc_id"),
+                TextFunctions.tokens(col("text")).as("toks"))
+              .select(col("doc_id"), array_distinct(
+                TextFunctions.shingles3FromTokens(col("toks"))).as("shs"))
+              .select(col("doc_id"), transform(col("shs"),
+                s => TextFunctions.tokenHash(s)).as("ths"))
+              .select(col("doc_id") +:
+                SketchFunctions.rowSignature(col("ths")): _*)
+              .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+              .select(col("b.bi").as("bi"), col("b.bv").as("bv"),
+                col("doc_id"))
+              .as[BandRow]
+            val dd = VersionedStreamDedup.latestPerKeyId[BandRow](
+              bandRows, r => r.bi + "|" + r.bv, _.doc_id.toString, _ => 0L)
+            val q = dd.toDF().writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("key"))
+            val members = raw
+              .withColumn("max_seq", max(col("seq")).over(wMax))
+              .filter(col("seq") === col("max_seq"))
+              .select(col("key"), explode(col("xs")).as("x"))
+              .select(col("key"), col("x.doc_id").as("doc_id"))
+            members.as("a")
+              .join(members.as("b"), col("a.key") === col("b.key") &&
+                col("a.doc_id") < col("b.doc_id"))
+              .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+              .agg(count(lit(1)).as("n_bands"))
+              .orderBy(col("d1"), col("d2"))
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(DedupOps.minhashPairsOracleSql)),
 
     // THE PRODUCTION DEPLOYMENT SHAPE: all three 100 TB configs at
     // once — RocksDB state store (state >> heap), event-time TTL
