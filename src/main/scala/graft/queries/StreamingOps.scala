@@ -49,6 +49,10 @@ final case class DocSig(doc_id: Long, h0: Long, h1: Long, h2: Long,
   * the unit of bucket membership in the streaming LSH state. */
 final case class BandRow(bi: Int, bv: String, doc_id: Long)
 
+/** One IVF cell assignment (s25): the unit of membership in the
+  * streaming vector-index state — never the 64-dim vector itself. */
+final case class AsgRow(vec_id: Long, cell: Long)
+
 /** Streaming operators, driven synchronously: the parquet tables are
   * range-split into chunked ingest directories and replayed through the
   * file source one file per trigger (so the engine sees multiple
@@ -683,6 +687,88 @@ object StreamingOps {
         }
       },
       Some(DedupOps.minhashPairsOracleSql)),
+
+    // INCREMENTAL IVF INDEX MAINTENANCE over a growing embedding
+    // corpus — the similarity-search half of the engine in streaming
+    // form (docs have s19/s21/s24; this is the embeddings analog).
+    // Stage 1 is stateless per microbatch: each arriving vector is
+    // scored against the broadcast 16-row seed centroid table (the
+    // same deterministic seed ann_ivf_topk probes) and reduced to its
+    // argmax cell — a batch plan inside foreachBatch, relaying only
+    // slim (vec_id, cell) rows. Stage 2 tails the relay and upserts
+    // cell-keyed membership state (VersionedStreamDedup): the LIVE
+    // inverted index a production ANN service probes, holding two
+    // longs per vector, never the vectors. Converges to the batch
+    // seed-assignment oracle; a re-embedded vector (new version)
+    // would move cells by upsert.
+    Entry("s25_stream_ivf_index",
+      (spark, dir) => { import spark.implicits._
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_")
+          val relay = tmp.resolve("relay")
+          val log = tmp.resolve("log")
+          val ckpt1 = tmp.resolve("ckpt1")
+          val ckpt2 = tmp.resolve("ckpt2")
+          try {
+            val in = sharedChunkDir(dir, "embvec") { p =>
+              VectorOps.embSlim(spark, dir)
+                .repartitionByRange(chunks, col("vec_id"))
+                .write.parquet(p.toString)
+            }
+            val cent = VectorOps.ivfSeedCentroids(spark, dir)
+              .localCheckpoint()
+            val q1 = spark.readStream
+              .schema("vec_id BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+              .writeStream.outputMode("append")
+              .option("checkpointLocation", ckpt1.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.crossJoin(broadcast(cent))
+                  .select(col("vec_id"),
+                    round(graft.functions.VectorFunctions.dot(
+                      col("e"), col("ce")) / (col("nrm") * col("cn")), 6)
+                      .as("csim"),
+                    col("cid"))
+                  .groupBy(col("vec_id"))
+                  .agg(max_by(col("cid"), struct(col("csim"), -col("cid")))
+                    .as("cell"))
+                  .write.mode("append").parquet(relay.toString)
+                ()
+              }.start()
+            java.nio.file.Files.createDirectories(relay)
+            val asgs = spark.readStream.schema("vec_id BIGINT, cell BIGINT")
+              .option("maxFilesPerTrigger", streamShufflePartitions.toString)
+              .option("pathGlobFilter", "part-*")
+              .parquet(relay.toString).as[AsgRow]
+            val dd = VersionedStreamDedup.latestPerKeyId[AsgRow](
+              asgs, _.cell.toString, _.vec_id.toString, _ => 0L)
+            val q2 = dd.toDF().writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt2.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try {
+              q1.processAllAvailable()
+              q2.processAllAvailable()
+            } finally {
+              try q1.stop() finally q2.stop()
+            }
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("key"))
+            raw
+              .withColumn("max_seq", max(col("seq")).over(wMax))
+              .filter(col("seq") === col("max_seq"))
+              .select(explode(col("xs")).as("x"))
+              .select(col("x.vec_id").as("vec_id"), col("x.cell").as("cell"))
+              .orderBy(col("vec_id"))
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(VectorOps.ivfAssignOracleSql)),
 
     // THE PRODUCTION DEPLOYMENT SHAPE: all three 100 TB configs at
     // once — RocksDB state store (state >> heap), event-time TTL

@@ -49,6 +49,33 @@ object VectorOps {
         col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", VectorFunctions.norm(col("e")))
 
+  /** Shared with StreamingOps (s25): the corpus as slim
+    * (vec_id, e, nrm) rows for the streaming ingest. */
+  private[queries] def embSlim(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir).select(col("vec_id"), col("e"), col("nrm"))
+
+  /** Shared with StreamingOps (s25): the IVF seed centroid table
+    * (first [[ivfCells]] vectors by id — the same deterministic seed
+    * ann_ivf_topk probes). */
+  private[queries] def ivfSeedCentroids(spark: SparkSession,
+                                        dir: String): DataFrame =
+    emb(spark, dir).filter(col("vec_id") < ivfCells)
+      .select(col("vec_id").as("cid"), col("e").as("ce"),
+        col("nrm").as("cn"))
+
+  /** Shared with StreamingOps: the incremental IVF cell-assignment
+    * state (s25) must converge to exactly this batch index. */
+  private[queries] def ivfAssignOracleSql: String =
+    s"""WITH v AS ($embSql),
+       |c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $ivfCells),
+       |s AS (SELECT v.vec_id, c.cid,
+       |    round(${cosSql("v.e", "c.ce")}, 6) AS csim
+       |  FROM v CROSS JOIN c)
+       |SELECT vec_id, cid AS cell FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY csim DESC, cid) AS r FROM s) WHERE r = 1
+       |ORDER BY vec_id""".stripMargin
+
   private val embSql =
     "SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings"
   private def cosSql(a: String, b: String) =
