@@ -56,7 +56,9 @@ object DedupOps {
   // ---- shared DuckDB fragments --------------------------------------
 
   private val tokSql = "string_split(text, ' ')"
-  private val shinglesListSql =
+  /** Shared with TextOps (t_contamination): the decontamination scan
+    * uses the identical 3-token shingling as the near-dup family. */
+  private[queries] val shinglesListSql: String =
     s"""CASE WHEN len($tokSql) >= 3
        | THEN list_transform(generate_series(1, len($tokSql) - 2),
        |   i -> concat_ws(' ', $tokSql[i], $tokSql[i+1], $tokSql[i+2]))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -189,6 +190,111 @@ object TextOps {
         |SELECT tok, count(*) AS n_occurrences,
         |  count(DISTINCT doc_id) AS n_docs
         |FROM t WHERE length(tok) > 0
-        |GROUP BY tok ORDER BY n_occurrences DESC, tok LIMIT 50""".stripMargin))
+        |GROUP BY tok ORDER BY n_occurrences DESC, tok LIMIT 50""".stripMargin)),
+
+    // TRAIN/TEST DECONTAMINATION — the n-gram overlap check every
+    // pre-training pipeline runs before evaluation (report test docs
+    // whose shingles leak from the training split). Reuses the exact
+    // t_sample_split bucketing (same doc -> same split everywhere) and
+    // the near-dup family's 3-token shingling. Scale shape: shingles
+    // are reduced to 60-bit fingerprints BEFORE the join, so the
+    // train-side build is a distinct-agg on longs and the probe is a
+    // long=long equi-join — one slim shuffle per side, no strings on
+    // the wire, no cross product. (Collisions at 60 bits are
+    // negligible and mirrored bit-for-bit by the oracle.)
+    Entry("t_contamination",
+      (spark, dir) => {
+        val d = Registry.table(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .repartition(spark.sparkContext.defaultParallelism)
+        val bucket = TextFunctions.tokenHash(col("doc_id").cast("string")) % 100
+        val sh = d
+          .withColumn("split",
+            when(bucket < 90, "train").when(bucket < 95, "val")
+              .otherwise("test"))
+          .select(col("doc_id"), col("split"),
+            TextFunctions.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("split"),
+            explode(array_distinct(
+              TextFunctions.shingles3FromTokens(col("toks")))).as("sh"))
+          .select(col("doc_id"), col("split"),
+            TextFunctions.fingerprint64(col("sh")).as("fp"))
+        val train = sh.filter(col("split") === "train")
+          .select(col("fp")).distinct().withColumn("hit", lit(1))
+        sh.filter(col("split") === "test")
+          .join(train, Seq("fp"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            count(col("hit")).as("n_contaminated"))
+          .withColumn("contamination",
+            round(col("n_contaminated") / col("n_shingles"), 6))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH b AS (SELECT doc_id, text,
+        |  CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+        |       WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM documents),
+        |sh AS (SELECT doc_id, split,
+        |  ${fp64Sql("sh")} AS fp
+        |  FROM (SELECT doc_id, split,
+        |    unnest(list_distinct(${DedupOps.shinglesListSql})) AS sh FROM b)),
+        |tr AS (SELECT DISTINCT fp FROM sh WHERE split = 'train')
+        |SELECT sh.doc_id, count(*) AS n_shingles,
+        |  count(tr.fp) AS n_contaminated,
+        |  round(count(tr.fp) / count(*), 6) AS contamination
+        |FROM sh LEFT JOIN tr ON sh.fp = tr.fp
+        |WHERE sh.split = 'test'
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin)),
+
+    // PER-DOCUMENT SALIENT TERMS — tf-idf-style term extraction (the
+    // keyword/topic signal curation pipelines use for domain mixing
+    // and boilerplate discovery). The idf factor is kept in BM25's
+    // rational form (N - df + 0.5)/(df + 0.5) rather than its log:
+    // every op is then a correctly-rounded IEEE +,-,*,/ identical
+    // across engines, where ln() implementations differ by ULPs.
+    // Scale shape: tf aggregates on (doc, term), df on term, the
+    // tf<->df equi-join shuffles slim (term, count) rows, the corpus
+    // size joins in as a broadcast single row, and top-5 per doc is a
+    // doc-partitioned window — never a global sort.
+    Entry("t_tfidf_top",
+      (spark, dir) => {
+        val d = Registry.table(spark, dir, "documents")
+        val toks = d.select(col("doc_id"),
+            explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+          .filter(length(col("tok")) > 0)
+        val tf = toks.groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val df = toks.groupBy(col("tok"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val n = d.agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(df, Seq("tok"))
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            round(col("tf") * (col("n_docs") - col("df") + 0.5)
+              / (col("df") + 0.5), 6))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("tok"))
+        scored.withColumn("r", row_number().over(w))
+          .filter(col("r") <= 5)
+          .select(col("doc_id"), col("r"), col("tok"), col("tf"),
+            col("df"), col("score"))
+          .orderBy(col("doc_id"), col("r"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+        |  WHERE length(tok) > 0 GROUP BY 1, 2),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t
+        |  WHERE length(tok) > 0 GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+        |    round(tf.tf * (n.n_docs - df.df + 0.5) / (df.df + 0.5), 6) AS score
+        |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
+        |SELECT doc_id, r, tok, tf, df, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, tok) AS r FROM s)
+        |WHERE r <= 5 ORDER BY doc_id, r""".stripMargin))
   )
 }

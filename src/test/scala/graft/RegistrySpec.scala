@@ -23,10 +23,11 @@ class RegistrySpec extends SparkTestBase {
   // the bucketed ann_lsh_topk. ann_ivf_topk and v_kmeans_assign /
   // v_kmeans_lloyd3: the 16-row centroid table cross-scored against
   // the corpus — the broadcast side is the fixed cell count, never the
-  // data).
+  // data. t_tfidf_top: the corpus row-count joined in as a broadcast
+  // SINGLE row for the idf factor).
   test("query outputs are scalar-only and plans are free of cartesian blowups") {
     val bnljAllowed = Set("ann_topk_bruteforce", "ann_ivf_topk",
-      "v_kmeans_assign", "v_kmeans_lloyd3")
+      "ann_recall", "v_kmeans_assign", "v_kmeans_lloyd3", "t_tfidf_top")
     val offenders = Registry.all.flatMap { e =>
       val df = e.fn(spark, sfDir)
       val nested = df.schema.fields.collect {
