@@ -314,24 +314,8 @@ object VectorOps {
       }),
 
     Entry("ann_topk_bruteforce",
-      (spark, dir) => {
-        val q = emb(spark, dir).filter(col("vec_id") < queryCount)
-          .select(col("vec_id").as("query_id"), col("e").as("qe"),
-            col("nrm").as("qn"))
-        val n = emb(spark, dir)
-          .select(col("vec_id").as("neighbor_id"), col("e").as("ne"),
-            col("nrm").as("nn"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("sim").desc, col("neighbor_id"))
-        q.join(n, col("query_id") =!= col("neighbor_id"))
-          .withColumn("sim",
-            round(VectorFunctions.dot(col("qe"), col("ne")) /
-              (col("qn") * col("nn")), 6))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-          .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
-          .orderBy(col("query_id"), col("rank"))
-      },
+      (spark, dir) => bruteTopkPairs(spark, dir)
+        .orderBy(col("query_id"), col("rank")),
       Some(s"""WITH v AS ($embSql)
         |SELECT q.vec_id AS query_id,
         |  CAST(row_number() OVER (PARTITION BY q.vec_id
@@ -397,70 +381,9 @@ object VectorOps {
     // re-fetch join (final verification), never the candidate shuffle
     // — the dedup_embedding_lsh discipline.
     Entry("ann_ivf_topk",
-      (spark, dir) => {
-        val base = emb(spark, dir)
-        val cent = base.filter(col("vec_id") < ivfCells)
-          .select(col("vec_id").as("cid"), col("e").as("ce"),
-            col("nrm").as("cn"))
-        // (vector × centroid) scored rows, projected slim map-side
-        // before any shuffle. Materialized ONCE: both the assignment
-        // and the probe branches consume it, and their differing
-        // filters would otherwise re-run the corpus scan + 16-way
-        // scoring per branch (the dedup_shingle_jaccard diamond
-        // lesson; a checkpoint/table at 100 TB).
-        val scored = base.crossJoin(broadcast(cent))
-          .select(col("vec_id"),
-            round(VectorFunctions.dot(col("e"), col("ce")) /
-              (col("nrm") * col("cn")), 6).as("csim"),
-            col("cid"))
-          .localCheckpoint()
-        // Cell assignment: argmax csim, ties to the lower cid (matches
-        // the oracle's ORDER BY csim DESC, cid).
-        val asg = scored.groupBy(col("vec_id"))
-          .agg(max_by(col("cid"), struct(col("csim"), -col("cid")))
-            .as("cell"))
-        val probes = scored.filter(col("vec_id") < queryCount)
-          .withColumn("pr", row_number().over(
-            Window.partitionBy(col("vec_id"))
-              .orderBy(col("csim").desc, col("cid"))))
-          .filter(col("pr") <= ivfProbes)
-          .select(col("vec_id").as("query_id"), col("cid").as("pcell"))
-        // Cells partition the corpus, so each neighbor appears at most
-        // once per probed cell — no pair dedup needed.
-        val cand = probes.join(asg, col("pcell") === col("cell"))
-          .filter(col("query_id") =!= col("vec_id"))
-          .select(col("query_id"), col("vec_id").as("neighbor_id"))
-        val q = base.select(col("vec_id").as("query_id"),
-          col("e").as("qe"), col("nrm").as("qn"))
-        val n = base.select(col("vec_id").as("neighbor_id"),
-          col("e").as("ne"), col("nrm").as("nn"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("sim").desc, col("neighbor_id"))
-        cand.join(q, "query_id").join(n, "neighbor_id")
-          .withColumn("sim",
-            round(VectorFunctions.dot(col("qe"), col("ne")) /
-              (col("qn") * col("nn")), 6))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= ivfTopK)
-          .select(col("query_id"), col("rank"), col("neighbor_id"),
-            col("sim"))
-          .orderBy(col("query_id"), col("rank"))
-      },
-      Some(s"""WITH v AS ($embSql),
-        |c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $ivfCells),
-        |s AS (SELECT v.vec_id, c.cid,
-        |    round(${cosSql("v.e", "c.ce")}, 6) AS csim
-        |  FROM v CROSS JOIN c),
-        |asg AS (SELECT vec_id, cid AS cell FROM (
-        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY csim DESC, cid) AS r FROM s) WHERE r = 1),
-        |probes AS (SELECT vec_id AS query_id, cid AS pcell FROM (
-        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY csim DESC, cid) AS r FROM s
-        |  WHERE vec_id < $queryCount) WHERE r <= $ivfProbes),
-        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
-        |  FROM probes p JOIN asg a ON a.cell = p.pcell
-        |  WHERE a.vec_id <> p.query_id)
+      (spark, dir) => ivfTopkPairs(spark, dir)
+        .orderBy(col("query_id"), col("rank")),
+      Some(s"""WITH $ivfCteSql
         |SELECT cand.query_id,
         |  CAST(row_number() OVER (PARTITION BY cand.query_id
         |    ORDER BY round(${cosSql("q.e", "n.e")}, 6) DESC,
@@ -470,6 +393,146 @@ object VectorOps {
         |FROM cand JOIN v q ON q.vec_id = cand.query_id
         |  JOIN v n ON n.vec_id = cand.neighbor_id
         |QUALIFY rank <= $ivfTopK
-        |ORDER BY query_id, rank""".stripMargin))
+        |ORDER BY query_id, rank""".stripMargin)),
+
+    // ANN QUALITY MEASUREMENT — recall@5 of the IVF path against the
+    // exact baseline, per query. This is the metric an ANN service
+    // actually reports (and tunes nprobe against); with both paths
+    // deterministic and oracle-mirrored, even the recall fractions
+    // hash-match bit-for-bit. Scale shape: the ground-truth side is
+    // the documented exactness baseline over the FIXED 20-query panel
+    // (never the corpus × corpus), the IVF side probes cells, and the
+    // comparison joins two k×queries-row sets — trivially small at any
+    // corpus size. Recall tuning at 100 TB = re-running ONLY this row
+    // while sweeping ivfProbes.
+    Entry("ann_recall",
+      (spark, dir) => {
+        val exact = bruteTopkPairs(spark, dir)
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = ivfTopkPairs(spark, dir)
+          .select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1))
+        exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_exact"),
+            count(col("hit")).as("n_hit"))
+          .withColumn("recall",
+            round(col("n_hit") / col("n_exact"), 6))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH $ivfCteSql,
+        |iv AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    row_number() OVER (PARTITION BY cand.query_id
+        |      ORDER BY round(${cosSql("q.e", "n.e")}, 6) DESC,
+        |        cand.neighbor_id) AS rank
+        |  FROM cand JOIN v q ON q.vec_id = cand.query_id
+        |    JOIN v n ON n.vec_id = cand.neighbor_id)
+        |  WHERE rank <= $ivfTopK),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(${cosSql("q.e", "n.e")}, 6) DESC, n.vec_id) AS rank
+        |  FROM v q JOIN v n ON q.vec_id < $queryCount AND q.vec_id <> n.vec_id)
+        |  WHERE rank <= 5)
+        |SELECT ex.query_id, count(*) AS n_exact,
+        |  count(iv.neighbor_id) AS n_hit,
+        |  round(count(iv.neighbor_id) / count(*), 6) AS recall
+        |FROM ex LEFT JOIN iv ON iv.query_id = ex.query_id
+        |  AND iv.neighbor_id = ex.neighbor_id
+        |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin))
   )
+
+  /** Exact cosine top-5 for the fixed query panel (the allow-listed
+    * tiny-broadcast BNLJ: $queryCount query vectors against the
+    * corpus) — shared by ann_topk_bruteforce and ann_recall's ground
+    * truth. No trailing sort; callers order (or aggregate) the pairs. */
+  private def bruteTopkPairs(spark: SparkSession, dir: String): DataFrame = {
+    val q = emb(spark, dir).filter(col("vec_id") < queryCount)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"))
+    val n = emb(spark, dir)
+      .select(col("vec_id").as("neighbor_id"), col("e").as("ne"),
+        col("nrm").as("nn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(n, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        round(VectorFunctions.dot(col("qe"), col("ne")) /
+          (col("qn") * col("nn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** The IVF probe pipeline (assign → probe nprobe cells → verify
+    * candidates) — shared by ann_ivf_topk and ann_recall. */
+  private def ivfTopkPairs(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir)
+    val cent = base.filter(col("vec_id") < ivfCells)
+      .select(col("vec_id").as("cid"), col("e").as("ce"),
+        col("nrm").as("cn"))
+    // (vector × centroid) scored rows, projected slim map-side
+    // before any shuffle. Materialized ONCE: both the assignment
+    // and the probe branches consume it, and their differing
+    // filters would otherwise re-run the corpus scan + 16-way
+    // scoring per branch (the dedup_shingle_jaccard diamond
+    // lesson; a checkpoint/table at 100 TB).
+    val scored = base.crossJoin(broadcast(cent))
+      .select(col("vec_id"),
+        round(VectorFunctions.dot(col("e"), col("ce")) /
+          (col("nrm") * col("cn")), 6).as("csim"),
+        col("cid"))
+      .localCheckpoint()
+    // Cell assignment: argmax csim, ties to the lower cid (matches
+    // the oracle's ORDER BY csim DESC, cid).
+    val asg = scored.groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("csim"), -col("cid")))
+        .as("cell"))
+    val probes = scored.filter(col("vec_id") < queryCount)
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cid"))))
+      .filter(col("pr") <= ivfProbes)
+      .select(col("vec_id").as("query_id"), col("cid").as("pcell"))
+    // Cells partition the corpus, so each neighbor appears at most
+    // once per probed cell — no pair dedup needed.
+    val cand = probes.join(asg, col("pcell") === col("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val q = base.select(col("vec_id").as("query_id"),
+      col("e").as("qe"), col("nrm").as("qn"))
+    val n = base.select(col("vec_id").as("neighbor_id"),
+      col("e").as("ne"), col("nrm").as("nn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cand.join(q, "query_id").join(n, "neighbor_id")
+      .withColumn("sim",
+        round(VectorFunctions.dot(col("qe"), col("ne")) /
+          (col("qn") * col("nn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= ivfTopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim"))
+  }
+
+  /** The IVF candidate-generation CTE chain (v → centroids → scored →
+    * assignment + probes → candidates) — shared by the ann_ivf_topk
+    * and ann_recall oracles. */
+  private def ivfCteSql: String =
+    s"""v AS ($embSql),
+       |c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $ivfCells),
+       |s AS (SELECT v.vec_id, c.cid,
+       |    round(${cosSql("v.e", "c.ce")}, 6) AS csim
+       |  FROM v CROSS JOIN c),
+       |asg AS (SELECT vec_id, cid AS cell FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY csim DESC, cid) AS r FROM s) WHERE r = 1),
+       |probes AS (SELECT vec_id AS query_id, cid AS pcell FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY csim DESC, cid) AS r FROM s
+       |  WHERE vec_id < $queryCount) WHERE r <= $ivfProbes),
+       |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN asg a ON a.cell = p.pcell
+       |  WHERE a.vec_id <> p.query_id)""".stripMargin
 }
