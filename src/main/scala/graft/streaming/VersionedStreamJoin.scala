@@ -131,17 +131,27 @@ object VersionedStreamJoin {
 
   /** Run `body` with the session's streaming state store backed by
     * `providerClass` (e.g. [[RocksDbProvider]]), restoring the prior
-    * setting after. The provider is read per streaming query at start,
-    * so this scopes cleanly around query construction + execution. */
+    * settings after. The provider is read per streaming query at
+    * start, so this scopes cleanly around query construction +
+    * execution. For RocksDB, changelog checkpointing is enabled too:
+    * each microbatch then uploads only the batch's state DELTA to the
+    * checkpoint (snapshots move to background maintenance), instead of
+    * snapshotting the full store inline — at 100 TB state the per-batch
+    * checkpoint cost must track the update rate, not the store size. */
   def withStateStoreProvider[T](spark: org.apache.spark.sql.SparkSession,
                                 providerClass: String = RocksDbProvider)(
       body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, providerClass)
-    try body finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+    val changelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val keys = Seq("spark.sql.streaming.stateStore.providerClass" ->
+        providerClass) ++
+      (if (providerClass == RocksDbProvider) Seq(changelogKey -> "true")
+       else Nil)
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
     }
   }
 
