@@ -28,6 +28,22 @@ class StreamRecoverySpec extends SparkTestBase {
   }
 
   test("streaming join restarts from checkpoint with state intact") {
+    recoveryScenario()
+  }
+
+  // The same stop/restart contract under the PRODUCTION state config:
+  // RocksDB provider with changelog checkpointing, where restore =
+  // load the last snapshot + replay the per-batch changelog. This is
+  // the exact recovery path a 100 TB deployment exercises on every
+  // executor/driver loss, so it gets its own green light rather than
+  // an assumption that the default-provider test transfers.
+  test("restart from checkpoint under RocksDB + changelog checkpointing") {
+    VersionedStreamJoin.withStateStoreProvider(spark) {
+      recoveryScenario()
+    }
+  }
+
+  private def recoveryScenario(): Unit = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     val tmp = Files.createTempDirectory("graft_rec_")
