@@ -44,6 +44,15 @@ object TextFunctions {
           element_at(toks, i + 2))))
       .otherwise(array(concat_ws(" ", toks)))
 
+  /** Token bigrams (same contract as [[shingles3FromTokens]]: pass a
+    * MATERIALIZED token array; docs under 2 tokens collapse to one
+    * whole-text gram). Feeds the duplicate-bigram repetition signal. */
+  def shingles2FromTokens(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array(concat_ws(" ", toks)))
+
   /** Project a materialized token array (see shingles3FromTokens). */
   def withTokens(df: org.apache.spark.sql.DataFrame, text: Column,
                  as: String = "toks"): org.apache.spark.sql.DataFrame =

@@ -247,6 +247,59 @@ object TextOps {
         |WHERE sh.split = 'test'
         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin)),
 
+    // REPETITION / BOILERPLATE SIGNALS — the Gopher-style repetition
+    // cuts every curation pipeline applies: the duplicate-bigram
+    // fraction (1 - distinct/total token bigrams, scan-local over the
+    // materialized token array) and the top-token frequency ratio
+    // (mode count / n_tokens — one slim (doc, tok) count shuffle).
+    // Both are exact integer ratios, so the doubles are bit-identical
+    // across engines. At 100 TB the bigram half never leaves the
+    // scan; the mode half aggregates (doc_id, tok) with map-side
+    // partials bounded by per-doc vocabulary.
+    Entry("t_repetition",
+      (spark, dir) => {
+        val d = Registry.table(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val big = d
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+            TextFunctions.shingles2FromTokens(col("toks")).as("sh2"))
+          .select(col("doc_id"), col("n_tokens"),
+            round(lit(1.0) - size(array_distinct(col("sh2")))
+              / size(col("sh2")), 6).as("dup_bigram_frac"))
+        val mode = d
+          .select(col("doc_id"), explode(TextFunctions.tokens(col("text")))
+            .as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("c")).as("top_tok_count"))
+        big.join(mode, Seq("doc_id"))
+          .withColumn("top_tok_ratio",
+            round(col("top_tok_count") / col("n_tokens"), 6))
+          .select(col("doc_id"), col("n_tokens"), col("dup_bigram_frac"),
+            col("top_tok_count"), col("top_tok_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+        |b AS (SELECT doc_id, len(toks) AS n_tokens,
+        |  CASE WHEN len(toks) >= 2
+        |    THEN list_transform(generate_series(1, len(toks) - 1),
+        |      i -> concat_ws(' ', toks[i], toks[i+1]))
+        |    ELSE [array_to_string(toks, ' ')] END AS sh2
+        |  FROM t),
+        |big AS (SELECT doc_id, n_tokens,
+        |  round(1.0 - len(list_distinct(sh2)) / len(sh2), 6) AS dup_bigram_frac
+        |  FROM b),
+        |m AS (SELECT doc_id, max(c) AS top_tok_count FROM (
+        |  SELECT doc_id, tok, count(*) AS c FROM
+        |    (SELECT doc_id, unnest(toks) AS tok FROM t)
+        |  GROUP BY doc_id, tok) GROUP BY doc_id)
+        |SELECT big.doc_id, n_tokens, dup_bigram_frac, top_tok_count,
+        |  round(top_tok_count / n_tokens, 6) AS top_tok_ratio
+        |FROM big JOIN m ON big.doc_id = m.doc_id
+        |ORDER BY big.doc_id""".stripMargin)),
+
     // PER-DOCUMENT SALIENT TERMS — tf-idf-style term extraction (the
     // keyword/topic signal curation pipelines use for domain mixing
     // and boilerplate discovery). The idf factor is kept in BM25's
