@@ -28,6 +28,24 @@ object Analytics {
       |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1800000000
       |ORDER BY a.user_id, e1, e2""".stripMargin
 
+  /** Shared with StreamingOps: the native left-outer stream-stream
+    * range join (s26) — matched pairs plus watermark-flushed
+    * null-extended lefts — must hash-match exactly this batch
+    * answer. Sides are asymmetric (signup/error lefts vs
+    * click/purchase/view rights, each with a user-id stride) so
+    * unmatched lefts genuinely exist. */
+  private[queries] val rangeLeftOuterOracleSql: String =
+    """WITH a AS (SELECT user_id, event_id, ts FROM events
+      |  WHERE event_type IN ('signup', 'error') AND user_id % 3 != 0),
+      |b AS (SELECT user_id, event_id, ts FROM events
+      |  WHERE event_type IN ('click', 'purchase', 'view')
+      |    AND user_id % 5 != 0)
+      |SELECT a.user_id, a.event_id AS e1, b.event_id AS e2,
+      |  epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+      |FROM a LEFT JOIN b ON a.user_id = b.user_id
+      |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1800000000
+      |ORDER BY a.user_id, e1, e2 NULLS FIRST""".stripMargin
+
   /** Shared with StreamingOps: the append-mode streaming window agg
     * (s13) must flush exactly this batch answer. */
   private[queries] val timeWindowOracleSql: String =

@@ -1324,7 +1324,7 @@ object StreamingOps {
       (spark, dir) => runAppendReplay(spark, dir) { src =>
         // append mode requires grouping by the window STRUCT (the
         // watermark tracking rides on it); .start projects after
-        src.groupBy(window(col("ets"), "1 day"), col("event_type"))
+        src().groupBy(window(col("ets"), "1 day"), col("event_type"))
           .agg(count(lit(1)).as("n"),
             round(sum(col("value")), 4).as("sum_value"))
           .select(col("window.start").as("day"), col("event_type"),
@@ -1344,7 +1344,7 @@ object StreamingOps {
     // oracle, proving merging-window state in append mode end-to-end.
     Entry("s15_stream_session_append",
       (spark, dir) => runAppendReplay(spark, dir) { src =>
-        src.groupBy(session_window(col("ets"), "30 minutes"),
+        src().groupBy(session_window(col("ets"), "30 minutes"),
             col("user_id"))
           .agg(count(lit(1)).as("n_events"),
             round(sum(col("value")), 4).as("sum_value"))
@@ -1353,7 +1353,42 @@ object StreamingOps {
             col("session_window.end").as("session_end"),
             col("n_events"), col("sum_value"))
       }(_.orderBy(col("user_id"), col("session_start"))),
-      Some(Analytics.sessionWindowOracleSql))
+      Some(Analytics.sessionWindowOracleSql)),
+
+    // Spark's NATIVE stream-stream join in its OUTER form: matched
+    // pairs emit immediately, but an unmatched left row emits its
+    // null-extended form only once the watermark proves no future
+    // right match can arrive — the delayed-null contract a production
+    // outer join lives by (state for the row is dropped at the same
+    // moment). Asymmetric sides (signup/error lefts probing
+    // click/purchase/view rights) so genuinely unmatched lefts exist;
+    // the sentinel advances BOTH streams' watermarks past every match
+    // window, flushing the nulls; the quiet-poll then waits for the
+    // post-sentinel no-data batch. The join condition carries only
+    // key equality + the event-time range (the stream-stream state
+    // watermark contract, as in s9); both the matched and the
+    // null-extended rows must hash-match the batch left-outer range
+    // oracle.
+    Entry("s26_stream_range_left_outer",
+      (spark, dir) => runAppendReplay(spark, dir) { src =>
+        val a = src()
+          .filter(expr("event_type IN ('signup','error') " +
+            "AND user_id % 3 != 0"))
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            col("ets").as("ats"))
+        val b = src()
+          .filter(expr("event_type IN ('click','purchase','view') " +
+            "AND user_id % 5 != 0"))
+          .select(col("user_id").as("uid2"), col("event_id").as("e2"),
+            col("ts_us").as("tus2"), col("ets").as("bts"))
+        a.join(b, expr("user_id = uid2 AND " +
+            "bts BETWEEN ats - INTERVAL 30 MINUTES " +
+            "AND ats + INTERVAL 30 MINUTES"), "left_outer")
+          .select(col("user_id"), col("event_id").as("e1"), col("e2"),
+            (col("tus2") - col("ts_us")).as("dt_us"))
+      }(_.filter(col("user_id") >= 0) // belt-and-braces vs sentinels
+        .orderBy(col("user_id"), col("e1"), col("e2"))),
+      Some(Analytics.rangeLeftOuterOracleSql))
   )
 
   /** Watermark + append-mode replay harness with the sentinel flush
@@ -1371,7 +1406,7 @@ object StreamingOps {
     * downstream consumer needs no upsert handling) and closed-window
     * state is dropped. */
   private def runAppendReplay(spark: SparkSession, dir: String)(
-      agg: DataFrame => DataFrame)(
+      agg: (() => DataFrame) => DataFrame)(
       finish: DataFrame => DataFrame): DataFrame = withStreamConf(spark) {
     val tmp = java.nio.file.Files.createTempDirectory("graft_app_")
     val in = tmp.resolve("in"); val out = tmp.resolve("out")
@@ -1405,7 +1440,16 @@ object StreamingOps {
       def parts() = java.nio.file.Files.list(in).iterator().asScala
         .filter(_.getFileName.toString.startsWith("part-")).toSet
       val mainParts = parts()
-      Seq((-1L, -1L, "sentinel", maxUs + 40L * 86400000000L, 0.0))
+      // THREE sentinel rows, one per downstream filter shape: consumers
+      // prune their event types below the watermark operator (Catalyst
+      // pushes the filter through EventTimeWatermark), so a sentinel
+      // only advances a branch's watermark if it SURVIVES that branch's
+      // filter. The negative user ids ride the never-emitted trick
+      // (their windows / sessions / match-ranges never close before the
+      // stream ends) and differ so the sentinels cannot join each other.
+      Seq((-1L, -1L, "sentinel", maxUs + 40L * 86400000000L, 0.0),
+          (-2L, -1L, "signup", maxUs + 40L * 86400000000L, 0.0),
+          (-3L, -2L, "click", maxUs + 40L * 86400000000L, 0.0))
         .toDF("event_id", "user_id", "event_type", "ts_us", "value")
         .coalesce(1).write.mode("append").parquet(in.toString)
       (parts() -- mainParts).foreach { p =>
@@ -1413,13 +1457,15 @@ object StreamingOps {
           java.nio.file.attribute.FileTime.fromMillis(
             System.currentTimeMillis() + 60000L))
       }
-      val src = spark.readStream.schema(evReplaySchema)
+      // a FACTORY so joins can open two independently-watermarked
+      // streams over the same replay dir (the sentinel advances both)
+      def src(): DataFrame = spark.readStream.schema(evReplaySchema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "part-*")
         .parquet(in.toString)
         .withColumn("ets", expr("timestamp_micros(ts_us)"))
         .withWatermark("ets", "35 days")
-      val q = agg(src)
+      val q = agg(() => src())
         .writeStream.outputMode("append")
         .format("parquet").option("path", out.toString)
         .option("checkpointLocation", ckpt.toString)
@@ -1434,13 +1480,20 @@ object StreamingOps {
         def sinkCount(): Long =
           try spark.read.parquet(out.toString).count()
           catch { case _: Exception => -1L } // sink not created yet
+        // require several consecutive stable non-empty samples: unlike
+        // the window rows (everything lands in the one post-sentinel
+        // batch), an outer join emits matched rows across many batches
+        // and its null flush arrives in a LATER no-data batch — one
+        // lucky stable pair must not end the poll early
         var prev = -2L
         var cur = sinkCount()
+        var stable = 0
         var spins = 0
-        while ((cur != prev || cur <= 0) && spins < 120) {
+        while ((stable < 4 || cur <= 0) && spins < 120) {
           Thread.sleep(500)
           prev = cur
           cur = sinkCount()
+          stable = if (cur == prev && cur > 0) stable + 1 else 0
           spins += 1
         }
       } finally q.stop()
