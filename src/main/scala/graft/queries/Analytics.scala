@@ -46,6 +46,34 @@ object Analytics {
       |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1800000000
       |ORDER BY a.user_id, e1, e2 NULLS FIRST""".stripMargin
 
+  /** Shared with StreamingOps: the full-outer twin (s27) — unmatched
+    * rows on either side flush null-extended at the watermark. */
+  private[queries] val rangeFullOuterOracleSql: String =
+    """WITH a AS (SELECT user_id, event_id, ts FROM events
+      |  WHERE event_type IN ('signup', 'error') AND user_id % 3 != 0),
+      |b AS (SELECT user_id, event_id, ts FROM events
+      |  WHERE event_type IN ('click', 'purchase', 'view')
+      |    AND user_id % 5 != 0)
+      |SELECT coalesce(a.user_id, b.user_id) AS user_id,
+      |  a.event_id AS e1, b.event_id AS e2,
+      |  epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+      |FROM a FULL JOIN b ON a.user_id = b.user_id
+      |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1800000000
+      |ORDER BY user_id, e1 NULLS FIRST, e2 NULLS FIRST""".stripMargin
+
+  /** Shared with StreamingOps: the left-semi form (s28) — each left
+    * row exactly once iff an in-range match exists. */
+  private[queries] val rangeSemiOracleSql: String =
+    """WITH b AS (SELECT user_id, ts FROM events
+      |  WHERE event_type IN ('click', 'purchase', 'view')
+      |    AND user_id % 5 != 0)
+      |SELECT a.user_id, a.event_id AS e1, epoch_us(a.ts) AS ts_us
+      |FROM events a
+      |WHERE a.event_type IN ('signup', 'error') AND a.user_id % 3 != 0
+      |  AND EXISTS (SELECT 1 FROM b WHERE b.user_id = a.user_id
+      |    AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1800000000)
+      |ORDER BY a.user_id, e1""".stripMargin
+
   /** Shared with StreamingOps: the append-mode streaming window agg
     * (s13) must flush exactly this batch answer. */
   private[queries] val timeWindowOracleSql: String =

@@ -1388,7 +1388,61 @@ object StreamingOps {
             (col("tus2") - col("ts_us")).as("dt_us"))
       }(_.filter(col("user_id") >= 0) // belt-and-braces vs sentinels
         .orderBy(col("user_id"), col("e1"), col("e2"))),
-      Some(Analytics.rangeLeftOuterOracleSql))
+      Some(Analytics.rangeLeftOuterOracleSql)),
+
+    // The FULL-outer form: unmatched rows on EITHER side flush
+    // null-extended once the watermark closes their match window
+    // (state for both sides is watermark-bounded). The output key is
+    // the coalesced user id since right-only rows carry no left
+    // columns. Same oracle discipline: matched + left-null +
+    // right-null rows together hash-match the batch full-outer range
+    // join.
+    Entry("s27_stream_range_full_outer",
+      (spark, dir) => runAppendReplay(spark, dir) { src =>
+        val a = src()
+          .filter(expr("event_type IN ('signup','error') " +
+            "AND user_id % 3 != 0"))
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            col("ets").as("ats"))
+        val b = src()
+          .filter(expr("event_type IN ('click','purchase','view') " +
+            "AND user_id % 5 != 0"))
+          .select(col("user_id").as("uid2"), col("event_id").as("e2"),
+            col("ts_us").as("tus2"), col("ets").as("bts"))
+        a.join(b, expr("user_id = uid2 AND " +
+            "bts BETWEEN ats - INTERVAL 30 MINUTES " +
+            "AND ats + INTERVAL 30 MINUTES"), "full_outer")
+          .select(coalesce(col("user_id"), col("uid2")).as("user_id"),
+            col("event_id").as("e1"), col("e2"),
+            (col("tus2") - col("ts_us")).as("dt_us"))
+      }(_.filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("e1"), col("e2"))),
+      Some(Analytics.rangeFullOuterOracleSql)),
+
+    // The LEFT-SEMI form: a left row emits exactly once — when its
+    // first in-range match arrives (or never, if none does, the state
+    // again dropped at the watermark). The streaming answer is the
+    // EXISTS shape a feed filter runs ("keep signups that saw
+    // activity within 30 minutes").
+    Entry("s28_stream_range_semi",
+      (spark, dir) => runAppendReplay(spark, dir) { src =>
+        val a = src()
+          .filter(expr("event_type IN ('signup','error') " +
+            "AND user_id % 3 != 0"))
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            col("ets").as("ats"))
+        val b = src()
+          .filter(expr("event_type IN ('click','purchase','view') " +
+            "AND user_id % 5 != 0"))
+          .select(col("user_id").as("uid2"), col("event_id").as("e2"),
+            col("ets").as("bts"))
+        a.join(b, expr("user_id = uid2 AND " +
+            "bts BETWEEN ats - INTERVAL 30 MINUTES " +
+            "AND ats + INTERVAL 30 MINUTES"), "left_semi")
+          .select(col("user_id"), col("event_id").as("e1"), col("ts_us"))
+      }(_.filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("e1"))),
+      Some(Analytics.rangeSemiOracleSql))
   )
 
   /** Watermark + append-mode replay harness with the sentinel flush
