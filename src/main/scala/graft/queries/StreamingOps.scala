@@ -1442,7 +1442,33 @@ object StreamingOps {
           .select(col("user_id"), col("event_id").as("e1"), col("ts_us"))
       }(_.filter(col("user_id") >= 0)
         .orderBy(col("user_id"), col("e1"))),
-      Some(Analytics.rangeSemiOracleSql))
+      Some(Analytics.rangeSemiOracleSql)),
+
+    // Spark's NATIVE streaming deduplication operator
+    // (dropDuplicatesWithinWatermark): state-store-backed first-seen
+    // dedup whose per-key state expires at the event-time watermark —
+    // the built-in counterpart to the custom latest-wins
+    // [[graft.streaming.VersionedStreamDedup]] (s8/s19). First
+    // occurrences emit immediately in append mode (the watermark only
+    // bounds STATE, not emission), and the 400-day delay exceeds the
+    // corpus span, so the streamed answer is the exact distinct key
+    // set — hash-matched against a batch DISTINCT oracle. At 100 TB
+    // the state holds one slim entry per distinct in-horizon key
+    // (never payloads) and is dropped by the watermark — the operator
+    // a production feed runs to suppress replayed/at-least-once
+    // duplicates. Completes native-streaming-operator coverage:
+    // joins (s9/s26–s28), windows (s13/s12/s15), dedup (here).
+    Entry("s29_stream_native_dedup",
+      (spark, dir) =>
+        runFileStream(spark, dir, mode = "append") { src =>
+          src().toDF()
+            .withColumn("ets", expr("timestamp_micros(ts_us)"))
+            .withWatermark("ets", "400 days")
+            .dropDuplicatesWithinWatermark("user_id", "event_type")
+            .select(col("user_id"), col("event_type"))
+        }(_.orderBy(col("user_id"), col("event_type"))),
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin))
   )
 
   /** Watermark + append-mode replay harness with the sentinel flush
