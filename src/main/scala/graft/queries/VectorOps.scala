@@ -440,7 +440,65 @@ object VectorOps {
         |  round(count(iv.neighbor_id) / count(*), 6) AS recall
         |FROM ex LEFT JOIN iv ON iv.query_id = ex.query_id
         |  AND iv.neighbor_id = ex.neighbor_id
-        |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin))
+        |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin)),
+
+    // SEMANTIC DEDUPLICATION (the SemDeDup recipe, Abbas et al. 2023,
+    // arXiv:2303.09540 — public paper): coarse-cluster the embedding
+    // corpus, then drop near-duplicates WITHIN each cluster only,
+    // keeping the lowest-id representative of every near-dup pair.
+    // This is the missing rung between the exact all-pairs baseline
+    // (dedup_embedding_near, Ω(n²)) and banded LSH
+    // (dedup_embedding_lsh): the cluster id becomes the shuffle key,
+    // so the comparison space is Σ|cell|² ≈ n²/k — at 100 TB the
+    // corpus is written partitioned by cell and each task dedups one
+    // cell, never the cross-corpus pair space. Candidate generation
+    // rides SLIM (cell, vec_id) rows (the dedup_embedding_lsh
+    // discipline); vectors are re-fetched by id only for candidate
+    // pairs. Assignment reuses the deterministic IVF coarse quantizer
+    // (seed centroids = first ivfCells vectors, rounded cosine,
+    // lower-cid tiebreak), so the DuckDB oracle mirrors the whole
+    // pipeline and the kept set hash-matches exactly.
+    Entry("dedup_semantic",
+      (spark, dir) => {
+        val v = embSlim(spark, dir)
+        val asg = graft.core.VectorTools.assignCells(
+            v.select(col("vec_id").as("id"), col("e")),
+            ivfSeedCentroids(spark, dir))
+          .select(col("id").as("vec_id"), col("cell"))
+        val a = asg.select(col("cell"), col("vec_id").as("v1"))
+        val b = asg.select(col("cell").as("cell2"), col("vec_id").as("v2"))
+        val cand = a.join(b,
+            col("cell") === col("cell2") && col("v1") < col("v2"))
+          .select(col("v1"), col("v2"))
+        val dropped = cand
+          .join(v.select(col("vec_id").as("v1"), col("e").as("e1"),
+            col("nrm").as("n1")), "v1")
+          .join(v.select(col("vec_id").as("v2"), col("e").as("e2"),
+            col("nrm").as("n2")), "v2")
+          .withColumn("sim",
+            round(VectorFunctions.dot(col("e1"), col("e2")) /
+              (col("n1") * col("n2")), 6))
+          .filter(col("sim") >= nearDupThreshold)
+          .select(col("v2").as("vec_id")).distinct()
+        asg.join(dropped, Seq("vec_id"), "left_anti")
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH v AS ($embSql),
+        |c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $ivfCells),
+        |s AS (SELECT v.vec_id, c.cid,
+        |    round(${cosSql("v.e", "c.ce")}, 6) AS csim
+        |  FROM v CROSS JOIN c),
+        |asg AS (SELECT vec_id, cid AS cell FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY csim DESC, cid) AS r FROM s) WHERE r = 1),
+        |dropped AS (SELECT DISTINCT b.vec_id
+        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  JOIN v va ON va.vec_id = a.vec_id
+        |  JOIN v vb ON vb.vec_id = b.vec_id
+        |  WHERE round(${cosSql("va.e", "vb.e")}, 6) >= $nearDupThreshold)
+        |SELECT asg.vec_id, asg.cell FROM asg
+        |WHERE asg.vec_id NOT IN (SELECT vec_id FROM dropped)
+        |ORDER BY asg.vec_id""".stripMargin))
   )
 
   /** Exact cosine top-5 for the fixed query panel (the allow-listed

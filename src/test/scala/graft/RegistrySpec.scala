@@ -27,7 +27,8 @@ class RegistrySpec extends SparkTestBase {
   // SINGLE row for the idf factor).
   test("query outputs are scalar-only and plans are free of cartesian blowups") {
     val bnljAllowed = Set("ann_topk_bruteforce", "ann_ivf_topk",
-      "ann_recall", "v_kmeans_assign", "v_kmeans_lloyd3", "t_tfidf_top")
+      "ann_recall", "v_kmeans_assign", "v_kmeans_lloyd3", "t_tfidf_top",
+      "dedup_semantic") // 16-row seed-centroid broadcast, never data
     val offenders = Registry.all.flatMap { e =>
       val df = e.fn(spark, sfDir)
       val nested = df.schema.fields.collect {
