@@ -1468,7 +1468,92 @@ object StreamingOps {
             .select(col("user_id"), col("event_type"))
         }(_.orderBy(col("user_id"), col("event_type"))),
       Some("""SELECT DISTINCT user_id, event_type FROM events
-        |ORDER BY user_id, event_type""".stripMargin))
+        |ORDER BY user_id, event_type""".stripMargin)),
+
+    // INCREMENTAL SEMANTIC DEDUP (streaming SemDeDup) — the admission
+    // pipeline a training-data ingest runs: each arriving embedding is
+    // coarse-quantized (stage 1, the s25 stateless relay shape), then
+    // judged against its CELL's members only
+    // ([[graft.streaming.SemanticStreamDedup]]): admitted if no
+    // earlier-id near-duplicate exists in the cell, and RETRACTED
+    // (kept=false superseding the earlier kept=true, CDC-style) if an
+    // earlier-id near-dup arrives late — the batch rule is an
+    // order-independent EXISTS, so the converged decisions match the
+    // batch dedup_semantic kept set for ANY arrival order. Work per
+    // batch is O(new × cell members), never cross-cell; state is
+    // cell-partitioned. Converges to the same oracle as
+    // dedup_semantic.
+    Entry("s30_stream_semantic_dedup",
+      (spark, dir) => { import spark.implicits._
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_sem_")
+          val relay = tmp.resolve("relay")
+          val log = tmp.resolve("log")
+          val ckpt1 = tmp.resolve("ckpt1")
+          val ckpt2 = tmp.resolve("ckpt2")
+          try {
+            val in = sharedChunkDir(dir, "embvec") { p =>
+              VectorOps.embSlim(spark, dir)
+                .repartitionByRange(chunks, col("vec_id"))
+                .write.parquet(p.toString)
+            }
+            val cent = VectorOps.ivfSeedCentroids(spark, dir)
+              .localCheckpoint()
+            val q1 = spark.readStream
+              .schema("vec_id BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+              .writeStream.outputMode("append")
+              .option("checkpointLocation", ckpt1.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.crossJoin(broadcast(cent))
+                  .select(col("vec_id"), col("e"), col("nrm"),
+                    round(graft.functions.VectorFunctions.dot(
+                      col("e"), col("ce")) / (col("nrm") * col("cn")), 6)
+                      .as("csim"),
+                    col("cid"))
+                  .groupBy(col("vec_id"))
+                  .agg(max_by(col("cid"), struct(col("csim"), -col("cid")))
+                    .as("cell"),
+                    first(col("e")).as("e"), first(col("nrm")).as("nrm"))
+                  .write.mode("append").parquet(relay.toString)
+                ()
+              }.start()
+            java.nio.file.Files.createDirectories(relay)
+            val asgs = spark.readStream
+              .schema("vec_id BIGINT, cell BIGINT, e ARRAY<DOUBLE>, " +
+                "nrm DOUBLE")
+              .option("maxFilesPerTrigger", streamShufflePartitions.toString)
+              .option("pathGlobFilter", "part-*")
+              .parquet(relay.toString)
+              .as[graft.streaming.AssignedVec]
+            val dec = graft.streaming.SemanticStreamDedup.decisions(
+              asgs, VectorOps.nearDupThreshold)
+            val q2 = dec.toDF().writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt2.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try {
+              q1.processAllAvailable()
+              q2.processAllAvailable()
+            } finally {
+              try q1.stop() finally q2.stop()
+            }
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("vec_id"))
+            raw
+              .withColumn("max_seq", max(col("seq")).over(wMax))
+              .filter(col("seq") === col("max_seq") && col("kept"))
+              .select(col("vec_id"), col("cell"))
+              .orderBy(col("vec_id"))
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(VectorOps.semanticKeptOracleSql))
   )
 
   /** Watermark + append-mode replay harness with the sentinel flush

@@ -483,23 +483,28 @@ object VectorOps {
         asg.join(dropped, Seq("vec_id"), "left_anti")
           .orderBy(col("vec_id"))
       },
-      Some(s"""WITH v AS ($embSql),
-        |c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $ivfCells),
-        |s AS (SELECT v.vec_id, c.cid,
-        |    round(${cosSql("v.e", "c.ce")}, 6) AS csim
-        |  FROM v CROSS JOIN c),
-        |asg AS (SELECT vec_id, cid AS cell FROM (
-        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY csim DESC, cid) AS r FROM s) WHERE r = 1),
-        |dropped AS (SELECT DISTINCT b.vec_id
-        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |  JOIN v va ON va.vec_id = a.vec_id
-        |  JOIN v vb ON vb.vec_id = b.vec_id
-        |  WHERE round(${cosSql("va.e", "vb.e")}, 6) >= $nearDupThreshold)
-        |SELECT asg.vec_id, asg.cell FROM asg
-        |WHERE asg.vec_id NOT IN (SELECT vec_id FROM dropped)
-        |ORDER BY asg.vec_id""".stripMargin))
+      Some(semanticKeptOracleSql))
   )
+
+  /** Shared with StreamingOps (s30): the incremental semantic-dedup
+    * decision stream must converge to exactly this batch kept set. */
+  private[queries] val semanticKeptOracleSql: String =
+    s"""WITH v AS ($embSql),
+       |c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $ivfCells),
+       |s AS (SELECT v.vec_id, c.cid,
+       |    round(${cosSql("v.e", "c.ce")}, 6) AS csim
+       |  FROM v CROSS JOIN c),
+       |asg AS (SELECT vec_id, cid AS cell FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY csim DESC, cid) AS r FROM s) WHERE r = 1),
+       |dropped AS (SELECT DISTINCT b.vec_id
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN v va ON va.vec_id = a.vec_id
+       |  JOIN v vb ON vb.vec_id = b.vec_id
+       |  WHERE round(${cosSql("va.e", "vb.e")}, 6) >= $nearDupThreshold)
+       |SELECT asg.vec_id, asg.cell FROM asg
+       |WHERE asg.vec_id NOT IN (SELECT vec_id FROM dropped)
+       |ORDER BY asg.vec_id""".stripMargin
 
   /** Exact cosine top-5 for the fixed query panel (the allow-listed
     * tiny-broadcast BNLJ: $queryCount query vectors against the
