@@ -1370,7 +1370,7 @@ object StreamingOps {
     // null-extended rows must hash-match the batch left-outer range
     // oracle.
     Entry("s26_stream_range_left_outer",
-      (spark, dir) => runAppendReplay(spark, dir) { src =>
+      (spark, dir) => runAppendReplay(spark, dir, stableTarget = 4) { src =>
         val a = src()
           .filter(expr("event_type IN ('signup','error') " +
             "AND user_id % 3 != 0"))
@@ -1398,7 +1398,7 @@ object StreamingOps {
     // right-null rows together hash-match the batch full-outer range
     // join.
     Entry("s27_stream_range_full_outer",
-      (spark, dir) => runAppendReplay(spark, dir) { src =>
+      (spark, dir) => runAppendReplay(spark, dir, stableTarget = 4) { src =>
         val a = src()
           .filter(expr("event_type IN ('signup','error') " +
             "AND user_id % 3 != 0"))
@@ -1425,7 +1425,7 @@ object StreamingOps {
     // EXISTS shape a feed filter runs ("keep signups that saw
     // activity within 30 minutes").
     Entry("s28_stream_range_semi",
-      (spark, dir) => runAppendReplay(spark, dir) { src =>
+      (spark, dir) => runAppendReplay(spark, dir, stableTarget = 4) { src =>
         val a = src()
           .filter(expr("event_type IN ('signup','error') " +
             "AND user_id % 3 != 0"))
@@ -1570,7 +1570,8 @@ object StreamingOps {
     * each closed window lands exactly once in a parquet FILE sink (a
     * downstream consumer needs no upsert handling) and closed-window
     * state is dropped. */
-  private def runAppendReplay(spark: SparkSession, dir: String)(
+  private def runAppendReplay(spark: SparkSession, dir: String,
+                              stableTarget: Int = 1)(
       agg: (() => DataFrame) => DataFrame)(
       finish: DataFrame => DataFrame): DataFrame = withStreamConf(spark) {
     val tmp = java.nio.file.Files.createTempDirectory("graft_app_")
@@ -1645,16 +1646,18 @@ object StreamingOps {
         def sinkCount(): Long =
           try spark.read.parquet(out.toString).count()
           catch { case _: Exception => -1L } // sink not created yet
-        // require several consecutive stable non-empty samples: unlike
-        // the window rows (everything lands in the one post-sentinel
-        // batch), an outer join emits matched rows across many batches
-        // and its null flush arrives in a LATER no-data batch — one
-        // lucky stable pair must not end the poll early
+        // `stableTarget` consecutive stable non-empty samples: the
+        // window rows land everything in the one post-sentinel batch
+        // (one stable pair suffices, the default), but an outer join
+        // emits matched rows across many batches and its null flush
+        // arrives in a LATER no-data batch — those rows demand a 2 s
+        // observed-quiet window so a lucky stable pair can never end
+        // the poll between the matched rows and the flush
         var prev = -2L
         var cur = sinkCount()
         var stable = 0
         var spins = 0
-        while ((stable < 4 || cur <= 0) && spins < 120) {
+        while ((stable < stableTarget || cur <= 0) && spins < 120) {
           Thread.sleep(500)
           prev = cur
           cur = sinkCount()
