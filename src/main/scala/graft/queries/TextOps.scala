@@ -348,6 +348,54 @@ object TextOps {
         |SELECT doc_id, r, tok, tf, df, score FROM (
         |  SELECT *, row_number() OVER (PARTITION BY doc_id
         |    ORDER BY score DESC, tok) AS r FROM s)
-        |WHERE r <= 5 ORDER BY doc_id, r""".stripMargin))
+        |WHERE r <= 5 ORDER BY doc_id, r""".stripMargin)),
+
+    // MODEL-BASED QUALITY SCORE — the third leg of the quality-filter
+    // family (heuristics: t_quality; repetition: t_repetition; model:
+    // here). Production pipelines score documents with a language
+    // model (CCNet's KenLM perplexity); the deterministic stand-in
+    // with identical plumbing is the corpus-trained UNIGRAM model:
+    // each token occurrence scores its corpus probability, a document
+    // scores the mean. Everything stays rational until one final
+    // division — avg_prob = Σ_t tf_t·cnt_t / (n_tokens·total) — so
+    // the score is IEEE-identical across engines with no ln() ULP
+    // hazard (the t_tfidf_top discipline). Scale shape: token-keyed
+    // partial-agg shuffles for the model and the per-doc tf, a slim
+    // (tok, cnt) equi-join, the corpus total broadcast as one row —
+    // at 100 TB the Zipf head collapses in map-side partials and the
+    // model fits the same join a tf-idf pass already runs.
+    Entry("t_unigram_lm",
+      (spark, dir) => {
+        val d = Registry.table(spark, dir, "documents")
+        val toks = d.select(col("doc_id"),
+            explode(TextFunctions.tokens(col("text"))).as("tok"))
+        val vocab = toks.groupBy(col("tok"))
+          .agg(count(lit(1)).as("cnt"))
+        val total = toks.agg(count(lit(1)).as("total"))
+        val tf = toks.groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        tf.join(vocab, Seq("tok"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("tf") * col("cnt")).as("wsum"),
+            sum(col("tf")).as("n_tokens"))
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("wsum") / (col("n_tokens") * col("total")), 6)
+              .as("avg_prob"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest($tokSql) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+        |tot AS (SELECT count(*) AS total FROM t),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+        |  GROUP BY doc_id, tok),
+        |ds AS (SELECT tf.doc_id,
+        |    CAST(sum(tf.tf * vocab.cnt) AS BIGINT) AS wsum,
+        |    CAST(sum(tf.tf) AS BIGINT) AS n_tokens
+        |  FROM tf JOIN vocab USING (tok) GROUP BY tf.doc_id)
+        |SELECT ds.doc_id, ds.n_tokens,
+        |  round(ds.wsum / (ds.n_tokens * tot.total), 6) AS avg_prob
+        |FROM ds CROSS JOIN tot ORDER BY ds.doc_id""".stripMargin))
   )
 }
