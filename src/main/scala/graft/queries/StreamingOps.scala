@@ -1390,6 +1390,38 @@ object StreamingOps {
         .orderBy(col("user_id"), col("e1"), col("e2"))),
       Some(Analytics.rangeLeftOuterOracleSql)),
 
+    // s26's NATIVE outer join under the PRODUCTION state backend:
+    // RocksDB provider + changelog checkpointing. The custom joins
+    // prove the backend swap on flatMapGroupsWithState state (s14,
+    // s18); this proves it on Spark's symmetric-hash-join state AND
+    // the watermark bookkeeping behind the delayed null flush — the
+    // two structures a 100 TB native outer join actually keeps off
+    // heap. Unmatched-left nulls must still flush exactly when the
+    // watermark closes the match window, hash-matching the same batch
+    // left-outer oracle.
+    Entry("s31_stream_native_rocksdb",
+      (spark, dir) => VersionedStreamJoin.withStateStoreProvider(spark) {
+        runAppendReplay(spark, dir, stableTarget = 4) { src =>
+          val a = src()
+            .filter(expr("event_type IN ('signup','error') " +
+              "AND user_id % 3 != 0"))
+            .select(col("user_id"), col("event_id"), col("ts_us"),
+              col("ets").as("ats"))
+          val b = src()
+            .filter(expr("event_type IN ('click','purchase','view') " +
+              "AND user_id % 5 != 0"))
+            .select(col("user_id").as("uid2"), col("event_id").as("e2"),
+              col("ts_us").as("tus2"), col("ets").as("bts"))
+          a.join(b, expr("user_id = uid2 AND " +
+              "bts BETWEEN ats - INTERVAL 30 MINUTES " +
+              "AND ats + INTERVAL 30 MINUTES"), "left_outer")
+            .select(col("user_id"), col("event_id").as("e1"), col("e2"),
+              (col("tus2") - col("ts_us")).as("dt_us"))
+        }(_.filter(col("user_id") >= 0)
+          .orderBy(col("user_id"), col("e1"), col("e2")))
+      },
+      Some(Analytics.rangeLeftOuterOracleSql)),
+
     // The FULL-outer form: unmatched rows on EITHER side flush
     // null-extended once the watermark closes their match window
     // (state for both sides is watermark-bounded). The output key is
