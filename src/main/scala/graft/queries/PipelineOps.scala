@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.TextFunctions
+
+/** The END-TO-END curation pipeline as ONE declarative plan — the DAG
+  * a training-data run actually executes, composed from stages that
+  * are each individually driver-verified elsewhere:
+  *
+  *   quality gate (t_quality) → exact dedup (dedup_exact/canonical) →
+  *   semantic dedup (dedup_semantic) → split manifest (t_sample_split)
+  *
+  * The output is the curated-corpus MANIFEST: one row per admitted
+  * document with its language, train/val/test split, quality score and
+  * semantic cell. Because the whole pipeline is one Catalyst plan,
+  * stages fuse where they can (quality, fingerprint and split bucket
+  * are all computed in the single documents scan; the quality filter
+  * prunes before any shuffle) — the composition costs one
+  * fingerprint-window shuffle, one slim id-keyed join to the cell
+  * assignment, and the per-cell survivor self-join, nothing more. At
+  * 100 TB each stage's scale story is unchanged from its standalone
+  * row; composing them ADDS no shuffle over running them separately
+  * and saves the inter-stage materializations.
+  */
+object PipelineOps {
+
+  private val qualityMin = 0.6
+
+  def entries: Seq[Entry] = Seq(
+    Entry("pipe_curation",
+      (spark, dir) => {
+        val d = Registry.table(spark, dir, "documents")
+        // one scan: quality, exact-dup fingerprint, split bucket
+        val q = d.select(col("doc_id"), col("lang"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          md5(col("text")).as("fp"),
+          (TextFunctions.tokenHash(col("doc_id").cast("string")) % 100)
+            .as("bucket"))
+        val gated = q.filter(col("quality") >= qualityMin)
+        // exact dedup among survivors: keep the min doc_id per content
+        val wFp = Window.partitionBy(col("fp"))
+        val exact = gated
+          .withColumn("mid", min(col("doc_id")).over(wFp))
+          .filter(col("doc_id") === col("mid"))
+        // semantic dedup among remaining survivors: cells from the
+        // deterministic IVF quantizer, near-dup pairs within cells only
+        val v = VectorOps.embSlim(spark, dir)
+        val asg = graft.core.VectorTools.assignCells(
+            v.select(col("vec_id").as("id"), col("e")),
+            VectorOps.ivfSeedCentroids(spark, dir))
+          .select(col("id").as("vec_id"), col("cell"))
+        val sv = exact.join(asg, col("vec_id") === col("doc_id"))
+          .select(col("doc_id"), col("lang"), col("quality"),
+            col("bucket"), col("cell"))
+        val a = sv.select(col("cell"), col("doc_id").as("v1"))
+        val b = sv.select(col("cell").as("cell2"), col("doc_id").as("v2"))
+        val dropped = a.join(b,
+            col("cell") === col("cell2") && col("v1") < col("v2"))
+          .join(v.select(col("vec_id").as("v1"), col("e").as("e1"),
+            col("nrm").as("n1")), "v1")
+          .join(v.select(col("vec_id").as("v2"), col("e").as("e2"),
+            col("nrm").as("n2")), "v2")
+          .withColumn("sim",
+            round(graft.functions.VectorFunctions.dot(
+              col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
+          .filter(col("sim") >= VectorOps.nearDupThreshold)
+          .select(col("v2").as("doc_id")).distinct()
+        sv.join(dropped, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"),
+            when(col("bucket") < 90, "train")
+              .when(col("bucket") < 95, "val")
+              .otherwise("test").as("split"),
+            col("quality"), col("cell"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH q AS (SELECT doc_id, lang,
+        |    round(0.5 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |        / len(string_split(text, ' '))::DOUBLE)
+        |      + 0.5 * least(1.0, length(text)::DOUBLE / 200.0), 6) AS quality,
+        |    md5(text) AS fp,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        |  FROM documents),
+        |g AS (SELECT * FROM q WHERE quality >= $qualityMin),
+        |e AS (SELECT * FROM (SELECT *,
+        |    min(doc_id) OVER (PARTITION BY fp) AS mid FROM g)
+        |  WHERE doc_id = mid),
+        |v AS (${VectorOps.embSql}),
+        |c AS (SELECT vec_id AS cid, e AS ce FROM v
+        |  WHERE vec_id < ${VectorOps.ivfCells}),
+        |s AS (SELECT v.vec_id, c.cid,
+        |    round(${VectorOps.cosSql("v.e", "c.ce")}, 6) AS csim
+        |  FROM v CROSS JOIN c),
+        |asg AS (SELECT vec_id, cid AS cell FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY csim DESC, cid) AS r FROM s) WHERE r = 1),
+        |sv AS (SELECT e.doc_id, e.lang, e.quality, e.bucket, asg.cell
+        |  FROM e JOIN asg ON asg.vec_id = e.doc_id),
+        |dropped AS (SELECT DISTINCT b.doc_id
+        |  FROM sv a JOIN sv b ON a.cell = b.cell AND a.doc_id < b.doc_id
+        |  JOIN v va ON va.vec_id = a.doc_id
+        |  JOIN v vb ON vb.vec_id = b.doc_id
+        |  WHERE round(${VectorOps.cosSql("va.e", "vb.e")}, 6)
+        |    >= ${VectorOps.nearDupThreshold})
+        |SELECT doc_id, lang,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+        |  quality, cell
+        |FROM sv WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY doc_id""".stripMargin))
+  )
+}

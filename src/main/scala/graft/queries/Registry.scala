@@ -17,7 +17,7 @@ object Registry {
       ReferenceJoins.entries ++ Analytics.entries ++
         DecisionSupport.entries ++ TextOps.entries ++
         DedupOps.entries ++ VectorOps.entries ++ MultimodalOps.entries ++
-        StreamingOps.entries
+        PipelineOps.entries ++ StreamingOps.entries
     val dup = entries.groupBy(_.name).collect { case (n, es) if es.size > 1 => n }
     require(dup.isEmpty,
       s"duplicate query names would be silently dropped by the driver's Map: $dup")

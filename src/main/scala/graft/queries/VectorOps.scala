@@ -76,9 +76,9 @@ object VectorOps {
        |    ORDER BY csim DESC, cid) AS r FROM s) WHERE r = 1
        |ORDER BY vec_id""".stripMargin
 
-  private val embSql =
+  private[queries] val embSql =
     "SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings"
-  private def cosSql(a: String, b: String) =
+  private[queries] def cosSql(a: String, b: String) =
     s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
 
   /** DuckDB literal for plane p (same integers as VectorFunctions). */

@@ -28,7 +28,7 @@ class RegistrySpec extends SparkTestBase {
   test("query outputs are scalar-only and plans are free of cartesian blowups") {
     val bnljAllowed = Set("ann_topk_bruteforce", "ann_ivf_topk",
       "ann_recall", "v_kmeans_assign", "v_kmeans_lloyd3", "t_tfidf_top",
-      "dedup_semantic", // 16-row seed-centroid broadcast, never data
+      "dedup_semantic", "pipe_curation", // 16-row centroid broadcast
       "t_unigram_lm") // 1-row corpus-total broadcast
     val offenders = Registry.all.flatMap { e =>
       val df = e.fn(spark, sfDir)
