@@ -51,9 +51,16 @@ object PipelineOps {
             v.select(col("vec_id").as("id"), col("e")),
             VectorOps.ivfSeedCentroids(spark, dir))
           .select(col("id").as("vec_id"), col("cell"))
+        // materialize the SLIM survivor manifest once (no text, no
+        // vectors): the self-join below otherwise re-scans documents
+        // and recomputes quality/md5 per reference — at 100 TB this is
+        // a manifest table written between macro-stages;
+        // localCheckpoint is the single-JVM stand-in (the
+        // GraphTools/Lloyd discipline)
         val sv = exact.join(asg, col("vec_id") === col("doc_id"))
           .select(col("doc_id"), col("lang"), col("quality"),
             col("bucket"), col("cell"))
+          .localCheckpoint()
         val a = sv.select(col("cell"), col("doc_id").as("v1"))
         val b = sv.select(col("cell").as("cell2"), col("doc_id").as("v2"))
         val dropped = a.join(b,
