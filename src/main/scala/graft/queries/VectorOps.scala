@@ -461,10 +461,17 @@ object VectorOps {
     Entry("dedup_semantic",
       (spark, dir) => {
         val v = embSlim(spark, dir)
+        // materialize the slim (vec_id, cell) assignment once: it is
+        // referenced three times below (both self-join sides + the
+        // final anti-join), and without this each reference re-scans
+        // the corpus and re-runs the centroid argmax (the
+        // pipe_curation manifest discipline; a written assignment
+        // table at 100 TB)
         val asg = graft.core.VectorTools.assignCells(
             v.select(col("vec_id").as("id"), col("e")),
             ivfSeedCentroids(spark, dir))
           .select(col("id").as("vec_id"), col("cell"))
+          .localCheckpoint()
         val a = asg.select(col("cell"), col("vec_id").as("v1"))
         val b = asg.select(col("cell").as("cell2"), col("vec_id").as("v2"))
         val cand = a.join(b,
