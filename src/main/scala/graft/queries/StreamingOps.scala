@@ -1585,7 +1585,179 @@ object StreamingOps {
           } finally deleteRecursively(tmp)
         }
       },
-      Some(VectorOps.semanticKeptOracleSql))
+      Some(VectorOps.semanticKeptOracleSql)),
+
+    // THE STREAMING CURATION PIPELINE — pipe_curation's incremental
+    // half: documents arrive as a stream, embeddings join in as the
+    // STATIC side (computed upstream, the realistic shape), and the
+    // admission manifest converges over three queries:
+    //   q1 (stateless per batch): quality gate + content fingerprint +
+    //      split bucket + id-keyed static join to (cell, e, nrm),
+    //      relayed as slim rows;
+    //   q2 (stateful, keyed by fingerprint): exact-dup admission —
+    //      [[graft.streaming.SemanticStreamDedup]] at threshold −1,
+    //      where EVERY same-key pair is a duplicate, degenerates to
+    //      min-id-per-content admission with CDC retraction;
+    //   q3 (stateful, keyed by cell): semantic admission, the s30 op.
+    // COMPOSITION CONTRACT: the two drop-lists are computed
+    // INDEPENDENTLY over the gated corpus and ANDed (parallel
+    // composition) — each stage stays a monotone order-independent
+    // EXISTS rule, so late arrivals can only retract, never revive,
+    // and the converged manifest is arrival-order-free. (pipe_curation
+    // is the sequential composition — semantic pairs among exact
+    // survivors; the two differ only when an exact-dropped doc is
+    // itself a semantic dropper, and each is checked against its own
+    // oracle.) At 100 TB: one stateless pass + two cell/fp-keyed
+    // decision states holding slim members, the relay an object-store
+    // prefix.
+    Entry("s32_stream_curation",
+      (spark, dir) => { import spark.implicits._
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_cur_")
+          val relay = tmp.resolve("relay")
+          val logE = tmp.resolve("logE")
+          val logS = tmp.resolve("logS")
+          val ckpt1 = tmp.resolve("ckpt1")
+          val ckpt2 = tmp.resolve("ckpt2")
+          val ckpt3 = tmp.resolve("ckpt3")
+          try {
+            val in = sharedChunkDir(dir, "doctext") { p =>
+              Registry.table(spark, dir, "documents")
+                .select(col("doc_id"), col("text"))
+                .repartitionByRange(chunks, col("doc_id"))
+                .write.parquet(p.toString)
+            }
+            // the static sides, slim and materialized once
+            val emb = VectorOps.embSlim(spark, dir).localCheckpoint()
+            val asg = graft.core.VectorTools.assignCells(
+                emb.select(col("vec_id").as("id"), col("e")),
+                VectorOps.ivfSeedCentroids(spark, dir))
+              .select(col("id").as("vec_id"), col("cell"))
+              .localCheckpoint()
+            val docsMeta = Registry.table(spark, dir, "documents")
+              .select(col("doc_id").as("mid"), col("lang"),
+                TextFunctions.qualityScore(col("text")).as("quality"))
+              .localCheckpoint()
+            val q1 = spark.readStream
+              .schema("doc_id BIGINT, text STRING")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+              .writeStream.outputMode("append")
+              .option("checkpointLocation", ckpt1.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.select(col("doc_id"),
+                    TextFunctions.qualityScore(col("text")).as("quality"),
+                    TextFunctions.fingerprint64(col("text")).as("fp64"),
+                    (TextFunctions.tokenHash(col("doc_id").cast("string"))
+                      % 100).as("bucket"))
+                  .filter(col("quality") >= lit(0.6))
+                  .join(emb, col("vec_id") === col("doc_id"))
+                  .join(asg.withColumnRenamed("vec_id", "avid"),
+                    col("avid") === col("doc_id"))
+                  .select(col("doc_id"), col("bucket"), col("fp64"),
+                    col("cell"), col("e"), col("nrm"))
+                  .write.mode("append").parquet(relay.toString)
+                ()
+              }.start()
+            java.nio.file.Files.createDirectories(relay)
+            val relaySchema = "doc_id BIGINT, bucket BIGINT, " +
+              "fp64 BIGINT, cell BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE"
+            def tail(): DataFrame = spark.readStream.schema(relaySchema)
+              .option("maxFilesPerTrigger", streamShufflePartitions)
+              .option("pathGlobFilter", "part-*")
+              .parquet(relay.toString)
+            val exactIn = tail()
+              .select(col("doc_id").as("vec_id"),
+                col("fp64").as("cell"), col("e"), col("nrm"))
+              .as[graft.streaming.AssignedVec]
+            val q2 = graft.streaming.SemanticStreamDedup
+              .decisions(exactIn, -1.0)
+              .toDF().writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt2.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.repartition(1).write.mode("append").parquet(logE.toString)
+                ()
+              }.start()
+            val semIn = tail()
+              .select(col("doc_id").as("vec_id"), col("cell"),
+                col("e"), col("nrm"))
+              .as[graft.streaming.AssignedVec]
+            val q3 = graft.streaming.SemanticStreamDedup
+              .decisions(semIn, VectorOps.nearDupThreshold)
+              .toDF().writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt3.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.repartition(1).write.mode("append").parquet(logS.toString)
+                ()
+              }.start()
+            try {
+              q1.processAllAvailable()
+              q2.processAllAvailable()
+              q3.processAllAvailable()
+            } finally {
+              try q1.stop() finally { try q2.stop() finally q3.stop() }
+            }
+            def latestKept(log: java.nio.file.Path): DataFrame = {
+              val w = Window.partitionBy(col("vec_id"))
+              spark.read.parquet(log.toString)
+                .withColumn("mx", max(col("seq")).over(w))
+                .filter(col("seq") === col("mx") && col("kept"))
+                .select(col("vec_id"))
+            }
+            spark.read.parquet(relay.toString)
+              .select(col("doc_id"), col("bucket"), col("cell"))
+              .join(latestKept(logE)
+                .withColumnRenamed("vec_id", "ke"), col("ke") === col("doc_id"))
+              .join(latestKept(logS)
+                .withColumnRenamed("vec_id", "ks"), col("ks") === col("doc_id"))
+              .join(docsMeta, col("mid") === col("doc_id"))
+              .select(col("doc_id"), col("lang"),
+                when(col("bucket") < 90, "train")
+                  .when(col("bucket") < 95, "val")
+                  .otherwise("test").as("split"),
+                col("quality"), col("cell"))
+              .orderBy(col("doc_id"))
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(s"""WITH g AS (SELECT doc_id, lang,
+        |    round(0.5 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |        / len(string_split(text, ' '))::DOUBLE)
+        |      + 0.5 * least(1.0, length(text)::DOUBLE / 200.0), 6) AS quality,
+        |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS fp64,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        |  FROM documents),
+        |gated AS (SELECT * FROM g WHERE quality >= 0.6),
+        |v AS (${VectorOps.embSql}),
+        |c AS (SELECT vec_id AS cid, e AS ce FROM v
+        |  WHERE vec_id < ${VectorOps.ivfCells}),
+        |s AS (SELECT v.vec_id, c.cid,
+        |    round(${VectorOps.cosSql("v.e", "c.ce")}, 6) AS csim
+        |  FROM v CROSS JOIN c),
+        |asg AS (SELECT vec_id, cid AS cell FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY csim DESC, cid) AS r FROM s) WHERE r = 1),
+        |drop_e AS (SELECT DISTINCT b.doc_id
+        |  FROM gated a JOIN gated b
+        |    ON a.fp64 = b.fp64 AND a.doc_id < b.doc_id),
+        |sv AS (SELECT gated.*, asg.cell FROM gated
+        |  JOIN asg ON asg.vec_id = gated.doc_id),
+        |drop_s AS (SELECT DISTINCT b.doc_id
+        |  FROM sv a JOIN sv b ON a.cell = b.cell AND a.doc_id < b.doc_id
+        |  JOIN v va ON va.vec_id = a.doc_id
+        |  JOIN v vb ON vb.vec_id = b.doc_id
+        |  WHERE round(${VectorOps.cosSql("va.e", "vb.e")}, 6)
+        |    >= ${VectorOps.nearDupThreshold})
+        |SELECT doc_id, lang,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+        |  quality, cell
+        |FROM sv
+        |WHERE doc_id NOT IN (SELECT doc_id FROM drop_e)
+        |  AND doc_id NOT IN (SELECT doc_id FROM drop_s)
+        |ORDER BY doc_id""".stripMargin))
   )
 
   /** Watermark + append-mode replay harness with the sentinel flush
