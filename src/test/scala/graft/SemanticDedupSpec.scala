@@ -83,4 +83,73 @@ class SemanticDedupSpec extends SparkTestBase {
     val dec = run(Seq(Seq(u), Seq(u)))
     assert(dec.filter(_.vec_id == 1).map(_.kept) == Seq(true))
   }
+
+  // Fault tolerance: the cell state (members + decisions) must survive
+  // a stop/restart from checkpoint — a vector admitted BEFORE the
+  // restart must be retracted by an earlier-id near-dup arriving AFTER
+  // it, which requires the restored state to still hold the admitted
+  // vector's embedding. Run on the default provider and under the
+  // production RocksDB + changelog config.
+  test("retraction works across a checkpoint restart") {
+    recoveryScenario()
+  }
+  test("retraction across restart under RocksDB + changelog") {
+    graft.streaming.VersionedStreamJoin.withStateStoreProvider(spark) {
+      recoveryScenario()
+    }
+  }
+
+  private def recoveryScenario(): Unit = {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_semrec_")
+    try {
+      val in = java.nio.file.Files.createDirectories(tmp.resolve("in"))
+      val log = tmp.resolve("log").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      def append(rows: AssignedVec*): Unit =
+        rows.toDS().coalesce(1).write.mode("append").parquet(in.toString)
+      def startQuery() =
+        SemanticStreamDedup.decisions(
+          spark.readStream
+            .schema("vec_id BIGINT, cell BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE")
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "part-*")
+            .parquet(in.toString).as[AssignedVec], tau)
+          .toDF().writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.coalesce(1).write.mode("append").parquet(log)
+            ()
+          }.start()
+
+      // phase 1: v5 admitted, v3 orthogonal admitted, then STOP
+      append(av(5, 0, vec(1, 0)), av(3, 0, vec(0, 1)))
+      val q1 = startQuery()
+      try q1.processAllAvailable() finally q1.stop()
+      val phase1 = spark.read.parquet(log)
+        .as[SemDecision].collect().toSeq
+      assert(converged(phase1) == Map(5L -> true, 3L -> true))
+      val phase1Rows = phase1.size
+
+      // phase 2: earlier-id near-dup of v5 arrives; a NEW query resumes
+      append(av(1, 0, vec(1, 0)))
+      val q2 = startQuery()
+      try q2.processAllAvailable() finally q2.stop()
+      val all = spark.read.parquet(log).as[SemDecision].collect().toSeq
+      assert(converged(all) == Map(1L -> true, 3L -> true, 5L -> false),
+        s"restored state failed to retract: ${all.sortBy(d => (d.vec_id, d.seq))}")
+      // the retraction must be a NEW phase-2 emission, and the restarted
+      // source must not have reprocessed the phase-1 file (v3 untouched)
+      assert(all.size > phase1Rows)
+      assert(all.count(_.vec_id == 3) == 1,
+        "phase 2 re-emitted an untouched key — source reprocessed old files")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
