@@ -1502,6 +1502,31 @@ object StreamingOps {
       Some("""SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin)),
 
+    // STREAM-STATIC ENRICHMENT JOIN — the remaining native streaming
+    // join form: a stream joined to a STATIC dimension inside the
+    // streaming query itself (not per-batch in foreachBatch). It is
+    // stateless — each microbatch hash/broadcast-joins against the
+    // dimension and emits immediately, no watermark, no state store —
+    // which is exactly the 100 TB enrichment shape: the dimension
+    // broadcasts to every executor once per batch (or bucket-joins
+    // when too big) while the fact stream never shuffles. Every event
+    // enriched exactly once across batches, so the converged log
+    // hash-matches the batch join oracle with no upsert handling.
+    Entry("s33_stream_static_enrich",
+      (spark, dir) => {
+        val dim = broadcast(Registry.table(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment")))
+        runFileStream(spark, dir, mode = "append") { src =>
+          src().toDF()
+            .join(dim, col("user_id") === col("c_custkey"))
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              col("c_name"), col("c_mktsegment"))
+        }(_.orderBy(col("event_id")))
+      },
+      Some("""SELECT event_id, user_id, event_type, c_name, c_mktsegment
+        |FROM events JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin)),
+
     // INCREMENTAL SEMANTIC DEDUP (streaming SemDeDup) — the admission
     // pipeline a training-data ingest runs: each arriving embedding is
     // coarse-quantized (stage 1, the s25 stateless relay shape), then
