@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 
 /** One driver-checkable query: a Spark implementation plus (usually) an
   * equivalent DuckDB oracle SQL over the same parquet tables. Queries
@@ -26,22 +26,33 @@ object Registry {
 
   /** Shared parquet loader for the driver testdata layout.
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    * refuses to read as a timestamp ([PARQUET_TYPE_ILLEGAL]); we read it
-    * as raw nanos via the legacy conf and convert to a microsecond
-    * TimestampType — the values are exact µs multiples, and DuckDB's
-    * TIMESTAMP is µs as well, so the two engines see identical instants.
+    * `events.ts` has shipped in two vintages: parquet TIMESTAMP(NANOS)
+    * — which Spark 4 refuses to read as a timestamp
+    * ([PARQUET_TYPE_ILLEGAL]), so we read raw nanos via the legacy conf
+    * and convert — and plain TIMESTAMP(MICROS) without UTC adjustment,
+    * which Spark infers as TIMESTAMP_NTZ. Rather than assume a vintage
+    * (a wrong assumption here once killed every events query for two
+    * rounds), branch on the dtype Spark actually loaded. All sessions
+    * run with spark.sql.session.timeZone=UTC, so the NTZ→LTZ cast is
+    * instant-preserving and matches DuckDB's µs TIMESTAMP exactly.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     if (name == "events") {
       // set-if-unset avoids redundant conf writes; every caller writes
       // the same value, so the benign check-then-set race cannot
-      // produce a wrong setting
+      // produce a wrong setting. Harmless for non-nanos data (the conf
+      // only affects TIMESTAMP(NANOS) columns).
       if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(path)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val df = spark.read.parquet(path)
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // nanos-as-long vintage
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df // already session-tz TimestampType
+      }
     } else spark.read.parquet(path)
   }
 }

@@ -110,9 +110,35 @@ object StreamingOps {
   private val sharedIngestRoot = java.nio.file.Paths
     .get(sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_shared_ingest")
 
-  private def sharedChunkDir(sfDir: String, name: String)(
+  /** Content fingerprint of a source table file/dir: total byte size +
+    * newest mtime over its files. Part of the shared-ingest cache key so
+    * a driver-side testdata regeneration invalidates the cache instead
+    * of silently replaying stale chunks into the streaming rows (the
+    * events regeneration between r07 and r08 made this a live hazard:
+    * the oracle reads fresh parquet while a keyed-on-path cache would
+    * keep serving the old vintage). */
+  private[graft] def srcFingerprint(sfDir: String, srcTable: String): String = {
+    val p = java.nio.file.Paths.get(sfDir, srcTable + ".parquet")
+    if (!java.nio.file.Files.exists(p)) "absent"
+    else {
+      var size = 0L; var mtime = 0L
+      val s = java.nio.file.Files.walk(p)
+      try s.forEach { f =>
+        if (java.nio.file.Files.isRegularFile(f)) {
+          size += java.nio.file.Files.size(f)
+          mtime = math.max(mtime,
+            java.nio.file.Files.getLastModifiedTime(f).toMillis)
+        }
+      } finally s.close()
+      size + "m" + mtime
+    }
+  }
+
+  private[graft] def sharedChunkDir(sfDir: String, name: String,
+      srcTable: String)(
       write: java.nio.file.Path => Unit): java.nio.file.Path = synchronized {
-    val key = (sfDir + "_" + name + "_" + chunks)
+    val key = (sfDir + "_" + name + "_" + chunks + "_" +
+      srcFingerprint(sfDir, srcTable))
       .replaceAll("[^A-Za-z0-9._-]", "_")
     val target = sharedIngestRoot.resolve(key)
     if (java.nio.file.Files.exists(target.resolve("_SUCCESS"))) target
@@ -135,7 +161,7 @@ object StreamingOps {
     * every events-replay row consumes; see [[evReplaySchema]]). */
   private def sharedEventsChunks(spark: SparkSession,
                                  dir: String): java.nio.file.Path =
-    sharedChunkDir(dir, "events") { p =>
+    sharedChunkDir(dir, "events", "events") { p =>
       Registry.table(spark, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("unix_micros(ts)").as("ts_us"), col("value"))
@@ -149,16 +175,17 @@ object StreamingOps {
     * oracle's dedup (see [[LiRow]]). */
   private def chainChunkDirs(spark: SparkSession, dir: String)
       : (java.nio.file.Path, java.nio.file.Path, java.nio.file.Path) = {
-    val cust = sharedChunkDir(dir, "chain_cust") { p =>
+    val cust = sharedChunkDir(dir, "chain_cust", "customer") { p =>
       Registry.table(spark, dir, "customer")
         .select(col("c_custkey"), col("c_name"))
         .repartitionByRange(chunks, col("c_custkey"))
         .write.parquet(p.toString)
     }
-    // "_v2" = the +1 o_ver shift below: sharedChunkDir keys carry no
-    // content hash, so a schema/derivation change must bump the name
-    // or a stale cache from an older build poisons the replay
-    val ord = sharedChunkDir(dir, "chain_ord_v2") { p =>
+    // "_v2" = the +1 o_ver shift below: sharedChunkDir keys fingerprint
+    // the SOURCE data but not this derivation logic, so a
+    // schema/derivation change must still bump the name or a stale
+    // cache from an older build poisons the replay
+    val ord = sharedChunkDir(dir, "chain_ord_v2", "orders") { p =>
       Registry.table(spark, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"),
           // +1: versions must stay POSITIVE — o_orderkey 0 exists, and
@@ -169,7 +196,7 @@ object StreamingOps {
         .repartitionByRange(chunks, col("o_orderkey"))
         .write.parquet(p.toString)
     }
-    val li = sharedChunkDir(dir, "chain_li") { p =>
+    val li = sharedChunkDir(dir, "chain_li", "lineitem") { p =>
       Registry.table(spark, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           (expr("unix_date(cast(l_shipdate as date))") * lit(10000000000L)
@@ -513,7 +540,7 @@ object StreamingOps {
           val log = tmp.resolve("log")
           val ckpt = tmp.resolve("ckpt")
           try {
-            val in = sharedChunkDir(dir, "docfp") { p =>
+            val in = sharedChunkDir(dir, "docfp", "documents") { p =>
               Registry.table(spark, dir, "documents")
                 .select(col("doc_id"), md5(col("text")).as("fp"))
                 .repartitionByRange(chunks, col("doc_id"))
@@ -567,7 +594,7 @@ object StreamingOps {
           val log = tmp.resolve("log")
           val ckpt = tmp.resolve("ckpt")
           try {
-            val in = sharedChunkDir(dir, "doctext") { p =>
+            val in = sharedChunkDir(dir, "doctext", "documents") { p =>
               Registry.table(spark, dir, "documents")
                 .select(col("doc_id"), col("text"))
                 .repartitionByRange(chunks, col("doc_id"))
@@ -632,7 +659,7 @@ object StreamingOps {
           val log = tmp.resolve("log")
           val ckpt = tmp.resolve("ckpt")
           try {
-            val in = sharedChunkDir(dir, "doctext") { p =>
+            val in = sharedChunkDir(dir, "doctext", "documents") { p =>
               Registry.table(spark, dir, "documents")
                 .select(col("doc_id"), col("text"))
                 .repartitionByRange(chunks, col("doc_id"))
@@ -710,7 +737,7 @@ object StreamingOps {
           val ckpt1 = tmp.resolve("ckpt1")
           val ckpt2 = tmp.resolve("ckpt2")
           try {
-            val in = sharedChunkDir(dir, "embvec") { p =>
+            val in = sharedChunkDir(dir, "embvec", "embeddings") { p =>
               VectorOps.embSlim(spark, dir)
                 .repartitionByRange(chunks, col("vec_id"))
                 .write.parquet(p.toString)
@@ -876,6 +903,73 @@ object StreamingOps {
         }
       },
       Some(ReferenceJoins.j2OracleSql)),
+
+    // J3 (leftOuterSeq) on the transformWithState path — with s20/s23
+    // this completes the J1–J4 matrix on BOTH state-API generations as
+    // driver rows, not just sbt specs (TwsJoinSpec). Same per-id
+    // MapState + typed-timer TTL rationale as s20; the converged
+    // projection is s6's verbatim, and both must hash-match the one
+    // batch J3 oracle.
+    Entry("s34_stream_tws_left_outer_seq",
+      (spark, dir) => { import spark.implicits._
+        VersionedStreamJoin.withStateStoreProvider(spark) {
+          runFileStream(spark, dir) { src =>
+            graft.streaming.TwsVersionedJoin.leftOuterSeq[Ev, Ev](
+              src().filter(isX _), src().filter(isY _),
+              x => x.user_id.toString, y => y.user_id.toString,
+              x => x.event_type, y => y.event_type,
+              x => x.ts_us, y => y.ts_us,
+              ttlMs = Some(1000L * 365 * 86400 * 1000),
+              watermarkDelay = "36500 days").toDF()
+          } { raw =>
+            val wMax = Window.partitionBy(col("key"))
+            raw
+              .withColumn("max_seq", max(col("seq")).over(wMax))
+              .filter(col("seq") === col("max_seq"))
+              .select(
+                col("key").cast("long").as("user_id"),
+                element_at(col("xs"), 1).getField("event_id").as("x_event_id"),
+                element_at(col("xs"), 1).getField("event_type").as("x_type"),
+                expr("timestamp_micros(element_at(xs, 1).ts_us)").as("x_ts"),
+                concat_ws(",", sort_array(expr("transform(ys, y -> y.event_id)"))
+                  .cast("array<string>")).as("y_event_ids"),
+                size(col("ys")).cast("long").as("y_n"))
+              .orderBy(col("user_id"))
+          }
+        }
+      },
+      Some(ReferenceJoins.j3OracleSql)),
+
+    // J4 (fullOuterSeq, the per-key cogroup) on transformWithState —
+    // the last cell of the 2-API × 4-variant join matrix. Converged
+    // projection is s7's verbatim against the batch J4 oracle.
+    Entry("s35_stream_tws_full_outer_seq",
+      (spark, dir) => { import spark.implicits._
+        VersionedStreamJoin.withStateStoreProvider(spark) {
+          runFileStream(spark, dir) { src =>
+            graft.streaming.TwsVersionedJoin.fullOuterSeq[Ev, Ev](
+              src().filter(isX _), src().filter(isY _),
+              x => x.user_id.toString, y => y.user_id.toString,
+              x => x.event_type, y => y.event_type,
+              x => x.ts_us, y => y.ts_us,
+              ttlMs = Some(1000L * 365 * 86400 * 1000),
+              watermarkDelay = "36500 days").toDF()
+          } { raw =>
+            val wMax = Window.partitionBy(col("key"))
+            raw
+              .withColumn("max_seq", max(col("seq")).over(wMax))
+              .filter(col("seq") === col("max_seq"))
+              .select(
+                col("key").cast("long").as("user_id"),
+                concat_ws(",", sort_array(expr("transform(xs, v -> v.event_id)"))
+                  .cast("array<string>")).as("x_event_ids"),
+                concat_ws(",", sort_array(expr("transform(ys, v -> v.event_id)"))
+                  .cast("array<string>")).as("y_event_ids"))
+              .orderBy(col("user_id"))
+          }
+        }
+      },
+      Some(ReferenceJoins.j4OracleSql)),
 
     // Spark's NATIVE watermarked stream-stream join (the built-in
     // operator family, distinct from the custom versioned-join core):
@@ -1248,13 +1342,24 @@ object StreamingOps {
         val tmp = java.nio.file.Files.createTempDirectory("graft_s3_")
         val log = tmp.resolve("log"); val ckpt = tmp.resolve("ckpt")
         try {
-          val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+          // readStream needs an explicit schema, and the testdata has
+          // shipped events.ts in two vintages (TIMESTAMP(NANOS) → read
+          // as BIGINT under the legacy conf; TIMESTAMP(MICROS) → NTZ).
+          // Sniff the dtype the batch reader actually loads (a footer
+          // read, no data scan) and declare the matching stream schema
+          // instead of assuming one vintage.
+          val tsIsLong = spark.read.parquet(s"$dir/events.parquet")
+            .schema("ts").dataType == org.apache.spark.sql.types.LongType
+          val tsDecl = if (tsIsLong) "ts BIGINT" else "ts TIMESTAMP_NTZ"
+          val schema = s"event_id BIGINT, $tsDecl, user_id BIGINT, " +
             "event_type STRING, value DOUBLE, props STRING"
-          val src = spark.readStream.schema(schema)
+          val src0 = spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
             .option("pathGlobFilter", "events.parquet")
             .parquet(dir)
-            .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+          val src =
+            if (tsIsLong) src0.withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+            else src0.withColumn("ets", col("ts").cast("timestamp"))
           val agg = src
             .withWatermark("ets", "1 hour")
             .groupBy(window(col("ets"), "1 day").getField("start").as("day"),
@@ -1549,7 +1654,7 @@ object StreamingOps {
           val ckpt1 = tmp.resolve("ckpt1")
           val ckpt2 = tmp.resolve("ckpt2")
           try {
-            val in = sharedChunkDir(dir, "embvec") { p =>
+            val in = sharedChunkDir(dir, "embvec", "embeddings") { p =>
               VectorOps.embSlim(spark, dir)
                 .repartitionByRange(chunks, col("vec_id"))
                 .write.parquet(p.toString)
@@ -1646,7 +1751,7 @@ object StreamingOps {
           val ckpt2 = tmp.resolve("ckpt2")
           val ckpt3 = tmp.resolve("ckpt3")
           try {
-            val in = sharedChunkDir(dir, "doctext") { p =>
+            val in = sharedChunkDir(dir, "doctext", "documents") { p =>
               Registry.table(spark, dir, "documents")
                 .select(col("doc_id"), col("text"))
                 .repartitionByRange(chunks, col("doc_id"))

@@ -117,6 +117,47 @@ class RegistrySpec extends SparkTestBase {
     assert(missing.isEmpty, s"queries without an oracle: $missing")
   }
 
+  // Driver-artifact reconciliation guard: CORRECTNESS_r08 silently
+  // dropped 48 queries (the driver's Verify swallows a query's
+  // exception and emits NO row for it) and the gap sat unnoticed for
+  // two rounds. Diff the declared registry against the newest committed
+  // CORRECTNESS_r*.json: every query absent from the artifact must at
+  // least run clean locally — absence is legitimate only for queries
+  // added after that artifact was produced, and those must work; a
+  // query that is both absent AND failing is exactly the silent-omission
+  // failure mode this guard exists to catch.
+  test("queries absent from the newest CORRECTNESS artifact run clean locally") {
+    val root = java.nio.file.Paths.get(".")
+    val artifacts = java.nio.file.Files.list(root).iterator()
+    val rx = "CORRECTNESS_r(\\d+)\\.json".r
+    var newest: Option[(Int, java.nio.file.Path)] = None
+    try artifacts.forEachRemaining { p =>
+      p.getFileName.toString match {
+        case rx(n) if newest.forall(_._1 < n.toInt) =>
+          newest = Some((n.toInt, p))
+        case _ => ()
+      }
+    } finally ()
+    assume(newest.nonEmpty, "no CORRECTNESS_r*.json artifact found")
+    val (round, path) = newest.get
+    val txt = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+    // artifact keys are the only names followed by an object value
+    val present = "\"([A-Za-z0-9_]+)\"\\s*:\\s*\\{".r
+      .findAllMatchIn(txt).map(_.group(1)).toSet
+    val absent = Registry.all.filterNot(e => present(e.name))
+    info(s"CORRECTNESS_r$round: ${present.size} rows; " +
+      s"${absent.size} registered queries absent: ${absent.map(_.name).mkString(", ")}")
+    val broken = absent.flatMap { e =>
+      try { e.fn(spark, sfDir).count(); None }
+      catch { case ex: Exception =>
+        Some(s"${e.name}: ${ex.getClass.getSimpleName} ${ex.getMessage.take(120)}")
+      }
+    }
+    assert(broken.isEmpty,
+      s"queries silently absent from CORRECTNESS_r$round AND failing locally " +
+        s"— the driver will drop their rows again: $broken")
+  }
+
   // Docs-in-lockstep guard: COVERAGE.md is the judge-facing inventory
   // and has gone stale on every round that added queries without a
   // matching doc edit. Every registered query name must appear there
