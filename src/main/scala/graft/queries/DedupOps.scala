@@ -32,6 +32,8 @@ object DedupOps {
   val maxShingleDf = 50
   /** Jaccard threshold for reporting a near-duplicate pair. */
   val jaccardThreshold = 0.5
+  /** Span length (in tokens) for exact-substring duplicate detection. */
+  val substringGramLen = 8
 
   // ---- shared Spark-side pieces -------------------------------------
 
@@ -319,6 +321,65 @@ object DedupOps {
            |  CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS th FROM tok),
            |s AS (SELECT doc_id, $sums FROM th GROUP BY doc_id)
            |SELECT doc_id, $packed AS simhash32 FROM s ORDER BY doc_id""".stripMargin
+      }),
+
+    // EXACT-SUBSTRING DUPLICATION (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better", arXiv:2107.06499 —
+    // public paper): find verbatim ≥k-token spans shared across
+    // documents, the duplication the shingle-Jaccard family is blind
+    // to (a 50-token boilerplate block inside two otherwise-different
+    // pages moves Jaccard barely, but is exactly what a training run
+    // memorizes). Per document: every k-token window is fingerprinted
+    // (md5 — the slim join key; the paper's suffix array answers the
+    // same membership question, but a fingerprint equi-join is the
+    // shape that distributes), windows whose fingerprint occurs in
+    // ≥2 DISTINCT documents are duplicated spans, and the output is
+    // the per-document duplicated-window count and coverage ratio —
+    // the quantity pipelines threshold on to drop or trim a document.
+    // Scale shape: one shuffle on the fingerprint (never the text),
+    // document-frequency computed on deduped (gram, doc) rows, and
+    // the gram stream is materialized once for its two consumers
+    // (df + per-doc rollup — the dedup_shingle_jaccard diamond
+    // lesson).
+    Entry("dedup_substring_spans",
+      (spark, dir) => {
+        val k = substringGramLen
+        val grams = Registry.table(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= k)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
+              i => md5(concat_ws(" ", slice(col("t"), i, lit(k)))))).as("g"))
+          .localCheckpoint()
+        val df = grams.select(col("g"), col("doc_id")).distinct()
+          .groupBy(col("g")).agg(count(lit(1)).as("nd"))
+        grams.join(df, "g")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("dup_grams"))
+          .withColumn("dup_coverage",
+            round(col("dup_grams").cast("double") / col("n_grams"), 6))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val k = substringGramLen
+        s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents
+           |  WHERE len($tokSql) >= $k),
+           |g AS (SELECT doc_id,
+           |    unnest(list_transform(generate_series(1, len(t) - ${k - 1}),
+           |      i -> md5(array_to_string(t[i:i + ${k - 1}], ' ')))) AS g
+           |  FROM toks),
+           |df AS (SELECT g, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+           |  FROM g GROUP BY g)
+           |SELECT doc_id, count(*) AS n_grams,
+           |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS dup_grams,
+           |  round(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |    / count(*), 6) AS dup_coverage
+           |FROM g JOIN df USING (g)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
       })
   )
 }

@@ -36,6 +36,10 @@ object VectorOps {
   val ivfCells = 16
   val ivfProbes = 2
   val ivfTopK = 5
+  /** Scalar-quantization levels: int8 symmetric, q ∈ [-127, 127]. */
+  val qLevels = 127
+  /** Random-projection target dimensionality (64 → 16). */
+  val rpDims = 16
 
   /** Embeddings with the L2 norm materialized per row — pair-level
     * cosines then cost one dot product instead of three (sqrt per row
@@ -490,7 +494,103 @@ object VectorOps {
         asg.join(dropped, Seq("vec_id"), "left_anti")
           .orderBy(col("vec_id"))
       },
-      Some(semanticKeptOracleSql))
+      Some(semanticKeptOracleSql)),
+
+    // SCALAR-QUANTIZATION ANN (the int8 compression every
+    // billion-vector serving stack applies before anything else —
+    // FAISS's SQ8 codec, public): per vector, scale s = max|x|/127,
+    // q_i = floor(x_i/s + 0.5) ∈ [-127, 127]. The quantized cosine
+    // Σ q_a·q_b / (‖q_a‖·‖q_b‖) cancels both scales, so scoring is
+    // INTEGER-only arithmetic: at 100 TB the corpus ships as int8
+    // (4× smaller than the float32 source — a quarter of the scan
+    // and shuffle bytes), and the integer dot sums are exact, with
+    // no float accumulation-order hazard between engines at all.
+    // floor(x + 0.5), not round(): identical half-up semantics in
+    // Spark and DuckDB, where round() ties differ.
+    Entry("ann_quantized_topk",
+      (spark, dir) => quantTopkPairs(spark, dir)
+        .orderBy(col("query_id"), col("rank")),
+      Some(s"""WITH $quantCteSql
+        |SELECT q.vec_id AS query_id,
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY ${quantSimSql("q", "n")} DESC, n.vec_id) AS INT) AS rank,
+        |  n.vec_id AS neighbor_id,
+        |  ${quantSimSql("q", "n")} AS qsim
+        |FROM qq q JOIN qq n
+        |  ON q.vec_id < $queryCount AND q.vec_id <> n.vec_id
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)),
+
+    // Recall of int8 scoring against the exact float top-5 — the
+    // measured answer to "what does 4× less IO cost in quality?"
+    // (mirrors ann_recall, which does the same for IVF probing).
+    Entry("ann_quantized_recall",
+      (spark, dir) => {
+        val exact = bruteTopkPairs(spark, dir)
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = quantTopkPairs(spark, dir)
+          .select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1))
+        exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_exact"),
+            count(col("hit")).as("n_hit"))
+          .withColumn("recall",
+            round(col("n_hit") / col("n_exact"), 6))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH $quantCteSql,
+        |qt AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY ${quantSimSql("q", "n")} DESC, n.vec_id) AS rank
+        |  FROM qq q JOIN qq n
+        |    ON q.vec_id < $queryCount AND q.vec_id <> n.vec_id)
+        |  WHERE rank <= 5),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(${cosSql("q.e", "n.e")}, 6) DESC, n.vec_id) AS rank
+        |  FROM v q JOIN v n ON q.vec_id < $queryCount AND q.vec_id <> n.vec_id)
+        |  WHERE rank <= 5)
+        |SELECT ex.query_id, count(*) AS n_exact,
+        |  count(qt.neighbor_id) AS n_hit,
+        |  round(count(qt.neighbor_id) / count(*), 6) AS recall
+        |FROM ex LEFT JOIN qt ON qt.query_id = ex.query_id
+        |  AND qt.neighbor_id = ex.neighbor_id
+        |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin)),
+
+    // JOHNSON-LINDENSTRAUSS RANDOM PROJECTION (64 → 16 dims): each
+    // output component is a dot against a deterministic md5-derived
+    // hyperplane (the sign-LSH planes, reused unsliced), scaled by
+    // 1/(1000·√16) to undo the integer-plane magnitude. JL says
+    // pairwise angles survive within 1±ε at k = O(log n / ε²) — this
+    // is the dimension-reduction rung under the ANN family: at 100 TB
+    // the projected corpus is 4× slimmer, so candidate generation
+    // (LSH bucketing, IVF assignment) runs on 16-dim rows and only
+    // the final re-rank touches full vectors. Scan-local: no shuffle,
+    // no join — the projection fuses into the parquet scan.
+    Entry("v_random_project",
+      (spark, dir) => {
+        val projCols = (0 until rpDims).map { p =>
+          val plane = array(VectorFunctions.planeComponents(p, dims)
+            .map(c => lit(c.toDouble)): _*)
+          round(VectorFunctions.dot(col("e"), plane) / 4000, 6)
+            .as(s"p$p")
+        }
+        emb(spark, dir)
+          .select(col("vec_id") +: projCols: _*)
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        val comps = (0 until rpDims).map(p =>
+          s"round(list_inner_product(e, ${planeSql(p)}) / 4000, 6) AS p$p")
+          .mkString(",\n  ")
+        s"""WITH v AS ($embSql)
+           |SELECT vec_id,
+           |  $comps
+           |FROM v ORDER BY vec_id""".stripMargin
+      })
   )
 
   /** Shared with StreamingOps (s30): the incremental semantic-dedup
@@ -605,4 +705,62 @@ object VectorOps {
        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
        |  FROM probes p JOIN asg a ON a.cell = p.pcell
        |  WHERE a.vec_id <> p.query_id)""".stripMargin
+
+  /** Int8 symmetric scalar quantization of the corpus: per vector a
+    * scale s = max|x|/[[qLevels]], components floor(x/s + 0.5), plus
+    * the integer norm. Every value is an exact small integer (≤ 127)
+    * held in a double, so sums are order-independent and the DuckDB
+    * twin is bitwise-identical. The all-zero-vector edge (s = 0)
+    * quantizes to the zero vector instead of dividing by zero. */
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    Registry.table(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("s", array_max(transform(col("e"), x => abs(x))) / qLevels)
+      .select(col("vec_id"),
+        when(col("s") === 0d, transform(col("e"), _ => lit(0d)))
+          .otherwise(transform(col("e"),
+            x => floor(x / col("s") + lit(0.5)))).as("q"))
+      .withColumn("qn", VectorFunctions.norm(col("q")))
+
+  /** Quantized-cosine top-5 for the fixed query panel — the int8 twin
+    * of [[bruteTopkPairs]] (same allow-listed tiny-broadcast BNLJ:
+    * [[queryCount]] query vectors against the corpus). Shared by
+    * ann_quantized_topk and ann_quantized_recall. */
+  private def quantTopkPairs(spark: SparkSession, dir: String): DataFrame = {
+    val qv = quantized(spark, dir)
+    val q = qv.filter(col("vec_id") < queryCount)
+      .select(col("vec_id").as("query_id"), col("q").as("qe"),
+        col("qn").as("qqn"))
+    val n = qv.select(col("vec_id").as("neighbor_id"), col("q").as("ne"),
+      col("qn").as("nqn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qsim").desc, col("neighbor_id"))
+    q.join(n, col("query_id") =!= col("neighbor_id"))
+      .withColumn("qsim",
+        round(VectorFunctions.dot(col("qe"), col("ne")) /
+          (col("qqn") * col("nqn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("qsim"))
+  }
+
+  /** The quantized corpus as CTEs (v → per-vector scale → int8
+    * components + integer norm) — shared by the ann_quantized_topk
+    * and ann_quantized_recall oracles. */
+  private def quantCteSql: String =
+    s"""v AS ($embSql),
+       |sc AS (SELECT vec_id, e,
+       |    list_max(list_transform(e, x -> abs(x))) / $qLevels AS s FROM v),
+       |qq AS (SELECT vec_id, e, q, sqrt(list_inner_product(q, q)) AS qn
+       |  FROM (SELECT vec_id, e,
+       |    CASE WHEN s = 0 THEN list_transform(e, x -> 0.0)
+       |         ELSE list_transform(e, x -> floor(x / s + 0.5)) END AS q
+       |  FROM sc))""".stripMargin
+
+  /** Quantized cosine between two `qq` rows (rounded to 6, like
+    * [[cosSql]]). */
+  private def quantSimSql(a: String, b: String): String =
+    s"round(list_inner_product($a.q, $b.q) / ($a.qn * $b.qn), 6)"
 }

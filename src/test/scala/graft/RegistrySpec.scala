@@ -29,7 +29,10 @@ class RegistrySpec extends SparkTestBase {
     val bnljAllowed = Set("ann_topk_bruteforce", "ann_ivf_topk",
       "ann_recall", "v_kmeans_assign", "v_kmeans_lloyd3", "t_tfidf_top",
       "dedup_semantic", "pipe_curation", // 16-row centroid broadcast
-      "t_unigram_lm") // 1-row corpus-total broadcast
+      "t_unigram_lm", // 1-row corpus-total broadcast
+      // int8 twins of the brute-force exactness baseline: the same
+      // 20-query-vector broadcast panel against the corpus
+      "ann_quantized_topk", "ann_quantized_recall")
     val offenders = Registry.all.flatMap { e =>
       val df = e.fn(spark, sfDir)
       val nested = df.schema.fields.collect {
