@@ -363,23 +363,27 @@ object DedupOps {
             round(col("dup_grams").cast("double") / col("n_grams"), 6))
           .orderBy(col("doc_id"))
       },
-      Some {
-        val k = substringGramLen
-        s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents
-           |  WHERE len($tokSql) >= $k),
-           |g AS (SELECT doc_id,
-           |    unnest(list_transform(generate_series(1, len(t) - ${k - 1}),
-           |      i -> md5(array_to_string(t[i:i + ${k - 1}], ' ')))) AS g
-           |  FROM toks),
-           |df AS (SELECT g, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
-           |  FROM g GROUP BY g)
-           |SELECT doc_id, count(*) AS n_grams,
-           |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-           |    AS dup_grams,
-           |  round(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-           |    / count(*), 6) AS dup_coverage
-           |FROM g JOIN df USING (g)
-           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-      })
+      Some(substringSpansOracleSql))
   )
+
+  /** Shared with StreamingOps (s36): the incremental substring-span
+    * state must converge to exactly this batch answer. */
+  private[queries] val substringSpansOracleSql: String = {
+    val k = substringGramLen
+    s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents
+       |  WHERE len($tokSql) >= $k),
+       |g AS (SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(t) - ${k - 1}),
+       |      i -> md5(array_to_string(t[i:i + ${k - 1}], ' ')))) AS g
+       |  FROM toks),
+       |df AS (SELECT g, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+       |  FROM g GROUP BY g)
+       |SELECT doc_id, count(*) AS n_grams,
+       |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS dup_grams,
+       |  round(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    / count(*), 6) AS dup_coverage
+       |FROM g JOIN df USING (g)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }

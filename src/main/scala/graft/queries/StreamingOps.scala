@@ -53,6 +53,11 @@ final case class BandRow(bi: Int, bv: String, doc_id: Long)
   * streaming vector-index state — never the 64-dim vector itself. */
 final case class AsgRow(vec_id: Long, cell: Long)
 
+/** One k-token-window fingerprint membership row (s36): gram md5,
+  * doc id, and the window count of that gram within the doc — the
+  * unit of exact-substring state; the text never enters state. */
+final case class GramRow(g: String, doc_id: Long, cnt: Long)
+
 /** Streaming operators, driven synchronously: the parquet tables are
   * range-split into chunked ingest directories and replayed through the
   * file source one file per trigger (so the engine sees multiple
@@ -1887,7 +1892,91 @@ object StreamingOps {
         |FROM sv
         |WHERE doc_id NOT IN (SELECT doc_id FROM drop_e)
         |  AND doc_id NOT IN (SELECT doc_id FROM drop_s)
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // INCREMENTAL EXACT-SUBSTRING DUPLICATION —
+    // dedup_substring_spans' stateful half over a growing corpus
+    // (completing the streaming dedup family alongside s19/s21/s24):
+    // each arriving document's 8-token windows are fingerprinted and
+    // counted scan-locally, then upserted into GRAM-keyed state
+    // (VersionedStreamDedup: gram → member docs with window counts —
+    // exactly the batch shuffle rows, never the text). A gram's df IS
+    // its converged member count, so duplicated-span status derives
+    // at read time: a later document repeating an earlier document's
+    // span flips that span duplicated for BOTH without any retraction
+    // machinery, because the per-doc rollup is a projection over
+    // converged state — arrival-order-free by construction. At 100 TB
+    // the rollup runs per gram partition off this state; only
+    // (gram, doc_id, cnt) rows are ever stateful.
+    Entry("s36_stream_substring_spans",
+      (spark, dir) => { import spark.implicits._
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_sub_")
+          val log = tmp.resolve("log")
+          val ckpt = tmp.resolve("ckpt")
+          try {
+            val in = sharedChunkDir(dir, "doctext", "documents") { p =>
+              Registry.table(spark, dir, "documents")
+                .select(col("doc_id"), col("text"))
+                .repartitionByRange(chunks, col("doc_id"))
+                .write.parquet(p.toString)
+            }
+            val src = spark.readStream.schema("doc_id BIGINT, text STRING")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+            val k = DedupOps.substringGramLen
+            // window fingerprints materialized as an attribute before
+            // the counting HOF reads it twice (shingles3FromTokens
+            // perf note); per-distinct-gram counts are scan-local
+            val gramRows = src
+              .select(col("doc_id"),
+                TextFunctions.tokens(col("text")).as("t"))
+              .filter(size(col("t")) >= k)
+              .select(col("doc_id"),
+                transform(sequence(lit(1), size(col("t")) - (k - 1)),
+                  i => md5(concat_ws(" ", slice(col("t"), i, lit(k)))))
+                  .as("gs"))
+              .select(col("doc_id"),
+                explode(transform(array_distinct(col("gs")), g =>
+                  struct(g.as("g"),
+                    size(filter(col("gs"), x => x === g)).cast("long")
+                      .as("cnt")))).as("gc"))
+              .select(col("gc.g").as("g"), col("doc_id"),
+                col("gc.cnt").as("cnt"))
+              .as[GramRow]
+            val dd = VersionedStreamDedup.latestPerKeyId[GramRow](
+              gramRows, _.g, _.doc_id.toString, _ => 0L)
+            val q = dd.toDF().writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("key"))
+            val members = raw
+              .withColumn("max_seq", max(col("seq")).over(wMax))
+              .filter(col("seq") === col("max_seq"))
+              .select(col("key"), explode(col("xs")).as("x"))
+              .select(col("key"), col("x.doc_id").as("doc_id"),
+                col("x.cnt").as("cnt"))
+            val df2 = members.groupBy(col("key"))
+              .agg(count(lit(1)).as("nd"))
+            members.join(df2, "key")
+              .groupBy(col("doc_id"))
+              .agg(sum(col("cnt")).as("n_grams"),
+                sum(when(col("nd") >= 2, col("cnt")).otherwise(0L))
+                  .as("dup_grams"))
+              .withColumn("dup_coverage",
+                round(col("dup_grams").cast("double") / col("n_grams"), 6))
+              .orderBy(col("doc_id"))
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(DedupOps.substringSpansOracleSql))
   )
 
   /** Watermark + append-mode replay harness with the sentinel flush
