@@ -363,7 +363,85 @@ object DedupOps {
             round(col("dup_grams").cast("double") / col("n_grams"), 6))
           .orderBy(col("doc_id"))
       },
-      Some(substringSpansOracleSql))
+      Some(substringSpansOracleSql)),
+
+    // EXACT-SUBSTRING TRIM — the transform half of
+    // dedup_substring_spans (Lee et al. 2022 actually CUT the
+    // duplicated spans, they didn't just score them): re-emit every
+    // document's text with duplicated windows removed. Rule: a window
+    // is removable iff its gram occurs in ≥2 distinct documents AND
+    // this document is NOT the lowest-id holder — the first holder
+    // keeps its copy (the corpus retains exactly one occurrence), and
+    // a token is dropped iff some removable window covers it. The
+    // rule is a pure function of the converged gram stats, so it is
+    // deterministic and engine-independent. Scale shape: the window
+    // stream (doc, pos, gram-md5) is the only wide data; gram stats
+    // and removable windows are slim equi-joins on the fingerprint,
+    // covered positions fold back per document, and the final token
+    // filter is scan-local (filter-with-index over the token array).
+    Entry("dedup_substring_trim",
+      (spark, dir) => {
+        val k = substringGramLen
+        val toks = Registry.table(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        val wins = toks.filter(size(col("t")) >= k)
+          .select(col("doc_id"),
+            posexplode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
+              i => md5(concat_ws(" ", slice(col("t"), i, lit(k)))))))
+          .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
+            col("col").as("g"))
+          .localCheckpoint()
+        val gstat = wins.groupBy(col("g"))
+          .agg(count_distinct(col("doc_id")).as("nd"),
+            min(col("doc_id")).as("mind"))
+        val covered = wins.join(gstat, "g")
+          .filter(col("nd") >= 2 && col("doc_id") > col("mind"))
+          .select(col("doc_id"),
+            explode(sequence(col("i"), col("i") + (k - 1))).as("p"))
+          .groupBy(col("doc_id"))
+          .agg(collect_set(col("p")).as("cov"))
+        toks.join(covered, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("t"),
+            coalesce(col("cov"), array().cast("array<long>")).as("cov"))
+          .select(col("doc_id"),
+            size(col("t")).cast("long").as("n_tokens"),
+            filter(col("t"), (_, idx) =>
+              !array_contains(col("cov"), idx.cast("long") + 1L)).as("kept"))
+          .select(col("doc_id"), col("n_tokens"),
+            size(col("kept")).cast("long").as("n_kept"),
+            concat_ws(" ", col("kept")).as("trimmed_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val k = substringGramLen
+        s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+           |w0 AS (SELECT doc_id,
+           |    unnest(list_transform(generate_series(1, len(t) - ${k - 1}),
+           |      i -> {'i': i,
+           |            'g': md5(array_to_string(t[i:i + ${k - 1}], ' '))}))
+           |      AS u
+           |  FROM toks WHERE len(t) >= $k),
+           |w AS (SELECT doc_id, u.i AS i, u.g AS g FROM w0),
+           |gstat AS (SELECT g, count(DISTINCT doc_id) AS nd,
+           |    min(doc_id) AS mind FROM w GROUP BY g),
+           |rem AS (SELECT w.doc_id, w.i FROM w JOIN gstat USING (g)
+           |  WHERE nd >= 2 AND w.doc_id > mind),
+           |cov AS (SELECT doc_id, list(DISTINCT p) AS cov FROM (
+           |    SELECT doc_id, unnest(generate_series(i, i + ${k - 1})) AS p
+           |    FROM rem) GROUP BY doc_id),
+           |kept AS (SELECT t.doc_id, t.t,
+           |    list_filter(t.t, (x, p) ->
+           |      NOT list_contains(coalesce(cov.cov, []::BIGINT[]), p)) AS kept
+           |  FROM toks t LEFT JOIN cov ON cov.doc_id = t.doc_id)
+           |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+           |  CAST(len(kept) AS BIGINT) AS n_kept,
+           |  -- array_to_string([]) is NULL in DuckDB but concat_ws('')
+           |  -- is '' in Spark; a fully-trimmed doc must agree
+           |  coalesce(array_to_string(kept, ' '), '') AS trimmed_text
+           |FROM kept ORDER BY doc_id""".stripMargin
+      })
   )
 
   /** Shared with StreamingOps (s36): the incremental substring-span

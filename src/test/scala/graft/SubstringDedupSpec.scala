@@ -56,4 +56,45 @@ class SubstringDedupSpec extends SparkTestBase {
     assert(dupDocs > 0 && dupDocs < got.size,
       s"degenerate duplication profile: $dupDocs of ${got.size}")
   }
+
+  test("dedup_substring_trim matches an in-memory brute force") {
+    val k = DedupOps.substringGramLen
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toVector)
+      .toMap
+    // gram → (distinct holder count, lowest holder)
+    val holders = docs.toSeq.flatMap { case (id, t) =>
+      if (t.size >= k) t.sliding(k).map(_.mkString(" ")).toSeq.distinct
+        .map(_ -> id)
+      else Nil
+    }.groupBy(_._1).view
+      .mapValues(hs => (hs.map(_._2).distinct.size, hs.map(_._2).min))
+      .toMap
+    val expected = docs.map { case (id, t) =>
+      val covered = (0 until (t.size - k + 1)).flatMap { i0 =>
+        val (nd, mind) = holders(t.slice(i0, i0 + k).mkString(" "))
+        if (nd >= 2 && id > mind) i0 until (i0 + k) else Nil
+      }.toSet
+      val kept = t.zipWithIndex.collect {
+        case (tok, i) if !covered(i) => tok
+      }
+      id -> ((t.size.toLong, kept.size.toLong, kept.mkString(" ")))
+    }
+
+    val got = Registry.all.find(_.name == "dedup_substring_trim").get
+      .fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+
+    assert(got.keySet == expected.keySet, "document sets differ")
+    val bad = expected.collect {
+      case (id, e) if got(id) != e =>
+        s"doc $id: expected (${e._1}, ${e._2}) got (${got(id)._1}, ${got(id)._2})"
+    }
+    assert(bad.isEmpty, s"trim mismatches: ${bad.take(5)}")
+    // the corpus's exact duplicates must come out fully trimmed
+    assert(got.values.exists(_._2 == 0L),
+      "no document fully trimmed — exact duplicates should be")
+  }
 }
