@@ -75,7 +75,28 @@ object MultimodalPipeline {
     * last chunk is always non-empty. Pure Column HOFs over the scan —
     * no shuffle until the consumer aggregates chunk hashes. */
   def cdcChunkHashes(df: DataFrame, src: Column, window: Int,
-                     divisor: Int): DataFrame = {
+                     divisor: Int): DataFrame =
+    withCdcChunks(df, src, window, divisor)
+      .select(col("doc_id"),
+        posexplode(col("cdc_chunks")).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        md5(col("chunk")).as("chunk_md5"),
+        length(col("chunk")).cast("long").as("chunk_len"))
+
+  /** The CDC chunk hashes kept as ONE array row per document — the
+    * shape the streaming twin (s37) needs so per-document chunk
+    * multiplicities can be counted scan-locally before anything enters
+    * keyed state. Same split points as [[cdcChunkHashes]]. */
+  def cdcChunkMd5s(df: DataFrame, src: Column, window: Int,
+                   divisor: Int): DataFrame =
+    withCdcChunks(df, src, window, divisor)
+      .select(col("doc_id"),
+        transform(col("cdc_chunks"), c => md5(c)).as("chs"))
+
+  /** Shared CDC chunker: attaches `cdc_chunks`, the content-aligned
+    * substring array of `src`. */
+  private def withCdcChunks(df: DataFrame, src: Column, window: Int,
+                            divisor: Int): DataFrame = {
     // stage 1: MATERIALIZE the per-position polynomial window hashes
     // (integer math, no per-window digest; the TextFunctions
     // two-stage discipline — inlining this array into the boundary
@@ -96,13 +117,8 @@ object MultimodalPipeline {
       i => i + lit(window - 1))
     val starts = concat(array(lit(1)), transform(bnd, b => b + 1))
     val ends = concat(bnd, array(col("cdc_len")))
-    val chunks = zip_with(starts, ends,
-      (s, e) => src.substr(s, e - s + 1))
-    staged
-      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
-      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-        md5(col("chunk")).as("chunk_md5"),
-        length(col("chunk")).cast("long").as("chunk_len"))
+    staged.withColumn("cdc_chunks", zip_with(starts, ends,
+      (s, e) => src.substr(s, e - s + 1)))
   }
 
   /** STUB feature extraction: a real pipeline would run a model over

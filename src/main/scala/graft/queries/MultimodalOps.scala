@@ -13,6 +13,39 @@ import graft.multimodal.MultimodalPipeline
   */
 object MultimodalOps {
 
+  /** Shared with StreamingOps (s37): the incremental CDC chunk-dedup
+    * state must converge to exactly this batch sharing report. Built
+    * from the same winnowing hash constants as
+    * MultimodalPipeline.cdcChunkHashes, so split points agree
+    * byte-for-byte across engines. */
+  private[queries] val cdcChunkOracleSql: String = {
+    import graft.functions.TextFunctions.{polyPowers, winnowP}
+    val w = 16
+    // hash of the 16-gram STARTING at i (1-based), exactly as
+    // polyWindowHashes computes it: sum(ord(char)·B^(k-1-j)) mod P
+    val hashExpr = polyPowers(w).zipWithIndex.map { case (p, j) =>
+      s"ord(substr(text, CAST(i + $j AS INT), 1))::BIGINT * ${p}"
+    }.mkString("(", " + ", s") % $winnowP")
+    s"""WITH c AS (SELECT doc_id, text, length(text) AS len,
+      |  list_transform(
+      |    list_filter(generate_series(1, length(text) - ${w - 1}), i ->
+      |      $hashExpr % 32 = 0 AND i + ${w - 1} < length(text)),
+      |    i -> i + ${w - 1}) AS bnd
+      |  FROM documents),
+      |s AS (SELECT doc_id, text,
+      |  list_concat([1], list_transform(bnd, b -> b + 1)) AS starts,
+      |  list_concat(bnd, [len]) AS ends FROM c),
+      |ch AS (SELECT doc_id,
+      |  unnest(list_transform(generate_series(1, len(starts)), k ->
+      |    md5(substr(text, CAST(starts[k] AS INT),
+      |      CAST(ends[k] - starts[k] + 1 AS INT))))) AS chunk_md5
+      |  FROM s)
+      |SELECT chunk_md5, count(*) AS n_chunks,
+      |  count(DISTINCT doc_id) AS n_docs
+      |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+      |ORDER BY chunk_md5""".stripMargin
+  }
+
   def entries: Seq[Entry] = Seq(
 
     // Binary payload + typed metadata extraction.
@@ -98,33 +131,7 @@ object MultimodalOps {
           .filter(col("n_docs") > 1)
           .orderBy(col("chunk_md5"))
       },
-      Some {
-        import graft.functions.TextFunctions.{polyPowers, winnowP}
-        val w = 16
-        // hash of the 16-gram STARTING at i (1-based), exactly as
-        // polyWindowHashes computes it: sum(ord(char)·B^(k-1-j)) mod P
-        val hashExpr = polyPowers(w).zipWithIndex.map { case (p, j) =>
-          s"ord(substr(text, CAST(i + $j AS INT), 1))::BIGINT * ${p}"
-        }.mkString("(", " + ", s") % $winnowP")
-        s"""WITH c AS (SELECT doc_id, text, length(text) AS len,
-          |  list_transform(
-          |    list_filter(generate_series(1, length(text) - ${w - 1}), i ->
-          |      $hashExpr % 32 = 0 AND i + ${w - 1} < length(text)),
-          |    i -> i + ${w - 1}) AS bnd
-          |  FROM documents),
-          |s AS (SELECT doc_id, text,
-          |  list_concat([1], list_transform(bnd, b -> b + 1)) AS starts,
-          |  list_concat(bnd, [len]) AS ends FROM c),
-          |ch AS (SELECT doc_id,
-          |  unnest(list_transform(generate_series(1, len(starts)), k ->
-          |    md5(substr(text, CAST(starts[k] AS INT),
-          |      CAST(ends[k] - starts[k] + 1 AS INT))))) AS chunk_md5
-          |  FROM s)
-          |SELECT chunk_md5, count(*) AS n_chunks,
-          |  count(DISTINCT doc_id) AS n_docs
-          |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
-          |ORDER BY chunk_md5""".stripMargin
-      }),
+      Some(cdcChunkOracleSql)),
 
     // Deterministic stub "feature extraction" from raw bytes — the
     // embedding-from-media shape with a fake feature vector.

@@ -58,6 +58,11 @@ final case class AsgRow(vec_id: Long, cell: Long)
   * unit of exact-substring state; the text never enters state. */
 final case class GramRow(g: String, doc_id: Long, cnt: Long)
 
+/** One CDC chunk-hash membership row (s37): chunk md5, doc id, and
+  * the chunk's multiplicity within the doc — the unit of streaming
+  * storage-dedup state; the payload bytes never enter state. */
+final case class ChunkRow(chunk_md5: String, doc_id: Long, cnt: Long)
+
 /** Streaming operators, driven synchronously: the parquet tables are
   * range-split into chunked ingest directories and replayed through the
   * file source one file per trigger (so the engine sees multiple
@@ -1976,7 +1981,74 @@ object StreamingOps {
           } finally deleteRecursively(tmp)
         }
       },
-      Some(DedupOps.substringSpansOracleSql))
+      Some(DedupOps.substringSpansOracleSql)),
+
+    // INCREMENTAL CDC CHUNK DEDUP — the multimodal storage-dedup
+    // pipeline's stateful half (m_chunk_cdc over a growing media
+    // lake): each arriving payload is content-defined-chunked
+    // scan-locally (the same Rabin-style boundary rule and codegen'd
+    // rolling hash as the batch row), its chunk-hash multiplicities
+    // counted per document, and the slim (chunk_md5, doc_id, cnt)
+    // rows upserted into CHUNK-keyed state. The converged sharing
+    // report (chunks held by >1 document — what a media lake
+    // single-instances) is a projection over that state, so it is
+    // arrival-order-free and converges to the batch m_chunk_cdc
+    // oracle. At 100 TB the state holds 16-byte hashes with counts,
+    // never payload bytes; an arriving near-duplicate video re-chunks
+    // only its edited neighborhood (the CDC property), so its
+    // unchanged chunks land on existing state keys.
+    Entry("s37_stream_cdc_chunk_dedup",
+      (spark, dir) => { import spark.implicits._
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_")
+          val log = tmp.resolve("log")
+          val ckpt = tmp.resolve("ckpt")
+          try {
+            val in = sharedChunkDir(dir, "doctext", "documents") { p =>
+              Registry.table(spark, dir, "documents")
+                .select(col("doc_id"), col("text"))
+                .repartitionByRange(chunks, col("doc_id"))
+                .write.parquet(p.toString)
+            }
+            val src = spark.readStream.schema("doc_id BIGINT, text STRING")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+            val chunkRows = graft.multimodal.MultimodalPipeline
+              .cdcChunkMd5s(src, col("text"), window = 16, divisor = 32)
+              .select(col("doc_id"),
+                explode(transform(array_distinct(col("chs")), h =>
+                  struct(h.as("h"),
+                    size(filter(col("chs"), x => x === h)).cast("long")
+                      .as("cnt")))).as("hc"))
+              .select(col("hc.h").as("chunk_md5"), col("doc_id"),
+                col("hc.cnt").as("cnt"))
+              .as[ChunkRow]
+            val dd = VersionedStreamDedup.latestPerKeyId[ChunkRow](
+              chunkRows, _.chunk_md5, _.doc_id.toString, _ => 0L)
+            val q = dd.toDF().writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("key"))
+            raw
+              .withColumn("max_seq", max(col("seq")).over(wMax))
+              .filter(col("seq") === col("max_seq"))
+              .select(col("key").as("chunk_md5"), explode(col("xs")).as("x"))
+              .groupBy(col("chunk_md5"))
+              .agg(sum(col("x.cnt")).as("n_chunks"),
+                count(lit(1)).as("n_docs"))
+              .filter(col("n_docs") > 1)
+              .orderBy(col("chunk_md5"))
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(MultimodalOps.cdcChunkOracleSql))
   )
 
   /** Watermark + append-mode replay harness with the sentinel flush
