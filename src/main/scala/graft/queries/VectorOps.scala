@@ -560,6 +560,49 @@ object VectorOps {
         |  AND qt.neighbor_id = ex.neighbor_id
         |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin)),
 
+    // IVF + SQ8 COMPOSED (FAISS's IndexIVFScalarQuantizer layout, the
+    // actual billion-vector production shape): candidate generation
+    // probes nprobe cells exactly as ann_ivf_topk (float centroids,
+    // the cell is the partition key at 100 TB), but candidate SCORING
+    // reads only int8 — the corpus payload a production index
+    // actually stores. The two rungs compose without interference:
+    // cells bound the comparison space to Σ|probed cell|, int8 bounds
+    // the bytes per comparison, and the integer dot sums keep scoring
+    // exact cross-engine. This is the query the other ann_* rows are
+    // rungs toward.
+    Entry("ann_ivf_quantized_topk",
+      (spark, dir) => {
+        val cand = ivfCandidates(spark, dir)
+        val qv = quantized(spark, dir)
+        val q = qv.select(col("vec_id").as("query_id"),
+          col("q").as("qe"), col("qn").as("qqn"))
+        val n = qv.select(col("vec_id").as("neighbor_id"),
+          col("q").as("ne"), col("qn").as("nqn"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("qsim").desc, col("neighbor_id"))
+        cand.join(q, "query_id").join(n, "neighbor_id")
+          .withColumn("qsim",
+            round(VectorFunctions.dot(col("qe"), col("ne")) /
+              (col("qqn") * col("nqn")), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= ivfTopK)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            col("qsim"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH $ivfCteSql,
+        |$quantTailCteSql
+        |SELECT cand.query_id,
+        |  CAST(row_number() OVER (PARTITION BY cand.query_id
+        |    ORDER BY ${quantSimSql("q", "n")} DESC,
+        |      cand.neighbor_id) AS INT) AS rank,
+        |  cand.neighbor_id,
+        |  ${quantSimSql("q", "n")} AS qsim
+        |FROM cand JOIN qq q ON q.vec_id = cand.query_id
+        |  JOIN qq n ON n.vec_id = cand.neighbor_id
+        |QUALIFY rank <= $ivfTopK
+        |ORDER BY query_id, rank""".stripMargin)),
+
     // JOHNSON-LINDENSTRAUSS RANDOM PROJECTION (64 → 16 dims): each
     // output component is a dot against a deterministic md5-derived
     // hyperplane (the sign-LSH planes, reused unsliced), scaled by
@@ -635,9 +678,9 @@ object VectorOps {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
-  /** The IVF probe pipeline (assign → probe nprobe cells → verify
-    * candidates) — shared by ann_ivf_topk and ann_recall. */
-  private def ivfTopkPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** The IVF candidate generator (assign → probe nprobe cells) —
+    * shared by ivfTopkPairs and the IVF+SQ8 composition. */
+  private def ivfCandidates(spark: SparkSession, dir: String): DataFrame = {
     val base = emb(spark, dir)
     val cent = base.filter(col("vec_id") < ivfCells)
       .select(col("vec_id").as("cid"), col("e").as("ce"),
@@ -667,9 +710,16 @@ object VectorOps {
       .select(col("vec_id").as("query_id"), col("cid").as("pcell"))
     // Cells partition the corpus, so each neighbor appears at most
     // once per probed cell — no pair dedup needed.
-    val cand = probes.join(asg, col("pcell") === col("cell"))
+    probes.join(asg, col("pcell") === col("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
+  }
+
+  /** The IVF probe pipeline (assign → probe nprobe cells → verify
+    * candidates) — shared by ann_ivf_topk and ann_recall. */
+  private def ivfTopkPairs(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir)
+    val cand = ivfCandidates(spark, dir)
     val q = base.select(col("vec_id").as("query_id"),
       col("e").as("qe"), col("nrm").as("qn"))
     val n = base.select(col("vec_id").as("neighbor_id"),
@@ -746,18 +796,25 @@ object VectorOps {
         col("qsim"))
   }
 
-  /** The quantized corpus as CTEs (v → per-vector scale → int8
-    * components + integer norm) — shared by the ann_quantized_topk
-    * and ann_quantized_recall oracles. */
-  private def quantCteSql: String =
-    s"""v AS ($embSql),
-       |sc AS (SELECT vec_id, e,
+  /** The quantized-corpus CTE tail (per-vector scale → int8
+    * components + integer norm), assuming a `v AS (...)` corpus CTE
+    * is already in scope — so it composes with [[ivfCteSql]] (which
+    * defines its own `v`) as well as standing alone. */
+  private def quantTailCteSql: String =
+    s"""sc AS (SELECT vec_id, e,
        |    list_max(list_transform(e, x -> abs(x))) / $qLevels AS s FROM v),
        |qq AS (SELECT vec_id, e, q, sqrt(list_inner_product(q, q)) AS qn
        |  FROM (SELECT vec_id, e,
        |    CASE WHEN s = 0 THEN list_transform(e, x -> 0.0)
        |         ELSE list_transform(e, x -> floor(x / s + 0.5)) END AS q
        |  FROM sc))""".stripMargin
+
+  /** The quantized corpus as CTEs (v → per-vector scale → int8
+    * components + integer norm) — shared by the ann_quantized_topk
+    * and ann_quantized_recall oracles. */
+  private def quantCteSql: String =
+    s"""v AS ($embSql),
+       |$quantTailCteSql""".stripMargin
 
   /** Quantized cosine between two `qq` rows (rounded to 6, like
     * [[cosSql]]). */

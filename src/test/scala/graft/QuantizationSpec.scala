@@ -39,6 +39,23 @@ class QuantizationSpec extends SparkTestBase {
     assert(rec >= 0.9, f"mean recall@5 $rec%.4f < 0.9")
   }
 
+  test("IVF+SQ8 composition agrees with the float IVF path on most of the top-5") {
+    val floatTop = run("ann_ivf_topk")
+      .select(col("query_id"), col("neighbor_id"))
+    val int8Top = run("ann_ivf_quantized_topk")
+      .select(col("query_id"), col("neighbor_id"))
+    val nQueries = floatTop.select("query_id").distinct().count()
+    val overlap = floatTop.join(int8Top,
+      Seq("query_id", "neighbor_id")).count()
+    val total = floatTop.count()
+    assert(nQueries == graft.queries.VectorOps.queryCount,
+      s"unexpected query-panel size $nQueries")
+    // identical candidate cells, int8-vs-float scoring only reorders
+    // near-ties — measured overlap 0.96 at sf0.001; require 0.85
+    assert(overlap.toDouble / total >= 0.85,
+      s"IVF+SQ8 diverges from float IVF: $overlap/$total")
+  }
+
   test("random projection preserves pairwise angles within JL bounds") {
     val proj = run("v_random_project").collect()
       .map(r => r.getLong(0) ->
