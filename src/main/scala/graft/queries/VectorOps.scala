@@ -633,7 +633,58 @@ object VectorOps {
            |SELECT vec_id,
            |  $comps
            |FROM v ORDER BY vec_id""".stripMargin
-      })
+      }),
+
+    // Recall of 16-dim PROJECTED scoring against the exact float
+    // top-5 — the measured answer to "what does 4× slimmer cost when
+    // the projection is used as the ONLY scorer?": ≈0.07 on the
+    // driver corpus, vs int8's ≈0.98. The gap is the whole design
+    // lesson, quantified: this corpus is near-orthogonal (true
+    // cosines ≈ 0 ± a little), and JL at k=16 perturbs angles by
+    // ±0.2-ish — enough to shuffle a tightly-bunched top-5 entirely.
+    // So the projection's role at 100 TB is candidate GENERATION
+    // (bucketing/cell assignment on 4× slimmer rows, where only
+    // coarse geometry matters), never final scoring — full-vector or
+    // int8 re-rank handles the shortlist, exactly how
+    // ann_ivf_quantized_topk composes. Completes the per-rung quality
+    // measurements: IVF → ann_recall, SQ8 → ann_quantized_recall,
+    // JL → this row.
+    Entry("ann_rp_recall",
+      (spark, dir) => {
+        val exact = bruteTopkPairs(spark, dir)
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = rpTopkPairs(spark, dir)
+          .select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1))
+        exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_exact"),
+            count(col("hit")).as("n_hit"))
+          .withColumn("recall",
+            round(col("n_hit") / col("n_exact"), 6))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH v AS ($embSql),
+        |$rpTailCteSql,
+        |rt AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY ${rpSimSql("q", "n")} DESC, n.vec_id) AS rank
+        |  FROM pq q JOIN pq n
+        |    ON q.vec_id < $queryCount AND q.vec_id <> n.vec_id)
+        |  WHERE rank <= 5),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(${cosSql("q.e", "n.e")}, 6) DESC, n.vec_id) AS rank
+        |  FROM v q JOIN v n ON q.vec_id < $queryCount AND q.vec_id <> n.vec_id)
+        |  WHERE rank <= 5)
+        |SELECT ex.query_id, count(*) AS n_exact,
+        |  count(rt.neighbor_id) AS n_hit,
+        |  round(count(rt.neighbor_id) / count(*), 6) AS recall
+        |FROM ex LEFT JOIN rt ON rt.query_id = ex.query_id
+        |  AND rt.neighbor_id = ex.neighbor_id
+        |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin))
   )
 
   /** Shared with StreamingOps (s30): the incremental semantic-dedup
@@ -820,4 +871,57 @@ object VectorOps {
     * [[cosSql]]). */
   private def quantSimSql(a: String, b: String): String =
     s"round(list_inner_product($a.q, $b.q) / ($a.qn * $b.qn), 6)"
+
+  /** The JL-projected corpus: per vector the 16 unrounded plane dots
+    * (scaled like v_random_project) plus the projected norm. Each
+    * component is the same sequential dot in both engines, so the
+    * projected cosines hash-match exactly. */
+  private def projected(spark: SparkSession, dir: String): DataFrame = {
+    val comps = (0 until rpDims).map { p =>
+      val plane = array(VectorFunctions.planeComponents(p, dims)
+        .map(c => lit(c.toDouble)): _*)
+      VectorFunctions.dot(col("e"), plane) / 4000
+    }
+    emb(spark, dir)
+      .select(col("vec_id"), array(comps: _*).as("p"))
+      .withColumn("pn", VectorFunctions.norm(col("p")))
+  }
+
+  /** Projected-cosine top-5 for the fixed query panel — the JL twin
+    * of [[bruteTopkPairs]] / [[quantTopkPairs]] (same allow-listed
+    * tiny-broadcast BNLJ). */
+  private def rpTopkPairs(spark: SparkSession, dir: String): DataFrame = {
+    val pv = projected(spark, dir)
+    val q = pv.filter(col("vec_id") < queryCount)
+      .select(col("vec_id").as("query_id"), col("p").as("qp"),
+        col("pn").as("qpn"))
+    val n = pv.select(col("vec_id").as("neighbor_id"), col("p").as("np"),
+      col("pn").as("npn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("psim").desc, col("neighbor_id"))
+    q.join(n, col("query_id") =!= col("neighbor_id"))
+      .withColumn("psim",
+        round(VectorFunctions.dot(col("qp"), col("np")) /
+          (col("qpn") * col("npn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("psim"))
+  }
+
+  /** The projected-corpus CTE tail (16 plane dots + projected norm),
+    * assuming `v AS (...)` in scope — mirrors [[quantTailCteSql]]. */
+  private def rpTailCteSql: String = {
+    val comps = (0 until rpDims).map(p =>
+      s"list_inner_product(e, ${planeSql(p)}) / 4000")
+      .mkString("[", ",\n    ", "]")
+    s"""pq AS (SELECT vec_id, p, sqrt(list_inner_product(p, p)) AS pn
+       |  FROM (SELECT vec_id,
+       |    $comps AS p
+       |  FROM v))""".stripMargin
+  }
+
+  /** Projected cosine between two `pq` rows (rounded to 6). */
+  private def rpSimSql(a: String, b: String): String =
+    s"round(list_inner_product($a.p, $b.p) / ($a.pn * $b.pn), 6)"
 }

@@ -32,7 +32,7 @@ class RegistrySpec extends SparkTestBase {
       "t_unigram_lm", // 1-row corpus-total broadcast
       // int8 twins of the brute-force exactness baseline: the same
       // 20-query-vector broadcast panel against the corpus
-      "ann_quantized_topk", "ann_quantized_recall",
+      "ann_quantized_topk", "ann_quantized_recall", "ann_rp_recall",
       // IVF+SQ8 composition: candidate gen reuses the 16-row centroid
       // broadcast; scoring itself is id-keyed equi-joins
       "ann_ivf_quantized_topk")
