@@ -31,7 +31,13 @@ object Bench {
     // (every query sampled equally per pass); at least one pass always
     // runs. SPARK_GRAFT_BENCH_RUNS=1 forces a single quick pass.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "550").toDouble
+    // 900 s (was 550): r10's 550 s budget cut the run to min-of-2 and
+    // the streaming family's per-pass checkpoint noise (+1–3.5 s per
+    // query) then read as a fake +37 s regression. 900 admits a third
+    // pass whenever two passes fit inside it (calm host: ~200 s/pass →
+    // 3 passes in ~600 s) while still capping the run at two passes
+    // when co-tenant load stretches a pass toward 450 s (r10's case).
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "900").toDouble
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()

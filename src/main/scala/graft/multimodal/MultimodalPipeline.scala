@@ -75,28 +75,39 @@ object MultimodalPipeline {
     * last chunk is always non-empty. Pure Column HOFs over the scan —
     * no shuffle until the consumer aggregates chunk hashes. */
   def cdcChunkHashes(df: DataFrame, src: Column, window: Int,
-                     divisor: Int): DataFrame =
-    withCdcChunks(df, src, window, divisor)
-      .select(col("doc_id"),
-        posexplode(col("cdc_chunks")).as(Seq("chunk_idx", "chunk")))
+                     divisor: Int): DataFrame = {
+    val (staged, chunks) = stagedCdcChunks(df, src, window, divisor)
+    staged
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         md5(col("chunk")).as("chunk_md5"),
         length(col("chunk")).cast("long").as("chunk_len"))
+  }
 
   /** The CDC chunk hashes kept as ONE array row per document — the
     * shape the streaming twin (s37) needs so per-document chunk
     * multiplicities can be counted scan-locally before anything enters
     * keyed state. Same split points as [[cdcChunkHashes]]. */
   def cdcChunkMd5s(df: DataFrame, src: Column, window: Int,
-                   divisor: Int): DataFrame =
-    withCdcChunks(df, src, window, divisor)
-      .select(col("doc_id"),
-        transform(col("cdc_chunks"), c => md5(c)).as("chs"))
+                   divisor: Int): DataFrame = {
+    val (staged, chunks) = stagedCdcChunks(df, src, window, divisor)
+    staged.select(col("doc_id"),
+      transform(chunks, c => md5(c)).as("chs"))
+  }
 
-  /** Shared CDC chunker: attaches `cdc_chunks`, the content-aligned
-    * substring array of `src`. */
-  private def withCdcChunks(df: DataFrame, src: Column, window: Int,
-                            divisor: Int): DataFrame = {
+  /** Shared CDC chunker: returns the STAGED projection (whose
+    * materialized `cdc_h` hash-array attribute Catalyst will not
+    * inline — it is referenced more than once downstream) together
+    * with the chunk-array EXPRESSION over it. Consumers MUST select
+    * the expression directly over `staged`: routing it through a
+    * single-use alias column re-introduces the O(n²) inlining pitfall
+    * (Catalyst collapses the alias into the consuming Generate and its
+    * InferFiltersFromGenerate pre-filter, re-deriving the whole O(n)
+    * rolling-hash array per element — measured 1.24 s → 19.7 s at
+    * sf0.1; see TextFunctions.polyWindowHashes and the
+    * RegistrySpec "rolling hash evaluated once" plan guard). */
+  private def stagedCdcChunks(df: DataFrame, src: Column, window: Int,
+                              divisor: Int): (DataFrame, Column) = {
     // stage 1: MATERIALIZE the per-position polynomial window hashes
     // (integer math, no per-window digest; the TextFunctions
     // two-stage discipline — inlining this array into the boundary
@@ -110,15 +121,22 @@ object MultimodalPipeline {
     // gram i (1-based) covers chars [i, i+window-1]; a qualifying gram
     // puts the boundary after its LAST char — never at the final char
     // (the last chunk is always non-empty)
+    // guard the index range: sequence(1, 0) DESCENDS ([1, 0]) when the
+    // hash array is empty (text shorter than `window`), and the filter
+    // lambda then faults on element_at([], 1) under ANSI — such texts
+    // are a single chunk with no interior boundaries
+    val idxs = when(size(col("cdc_h")) >= 1,
+      sequence(lit(1), size(col("cdc_h"))))
+      .otherwise(array().cast("array<int>"))
     val bnd = transform(
-      filter(sequence(lit(1), size(col("cdc_h"))), i =>
+      filter(idxs, i =>
         pmod(element_at(col("cdc_h"), i), lit(divisor)) === 0 &&
           (i + lit(window - 1)) < col("cdc_len")),
       i => i + lit(window - 1))
     val starts = concat(array(lit(1)), transform(bnd, b => b + 1))
     val ends = concat(bnd, array(col("cdc_len")))
-    staged.withColumn("cdc_chunks", zip_with(starts, ends,
-      (s, e) => src.substr(s, e - s + 1)))
+    val chunks = zip_with(starts, ends, (s, e) => src.substr(s, e - s + 1))
+    (staged, chunks)
   }
 
   /** STUB feature extraction: a real pipeline would run a model over

@@ -301,6 +301,34 @@ object StreamingOps {
         asc_nulls_first("y_type"))
   }
 
+  /** s37's scan-local stage: content-defined-chunk each document and
+    * count per-doc chunk-hash multiplicities in ONE pass over the
+    * SORTED hash array — run starts are the positions where the value
+    * changes, run length = distance to the next start (O(n log n) per
+    * document vs the O(distinct·n) filter-per-distinct-hash form it
+    * replaces). `sorted` and `starts` are materialized columns (each
+    * referenced more than once) so Catalyst keeps the staging
+    * projections — the RegistrySpec rolling-hash plan guard pins this
+    * batch-side. Emits slim (chunk_md5, doc_id, cnt) rows. */
+  private[graft] def cdcChunkCountRows(docs: DataFrame): DataFrame =
+    graft.multimodal.MultimodalPipeline
+      .cdcChunkMd5s(docs, col("text"), window = 16, divisor = 32)
+      .withColumn("sorted", array_sort(col("chs")))
+      .withColumn("starts",
+        filter(sequence(lit(1), size(col("sorted"))), i =>
+          (i === 1) ||
+            element_at(col("sorted"), i) =!=
+              element_at(col("sorted"), i - 1)))
+      .select(col("doc_id"), explode(zip_with(
+        col("starts"),
+        concat(slice(col("starts"), lit(2), size(col("starts"))),
+          array(size(col("sorted")) + 1)),
+        (s, nxt) => struct(
+          element_at(col("sorted"), s).as("h"),
+          (nxt - s).cast("long").as("cnt")))).as("hc"))
+      .select(col("hc.h").as("chunk_md5"), col("doc_id"),
+        col("hc.cnt").as("cnt"))
+
   private def isX(e: Ev): Boolean =
     (e.event_type == "signup" || e.event_type == "error") && e.user_id % 3 != 0
   private def isY(e: Ev): Boolean =
@@ -2014,16 +2042,7 @@ object StreamingOps {
               .option("maxFilesPerTrigger", "1")
               .option("pathGlobFilter", "part-*")
               .parquet(in.toString)
-            val chunkRows = graft.multimodal.MultimodalPipeline
-              .cdcChunkMd5s(src, col("text"), window = 16, divisor = 32)
-              .select(col("doc_id"),
-                explode(transform(array_distinct(col("chs")), h =>
-                  struct(h.as("h"),
-                    size(filter(col("chs"), x => x === h)).cast("long")
-                      .as("cnt")))).as("hc"))
-              .select(col("hc.h").as("chunk_md5"), col("doc_id"),
-                col("hc.cnt").as("cnt"))
-              .as[ChunkRow]
+            val chunkRows = cdcChunkCountRows(src).as[ChunkRow]
             val dd = VersionedStreamDedup.latestPerKeyId[ChunkRow](
               chunkRows, _.chunk_md5, _.doc_id.toString, _ => 0L)
             val q = dd.toDF().writeStream.outputMode("update")

@@ -58,4 +58,24 @@ class MultimodalSpec extends SparkTestBase {
     // and CDC must beat fixed-size on this workload — the whole point
     assert(shared(cdc) > shared(fixed))
   }
+
+  // s37's scan stage counts per-doc chunk multiplicities with a
+  // sorted-runs single pass; pin it to the naive explode-and-count
+  // oracle so the O(n log n) rewrite can never drift from it.
+  test("cdc chunk-count rows match the explode-and-count oracle") {
+    import spark.implicits._
+    // repeat a block so some chunks recur WITHIN one document
+    val texts = Seq(1L -> (base + " " + base), 2L -> base,
+      3L -> "short", 4L -> "")
+    val df = texts.toDF("doc_id", "text")
+    val got = graft.queries.StreamingOps.cdcChunkCountRows(df)
+      .groupBy(col("doc_id"), col("chunk_md5"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val want = MultimodalPipeline.cdcChunkHashes(df, col("text"),
+        window = 16, divisor = 32)
+      .groupBy(col("doc_id"), col("chunk_md5"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "sorted-runs multiplicity counting diverged from explode-and-count")
+  }
 }
