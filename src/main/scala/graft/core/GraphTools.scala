@@ -3,7 +3,15 @@ package graft.core
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Distributed graph utilities for dedup pipelines. */
+/** Distributed graph utilities for dedup pipelines.
+  *
+  * Every `localCheckpoint` in this file truncates iteration lineage
+  * over SLIM (id, label) or (src, dst) pairs — never payload data. At
+  * cluster scale the substitution is a reliable checkpoint
+  * (`spark.sparkContext.setCheckpointDir` on shared storage +
+  * `.checkpoint()`): localCheckpoint is executor-pinned and not
+  * fault-tolerant, which is acceptable only single-JVM (here) or where
+  * recomputing the round is cheap. */
 object GraphTools {
 
   /** Connected components over an undirected edge list by min-label

@@ -352,6 +352,10 @@ object DedupOps {
           .select(col("doc_id"),
             explode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
               i => md5(concat_ws(" ", slice(col("t"), i, lit(k)))))).as("g"))
+          // already projected to the minimal (doc_id, gram-md5) pair —
+          // no text/token arrays are checkpointed; at cluster scale
+          // this is a reliable checkpoint (spark.checkpoint to shared
+          // storage) rather than executor-pinned localCheckpoint
           .localCheckpoint()
         val df = grams.select(col("g"), col("doc_id")).distinct()
           .groupBy(col("g")).agg(count(lit(1)).as("nd"))
@@ -392,6 +396,8 @@ object DedupOps {
               i => md5(concat_ws(" ", slice(col("t"), i, lit(k)))))))
           .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
             col("col").as("g"))
+          // minimal (doc_id, pos, gram-md5) rows only; cluster-scale
+          // substitution: reliable checkpoint to shared storage
           .localCheckpoint()
         val gstat = wins.groupBy(col("g"))
           .agg(count_distinct(col("doc_id")).as("nd"),

@@ -66,7 +66,18 @@ object Registry {
     * would break the typed surface the same way. Tables/columns not
     * listed pass through untouched — the untyped TPC-H queries and
     * their DuckDB oracles read the same parquet, so a drift there
-    * shifts both engines together and stays correct. */
+    * shifts both engines together and stays correct.
+    *
+    * ASYMMETRY, by design: these casts apply to the SPARK side only —
+    * the DuckDB oracles read the raw parquet. For the drifts this map
+    * exists for (integer/float WIDTH changes that preserve values,
+    * like the events µs/ns episode) both engines still see equal
+    * values. A hypothetical VALUE-changing drift (e.g. embeddings
+    * regenerated with genuine float64 precision) would be truncated to
+    * float32 only on the Spark side and show up as oracle hash
+    * mismatches on every embedding query — read such a wave of red
+    * rows as "testdata vintage changed semantically; widen the
+    * canonical dtype (and re-baseline)", not as query-logic bugs. */
   private val canonical: Map[String, Seq[(String, String)]] = Map(
     "events" -> Seq("event_id" -> "bigint", "user_id" -> "bigint",
       "event_type" -> "string", "value" -> "double"),

@@ -131,26 +131,50 @@ object StreamingOps {
     val p = java.nio.file.Paths.get(sfDir, srcTable + ".parquet")
     if (!java.nio.file.Files.exists(p)) "absent"
     else {
-      var size = 0L; var mtime = 0L
-      val s = java.nio.file.Files.walk(p)
-      try s.forEach { f =>
-        if (java.nio.file.Files.isRegularFile(f)) {
-          size += java.nio.file.Files.size(f)
-          mtime = math.max(mtime,
+      // digest over every file's (relative path, size, mtime): a
+      // regeneration that happens to preserve the TOTAL size and lands
+      // within the filesystem's mtime granularity must still change
+      // the key (the aggregate size+max-mtime form it replaces could
+      // silently replay stale chunks in exactly that case)
+      import scala.jdk.CollectionConverters._
+      val parts = {
+        val s = java.nio.file.Files.walk(p)
+        try s.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(f => p.relativize(f).toString + ":" +
+            java.nio.file.Files.size(f) + ":" +
             java.nio.file.Files.getLastModifiedTime(f).toMillis)
-        }
-      } finally s.close()
-      size + "m" + mtime
+          .toSeq.sorted
+        finally s.close()
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      parts.foreach(x => md.update(x.getBytes("UTF-8")))
+      md.digest().map("%02x".format(_)).mkString.take(16)
     }
   }
 
   private[graft] def sharedChunkDir(sfDir: String, name: String,
       srcTable: String)(
       write: java.nio.file.Path => Unit): java.nio.file.Path = synchronized {
-    val key = (sfDir + "_" + name + "_" + chunks + "_" +
-      srcFingerprint(sfDir, srcTable))
+    val prefix = (sfDir + "_" + name + "_" + chunks + "_")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = prefix + srcFingerprint(sfDir, srcTable)
       .replaceAll("[^A-Za-z0-9._-]", "_")
     val target = sharedIngestRoot.resolve(key)
+    // prune superseded cache dirs for the same (sfDir, name, chunks):
+    // a regenerated source changes the fingerprint suffix, and without
+    // this the stale chunk dirs accumulate under /tmp forever (in-
+    // flight ".tmp.<pid>" dirs of other processes are left alone)
+    if (java.nio.file.Files.isDirectory(sharedIngestRoot)) {
+      import scala.jdk.CollectionConverters._
+      val ls = java.nio.file.Files.list(sharedIngestRoot)
+      try ls.iterator().asScala
+        .filter { d =>
+          val n = d.getFileName.toString
+          n.startsWith(prefix) && n != key && !n.contains(".tmp.")
+        }.toSeq.foreach(deleteRecursively)
+      finally ls.close()
+    }
     if (java.nio.file.Files.exists(target.resolve("_SUCCESS"))) target
     else {
       java.nio.file.Files.createDirectories(sharedIngestRoot)
@@ -1376,6 +1400,11 @@ object StreamingOps {
     // and maxFilesPerTrigger bounds each microbatch.
     Entry("s3_stream_file_agg",
       (spark, dir) => withStreamConf(spark) {
+        // MUST precede the raw-footer sniff below: on the
+        // TIMESTAMP(NANOS) vintage an unguarded spark.read.parquet
+        // throws PARQUET_TYPE_ILLEGAL — this set keeps s3
+        // order-independent (no reliance on an earlier Registry.table
+        // call having set the conf session-wide)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val tmp = java.nio.file.Files.createTempDirectory("graft_s3_")
         val log = tmp.resolve("log"); val ckpt = tmp.resolve("ckpt")

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -582,8 +582,8 @@ object VectorOps {
           .orderBy(col("qsim").desc, col("neighbor_id"))
         cand.join(q, "query_id").join(n, "neighbor_id")
           .withColumn("qsim",
-            round(VectorFunctions.dot(col("qe"), col("ne")) /
-              (col("qqn") * col("nqn")), 6))
+            safeCosine(VectorFunctions.dot(col("qe"), col("ne")),
+              col("qqn"), col("nqn")))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= ivfTopK)
           .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -839,8 +839,8 @@ object VectorOps {
       .orderBy(col("qsim").desc, col("neighbor_id"))
     q.join(n, col("query_id") =!= col("neighbor_id"))
       .withColumn("qsim",
-        round(VectorFunctions.dot(col("qe"), col("ne")) /
-          (col("qqn") * col("nqn")), 6))
+        safeCosine(VectorFunctions.dot(col("qe"), col("ne")),
+          col("qqn"), col("nqn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -867,10 +867,22 @@ object VectorOps {
     s"""v AS ($embSql),
        |$quantTailCteSql""".stripMargin
 
+  /** Cosine with a zero-norm guard, rounded to 6: an all-zero
+    * embedding quantizes/projects to the zero vector, and 0/0 is NaN
+    * in Spark but NULL in DuckDB — a cross-engine divergence. Emit
+    * NULL in both engines (Spark desc and DuckDB DESC both sort NULLS
+    * LAST, so ranking agrees too). Latent-only today: the corpus has
+    * no zero vectors. */
+  private def safeCosine(dot: Column, n1: Column, n2: Column): Column =
+    when(n1 * n2 === 0, lit(null).cast("double"))
+      .otherwise(round(dot / (n1 * n2), 6))
+
   /** Quantized cosine between two `qq` rows (rounded to 6, like
-    * [[cosSql]]). */
+    * [[cosSql]]); the CASE mirrors [[safeCosine]]'s zero-norm NULL
+    * explicitly (DuckDB's x/0 is NULL anyway, but keep it spelled). */
   private def quantSimSql(a: String, b: String): String =
-    s"round(list_inner_product($a.q, $b.q) / ($a.qn * $b.qn), 6)"
+    s"CASE WHEN $a.qn * $b.qn = 0 THEN NULL ELSE " +
+      s"round(list_inner_product($a.q, $b.q) / ($a.qn * $b.qn), 6) END"
 
   /** The JL-projected corpus: per vector the 16 unrounded plane dots
     * (scaled like v_random_project) plus the projected norm. Each
@@ -901,8 +913,8 @@ object VectorOps {
       .orderBy(col("psim").desc, col("neighbor_id"))
     q.join(n, col("query_id") =!= col("neighbor_id"))
       .withColumn("psim",
-        round(VectorFunctions.dot(col("qp"), col("np")) /
-          (col("qpn") * col("npn")), 6))
+        safeCosine(VectorFunctions.dot(col("qp"), col("np")),
+          col("qpn"), col("npn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -921,7 +933,9 @@ object VectorOps {
        |  FROM v))""".stripMargin
   }
 
-  /** Projected cosine between two `pq` rows (rounded to 6). */
+  /** Projected cosine between two `pq` rows (rounded to 6); zero-norm
+    * guard as in [[quantSimSql]]. */
   private def rpSimSql(a: String, b: String): String =
-    s"round(list_inner_product($a.p, $b.p) / ($a.pn * $b.pn), 6)"
+    s"CASE WHEN $a.pn * $b.pn = 0 THEN NULL ELSE " +
+      s"round(list_inner_product($a.p, $b.p) / ($a.pn * $b.pn), 6) END"
 }
