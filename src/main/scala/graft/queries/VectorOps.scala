@@ -89,6 +89,80 @@ object VectorOps {
   private def planeSql(p: Int): String =
     VectorFunctions.planeComponents(p, dims).mkString("[", ", ", "]::DOUBLE[]")
 
+  /** Similarity rungs measured by dedup_lsh_prune_ratio: the corpus
+    * threshold (0.45), a mid rung, and the production dedup point. */
+  private val recallThresholds = Seq(0.45, 0.6, 0.8)
+
+  /** Exact near-dup ground truth (v1 < v2, sim >= nearDupThreshold),
+    * computed with the G(G+1)/2 triangle-blocked equi-join — every
+    * task owns one (n/G)×(n/G) tile of the comparison space, so work
+    * distributes evenly with bounded memory per task and the plan has
+    * no cartesian/BroadcastNestedLoopJoin. Shared by
+    * dedup_embedding_near (the exactness baseline) and
+    * dedup_lsh_prune_ratio (its ground truth). */
+  private def exactNearDupPairs(spark: SparkSession,
+                                dir: String): DataFrame = {
+    import spark.implicits._
+    val g = blockCount
+    val blockPairs = broadcast(
+      (for { i <- 0 until g; j <- i until g } yield (i, j))
+        .toDF("gi", "gj"))
+    val v = emb(spark, dir)
+      .withColumn("blk", pmod(col("vec_id"), lit(g)).cast("int"))
+    val aSide = blockPairs.join(v, col("gi") === col("blk"))
+      .select(col("gi"), col("gj"), col("vec_id").as("v1"),
+        col("e").as("e1"), col("nrm").as("n1"))
+    val bSide = blockPairs.join(v, col("gj") === col("blk"))
+      .select(col("gi").as("hi"), col("gj").as("hj"),
+        col("vec_id").as("v2"), col("e").as("e2"), col("nrm").as("n2"))
+    aSide.join(bSide, col("gi") === col("hi") && col("gj") === col("hj") &&
+        (col("gi") =!= col("gj") || col("v1") < col("v2")))
+      .withColumn("sim",
+        round(VectorFunctions.dot(col("e1"), col("e2")) /
+          (col("n1") * col("n2")), 6))
+      .filter(col("sim") >= nearDupThreshold)
+      .select(least(col("v1"), col("v2")).as("v1"),
+        greatest(col("v1"), col("v2")).as("v2"), col("sim"))
+  }
+
+  /** Slim LSH candidate id-pairs (v1 < v2), deduped across bands.
+    * Candidate generation and pair-dedup run over SLIM
+    * (band, bucket, vec_id) rows only — letting the 64-dim vectors
+    * ride through the candidate join and the dropDuplicates exchange
+    * multiplies shuffle volume ~50× (measured 264 s vs ~15 s at
+    * sf0.1). Consumers re-fetch vectors by id equi-joins AFTER the
+    * pair dedup; at 100 TB the id-pair dedup is the only
+    * O(candidates) shuffle. Shared by dedup_embedding_lsh and
+    * dedup_lsh_prune_ratio. */
+  private def lshCandidatePairs(spark: SparkSession,
+                                dir: String): DataFrame = {
+    val keyed = emb(spark, dir).select(col("vec_id"), posexplode(
+        VectorFunctions.bandBuckets(col("e"), lshBands, lshRowsPerBand, dims))
+      .as(Seq("band", "bucket")))
+    val a = keyed.select(col("band"), col("bucket"), col("vec_id").as("v1"))
+    val b = keyed.select(col("band").as("band2"),
+      col("bucket").as("bucket2"), col("vec_id").as("v2"))
+    a.join(b, col("band") === col("band2") &&
+        col("bucket") === col("bucket2") && col("v1") < col("v2"))
+      .select(col("v1"), col("v2"))
+      .dropDuplicates("v1", "v2") // a pair may collide in >1 band
+  }
+
+  /** The banded sign-LSH bucket CTE body (expects `v` in scope) —
+    * the DuckDB mirror of [[lshCandidatePairs]]'s banding, shared by
+    * the dedup_embedding_lsh and dedup_lsh_prune_ratio oracles. */
+  private def lshBandCteSql: String = {
+    val bandCase = (0 until lshBands).map { k =>
+      val e = (0 until lshRowsPerBand).map { r =>
+        s"(CASE WHEN list_inner_product(${planeSql(k * lshRowsPerBand + r)}, e) > 0 THEN ${1 << r} ELSE 0 END)"
+      }.mkString(" + ")
+      s"WHEN $k THEN $e"
+    }.mkString(" ")
+    s"""SELECT vec_id, e, band,
+       |  CASE band $bandCase END AS bucket
+       |  FROM v, (SELECT unnest(generate_series(0, ${lshBands - 1})) AS band) t""".stripMargin
+  }
+
   private val bucketSql: String =
     (0 until numPlanes).map { p =>
       s"(CASE WHEN list_inner_product(${planeSql(p)}, e) > 0 THEN ${1L << p}::BIGINT ELSE 0::BIGINT END)"
@@ -216,30 +290,8 @@ object VectorOps {
     // below (and at production dedup thresholds ≥0.8 its banding prunes
     // hard). Exactness baseline kept per SURVEY §2 extension contract.
     Entry("dedup_embedding_near",
-      (spark, dir) => {
-        import spark.implicits._
-        val g = blockCount
-        val blockPairs = broadcast(
-          (for { i <- 0 until g; j <- i until g } yield (i, j))
-            .toDF("gi", "gj"))
-        val v = emb(spark, dir)
-          .withColumn("blk", pmod(col("vec_id"), lit(g)).cast("int"))
-        val aSide = blockPairs.join(v, col("gi") === col("blk"))
-          .select(col("gi"), col("gj"), col("vec_id").as("v1"),
-            col("e").as("e1"), col("nrm").as("n1"))
-        val bSide = blockPairs.join(v, col("gj") === col("blk"))
-          .select(col("gi").as("hi"), col("gj").as("hj"),
-            col("vec_id").as("v2"), col("e").as("e2"), col("nrm").as("n2"))
-        aSide.join(bSide, col("gi") === col("hi") && col("gj") === col("hj") &&
-            (col("gi") =!= col("gj") || col("v1") < col("v2")))
-          .withColumn("sim",
-            round(VectorFunctions.dot(col("e1"), col("e2")) /
-              (col("n1") * col("n2")), 6))
-          .filter(col("sim") >= nearDupThreshold)
-          .select(least(col("v1"), col("v2")).as("v1"),
-            greatest(col("v1"), col("v2")).as("v2"), col("sim"))
-          .orderBy(col("v1"), col("v2"))
-      },
+      (spark, dir) => exactNearDupPairs(spark, dir)
+        .orderBy(col("v1"), col("v2")),
       Some(s"""WITH v AS ($embSql)
         |SELECT a.vec_id AS v1, b.vec_id AS v2,
         |  round(${cosSql("a.e", "b.e")}, 6) AS sim
@@ -262,27 +314,7 @@ object VectorOps {
     Entry("dedup_embedding_lsh",
       (spark, dir) => {
         val base = emb(spark, dir)
-        // Candidate generation and pair-dedup run over SLIM
-        // (band, bucket, vec_id) rows only — at this LSH-hostile
-        // threshold most pairs collide in ~2 of the 8 bands, so letting
-        // the 64-dim vectors ride through the candidate join and the
-        // dropDuplicates exchange multiplies shuffle volume ~50×
-        // (measured 264s vs ~15s at sf0.1). Vectors are re-fetched by
-        // two id equi-joins AFTER the id-pair dedup — the same shape as
-        // this query's own DuckDB oracle (`cand AS (SELECT DISTINCT …)`)
-        // and of dedup_minhash_pairs. At 100 TB the id-pair dedup is the
-        // only O(candidates) shuffle; the vector fetches are slim
-        // id-keyed joins AQE can broadcast when the pair set is small.
-        val keyed = base.select(col("vec_id"), posexplode(
-            VectorFunctions.bandBuckets(col("e"), lshBands, lshRowsPerBand, dims))
-          .as(Seq("band", "bucket")))
-        val a = keyed.select(col("band"), col("bucket"), col("vec_id").as("v1"))
-        val b = keyed.select(col("band").as("band2"),
-          col("bucket").as("bucket2"), col("vec_id").as("v2"))
-        val cand = a.join(b, col("band") === col("band2") &&
-            col("bucket") === col("bucket2") && col("v1") < col("v2"))
-          .select(col("v1"), col("v2"))
-          .dropDuplicates("v1", "v2") // a pair may collide in >1 band
+        val cand = lshCandidatePairs(spark, dir)
         val va = base.select(col("vec_id").as("v1"),
           col("e").as("e1"), col("nrm").as("n1"))
         val vb = base.select(col("vec_id").as("v2"),
@@ -295,27 +327,94 @@ object VectorOps {
           .select(col("v1"), col("v2"), col("sim"))
           .orderBy(col("v1"), col("v2"))
       },
-      Some {
-        val bandCase = (0 until lshBands).map { k =>
-          val expr = (0 until lshRowsPerBand).map { r =>
-            s"(CASE WHEN list_inner_product(${planeSql(k * lshRowsPerBand + r)}, e) > 0 THEN ${1 << r} ELSE 0 END)"
-          }.mkString(" + ")
-          s"WHEN $k THEN $expr"
-        }.mkString(" ")
-        s"""WITH v AS ($embSql),
-          |b AS (SELECT vec_id, e, band,
-          |  CASE band $bandCase END AS bucket
-          |  FROM v, (SELECT unnest(generate_series(0, ${lshBands - 1})) AS band) t),
-          |cand AS (SELECT DISTINCT a.vec_id AS v1, c.vec_id AS v2
-          |  FROM b a JOIN b c ON a.band = c.band AND a.bucket = c.bucket
-          |    AND a.vec_id < c.vec_id)
-          |SELECT cand.v1, cand.v2,
-          |  round(${cosSql("va.e", "vb.e")}, 6) AS sim
-          |FROM cand JOIN v va ON va.vec_id = cand.v1
-          |  JOIN v vb ON vb.vec_id = cand.v2
-          |WHERE round(${cosSql("va.e", "vb.e")}, 6) >= $nearDupThreshold
-          |ORDER BY v1, v2""".stripMargin
-      }),
+      Some(s"""WITH v AS ($embSql),
+        |b AS ($lshBandCteSql),
+        |cand AS (SELECT DISTINCT a.vec_id AS v1, c.vec_id AS v2
+        |  FROM b a JOIN b c ON a.band = c.band AND a.bucket = c.bucket
+        |    AND a.vec_id < c.vec_id)
+        |SELECT cand.v1, cand.v2,
+        |  round(${cosSql("va.e", "vb.e")}, 6) AS sim
+        |FROM cand JOIN v va ON va.vec_id = cand.v1
+        |  JOIN v vb ON vb.vec_id = cand.v2
+        |WHERE round(${cosSql("va.e", "vb.e")}, 6) >= $nearDupThreshold
+        |ORDER BY v1, v2""".stripMargin)),
+
+    // LSH PRUNING MEASURED, NOT ASSERTED: dedup_embedding_lsh's docs
+    // quote ~97% comparison-space pruning at production dedup
+    // thresholds — this row hash-checks what the banding actually does
+    // on THIS corpus. One row per threshold rung: exact ground-truth
+    // pairs at >= the rung (from the blocked exact join), how many the
+    // banding catches (recall), plus the corpus-wide candidate count
+    // and the fraction of the n(n-1)/2 comparison space pruned. On the
+    // near-orthogonal driver embeddings the banding is deliberately
+    // LSH-hostile (per-plane agreement ~0.5 between random pairs →
+    // candidates ≈ 1-(3/4)^8 ≈ 90% of all pairs), so the measured
+    // prune_ratio ~0.1 here documents the geometry-dependence of the
+    // claim; on clustered production data with a similarity gap the
+    // same operator prunes hard. recall is NULL at rungs with no true
+    // pairs (this corpus' pair sims top out below 0.6: measured at
+    // sf0.01 — 14/14 caught at 0.45, candidates 89.5% of the space) —
+    // NULL in both engines alike.
+    Entry("dedup_lsh_prune_ratio",
+      (spark, dir) => {
+        import spark.implicits._
+        val truth = exactNearDupPairs(spark, dir)
+        val cand = lshCandidatePairs(spark, dir)
+        val marked = truth.join(cand.withColumn("hit", lit(1)),
+          Seq("v1", "v2"), "left")
+        val thr = broadcast(recallThresholds.toDF("threshold"))
+        val perThr = marked.crossJoin(thr)
+          .groupBy(col("threshold"))
+          .agg(
+            count(when(col("sim") >= col("threshold"), 1)).as("n_true"),
+            count(when(col("sim") >= col("threshold") && col("hit") === 1, 1))
+              .as("n_caught"))
+        val nc = cand.agg(count(lit(1)).as("n_candidates"))
+        val tot = emb(spark, dir)
+          .agg((count(lit(1)) * (count(lit(1)) - 1) / 2).as("total_pairs"))
+        perThr.crossJoin(broadcast(nc)).crossJoin(broadcast(tot))
+          .select(col("threshold"), col("n_true"), col("n_caught"),
+            when(col("n_true") === 0, lit(null).cast("double"))
+              .otherwise(round(col("n_caught") / col("n_true"), 6))
+              .as("recall"),
+            col("n_candidates"),
+            round(lit(1) - col("n_candidates") / col("total_pairs"), 6)
+              .as("prune_ratio"))
+          .orderBy(col("threshold"))
+      },
+      Some(s"""WITH v AS ($embSql),
+        |b AS ($lshBandCteSql),
+        |cand AS (SELECT DISTINCT a.vec_id AS v1, c.vec_id AS v2
+        |  FROM b a JOIN b c ON a.band = c.band AND a.bucket = c.bucket
+        |    AND a.vec_id < c.vec_id),
+        |p AS (SELECT a.vec_id AS v1, bb.vec_id AS v2,
+        |    round(${cosSql("a.e", "bb.e")}, 6) AS sim
+        |  FROM v a JOIN v bb ON a.vec_id < bb.vec_id
+        |  WHERE round(${cosSql("a.e", "bb.e")}, 6) >= $nearDupThreshold),
+        |m AS (SELECT p.v1, p.v2, p.sim,
+        |    CASE WHEN cand.v1 IS NOT NULL THEN 1 END AS hit
+        |  FROM p LEFT JOIN cand ON p.v1 = cand.v1 AND p.v2 = cand.v2),
+        |t(threshold) AS (VALUES ${
+          recallThresholds.map(t => s"($t::DOUBLE)").mkString(", ")}),
+        |nc AS (SELECT count(*) AS n_candidates FROM cand),
+        |tp AS (SELECT count(*) * (count(*) - 1) // 2 AS total_pairs FROM v)
+        |SELECT t.threshold,
+        |  count(CASE WHEN m.sim >= t.threshold THEN 1 END) AS n_true,
+        |  count(CASE WHEN m.sim >= t.threshold AND m.hit = 1 THEN 1 END)
+        |    AS n_caught,
+        |  CASE WHEN count(CASE WHEN m.sim >= t.threshold THEN 1 END) = 0
+        |    THEN NULL
+        |    ELSE round(
+        |      count(CASE WHEN m.sim >= t.threshold AND m.hit = 1 THEN 1 END)
+        |        ::DOUBLE /
+        |      count(CASE WHEN m.sim >= t.threshold THEN 1 END), 6) END
+        |    AS recall,
+        |  nc.n_candidates,
+        |  round(1 - nc.n_candidates::DOUBLE / tp.total_pairs, 6)
+        |    AS prune_ratio
+        |FROM t CROSS JOIN m CROSS JOIN nc CROSS JOIN tp
+        |GROUP BY t.threshold, nc.n_candidates, tp.total_pairs
+        |ORDER BY threshold""".stripMargin)),
 
     Entry("ann_topk_bruteforce",
       (spark, dir) => bruteTopkPairs(spark, dir)

@@ -35,7 +35,10 @@ class RegistrySpec extends SparkTestBase {
       "ann_quantized_topk", "ann_quantized_recall", "ann_rp_recall",
       // IVF+SQ8 composition: candidate gen reuses the 16-row centroid
       // broadcast; scoring itself is id-keyed equi-joins
-      "ann_ivf_quantized_topk")
+      "ann_ivf_quantized_topk",
+      // 3-row threshold panel + two 1-row corpus aggregates broadcast
+      // against the slim pair stream
+      "dedup_lsh_prune_ratio")
     val offenders = Registry.all.flatMap { e =>
       val df = e.fn(spark, sfDir)
       val nested = df.schema.fields.collect {
