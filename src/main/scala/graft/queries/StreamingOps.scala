@@ -93,7 +93,33 @@ object StreamingOps {
   private def withStreamConf[T](spark: SparkSession)(body: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // All replay checkpoints live under the local /tmp dirs these
+    // harnesses create, so commit them through the fork-free NIO
+    // manager (see [[graft.streaming.NioCheckpointFileManager]]: the
+    // Hadoop local FS forks a `chmod` process per checkpoint file —
+    // measured ~1,600 forks for ONE stream-stream join replay, the
+    // dominant cost of the streaming suite).
+    val prevFm = spark.conf.getOption(
+      "spark.sql.streaming.checkpointFileManagerClass")
+    spark.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+      classOf[graft.streaming.NioCheckpointFileManager].getName)
+    // Spark 4.1 wraps the manager with checksum-sidecar generation by
+    // default, DOUBLING the per-commit file count. Corruption detection
+    // buys nothing for a throwaway local replay checkpoint (it exists
+    // for long-lived checkpoints on remote storage) — keep it off here.
+    val prevCk = spark.conf.getOption(
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled")
+    spark.conf.set(
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    try body finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      def restore(k: String, v: Option[String]): Unit = v match {
+        case Some(x) => spark.conf.set(k, x)
+        case None    => spark.conf.unset(k)
+      }
+      restore("spark.sql.streaming.checkpointFileManagerClass", prevFm)
+      restore("spark.sql.streaming.checkpoint.fileChecksum.enabled", prevCk)
+    }
   }
 
   /** Shared by every temp-dir harness below (deepest paths first). */

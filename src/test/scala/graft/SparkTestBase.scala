@@ -12,5 +12,16 @@ trait SparkTestBase extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // Route every suite's streaming checkpoints through the fork-free
+    // NIO manager — the same one the library's replay harnesses use —
+    // so its atomic-rename/recovery behavior is exercised by ALL
+    // streaming specs (incl. StreamRecoverySpec's restart-from-
+    // checkpoint path), not just its own unit spec.
+    .config("spark.sql.streaming.checkpointFileManagerClass",
+      classOf[graft.streaming.NioCheckpointFileManager].getName)
+    // checksum sidecars double the checkpoint commit count and protect
+    // only long-lived checkpoints on remote storage — off for tests,
+    // matching the library's withStreamConf
+    .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     .getOrCreate()
 }
