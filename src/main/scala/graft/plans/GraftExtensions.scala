@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProductExpr, RollingHashExpr}
+import graft.functions.{DotProductExpr, KmvSketchAgg, RollingHashExpr}
 
 /** Session-extension wiring for the library's native expressions —
   * the `SparkSessionExtensions` integration point, so a cluster deploy
@@ -52,6 +52,18 @@ object GraftExtensions {
           case Literal(k: Int, IntegerType) => RollingHashExpr(args.head, k)
           case other => throw new IllegalArgumentException(
             s"graft_rolling_hash window must be an integer literal, got $other")
+        }
+      }), (
+      FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "graft_kmv"),
+      (args: Seq[Expression]) => {
+        // the analyzer wraps a bare AggregateFunction returned from a
+        // registry builder in an AggregateExpression itself
+        require(args.length == 2, "graft_kmv(hashed, k) takes two arguments")
+        args(1) match {
+          case Literal(k: Int, IntegerType) => KmvSketchAgg(args.head, k)
+          case other => throw new IllegalArgumentException(
+            s"graft_kmv sketch width must be an integer literal, got $other")
         }
       }))
 

@@ -2122,7 +2122,41 @@ object StreamingOps {
           } finally deleteRecursively(tmp)
         }
       },
-      Some(MultimodalOps.cdcChunkOracleSql))
+      Some(MultimodalOps.cdcChunkOracleSql)),
+
+    // STREAMING CARDINALITY MONITORING — the KMV mergeable sketch
+    // ([[graft.functions.KmvSketchAgg]]) as a streaming AGGREGATION:
+    // the engine itself persists the aggregate buffer (the k=64
+    // smallest distinct hashes per event_type — 512 bytes, never the
+    // values) across microbatches, so per-key distinct-user estimates
+    // are maintained incrementally over the replayed ingest with no
+    // custom state code at all. Because the KMV estimate is a pure
+    // function of the hash set, the converged streaming answer equals
+    // the batch sketch bit-for-bit AND the DuckDB oracle re-derives
+    // the same number — a determinism HLL++-based monitoring cannot
+    // offer. At 100 TB this is the feed-health dashboard query: state
+    // is O(groups · k) regardless of traffic.
+    Entry("s38_stream_kmv_users",
+      (spark, dir) => {
+        import graft.functions.{KmvSketch, TextFunctions}
+        runFileStream(spark, dir, mode = "complete") { src =>
+          src().toDF()
+            .select(col("event_type"),
+              TextFunctions.fingerprint64(col("user_id").cast("string"))
+                .as("h"))
+            .groupBy(col("event_type"))
+            .agg(KmvSketch.kmvSketch(col("h")).as("sk"))
+            .select(col("event_type"),
+              KmvSketch.estimate(col("sk")).as("n_kmv"))
+        }(_.orderBy(col("event_type")))
+      },
+      Some(s"""WITH th AS (SELECT event_type,
+        |  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |    AS BIGINT) AS h FROM events),
+        |kmv AS ${graft.functions.KmvSketch.oracleEstimateSql(
+               "th", "event_type", "h")}
+        |SELECT event_type, n_kmv FROM kmv
+        |ORDER BY event_type""".stripMargin))
   )
 
   /** Watermark + append-mode replay harness with the sentinel flush

@@ -396,6 +396,41 @@ object TextOps {
         |  FROM tf JOIN vocab USING (tok) GROUP BY tf.doc_id)
         |SELECT ds.doc_id, ds.n_tokens,
         |  round(ds.wsum / (ds.n_tokens * tot.total), 6) AS avg_prob
-        |FROM ds CROSS JOIN tot ORDER BY ds.doc_id""".stripMargin))
+        |FROM ds CROSS JOIN tot ORDER BY ds.doc_id""".stripMargin)),
+
+    // PER-LANGUAGE VOCABULARY CARDINALITY via the KMV mergeable sketch
+    // ([[graft.functions.KmvSketchAgg]]) — the corpus-monitoring
+    // counterpart to q_approx_distinct, with the property HLL++ cannot
+    // give: the estimate is a deterministic pure function of the hash
+    // set, so the DuckDB oracle reproduces it BIT-FOR-BIT (not just
+    // bounds-checks it), and two pipeline runs disagree only if the
+    // corpus actually changed. The exact count rides along here for
+    // the driver's cross-check; at 100 TB one drops n_exact and ships
+    // only 64 longs per (lang, partition) — the token stream itself
+    // is never shuffled on the sketch path.
+    Entry("t_kmv_distinct",
+      (spark, dir) => {
+        import graft.functions.KmvSketch
+        val toks = Registry.table(spark, dir, "documents")
+          .select(col("lang"),
+            explode(TextFunctions.tokens(col("text"))).as("tok"))
+        toks
+          .select(col("lang"), col("tok"),
+            TextFunctions.fingerprint64(col("tok")).as("h"))
+          .groupBy(col("lang"))
+          .agg(countDistinct(col("tok")).as("n_exact"),
+            KmvSketch.kmvSketch(col("h")).as("sk"))
+          .select(col("lang"), col("n_exact"),
+            KmvSketch.estimate(col("sk")).as("n_kmv"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH tok AS (SELECT lang, unnest($tokSql) AS tok
+        |  FROM documents),
+        |th AS (SELECT lang, tok, ${fp64Sql("tok")} AS h FROM tok),
+        |ex AS (SELECT lang, count(DISTINCT tok) AS n_exact FROM tok
+        |  GROUP BY lang),
+        |kmv AS ${graft.functions.KmvSketch.oracleEstimateSql("th", "lang", "h")}
+        |SELECT ex.lang, ex.n_exact, kmv.n_kmv
+        |FROM ex JOIN kmv USING (lang) ORDER BY ex.lang""".stripMargin))
   )
 }
