@@ -43,6 +43,7 @@ import org.apache.spark.sql.types._
 case class KmvSketchAgg(
     child: Expression,
     k: Int,
+    emitHashes: Boolean = false,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
@@ -64,9 +65,17 @@ case class KmvSketchAgg(
     }
 
   override def nullable: Boolean = false
-  override def dataType: DataType = StructType(Seq(
-    StructField("n_min", LongType, nullable = false),
-    StructField("kth", LongType, nullable = true)))
+
+  /** Summary mode returns the (count, k-th hash) pair the estimator
+    * needs; `emitHashes` returns the retained hash set itself
+    * (ascending) — the form sketch SET OPERATIONS consume (union /
+    * Jaccard / intersection across corpora, [[KmvSketch.unionMin]]):
+    * k longs per group, still a constant-size aggregate output. */
+  override def dataType: DataType =
+    if (emitHashes) ArrayType(LongType, containsNull = false)
+    else StructType(Seq(
+      StructField("n_min", LongType, nullable = false),
+      StructField("kth", LongType, nullable = true)))
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
@@ -93,9 +102,16 @@ case class KmvSketchAgg(
   }
 
   override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](buf.size.toLong,
-        if (buf.size < k) null else buf.last.longValue()))
+    if (emitHashes) {
+      val arr = new Array[Any](buf.size)
+      val it = buf.iterator() // TreeSet iterates ascending
+      var i = 0
+      while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+      new GenericArrayData(arr)
+    } else
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](buf.size.toLong,
+          if (buf.size < k) null else buf.last.longValue()))
 
   override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + 8 * buf.size)
@@ -150,6 +166,41 @@ object KmvSketch {
     when(sketch("kth").isNull, sketch("n_min"))
       .otherwise(floor(lit((k - 1).toDouble) * lit(M) /
         greatest(sketch("kth"), lit(1L)).cast("double")).cast("long"))
+
+  /** The sketch emitting its retained k-min hash set (ascending
+    * `array<bigint>`, ≤ k elements) — the representation sketch SET
+    * OPERATIONS consume. Two corpora never need joining to estimate
+    * their overlap: ship one ≤64-long array per side. */
+  def kmvHashes(hashed: Column, k: Int = DefaultK): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      KmvSketchAgg(
+        org.apache.spark.sql.graft.Bridge.expression(hashed), k,
+        emitHashes = true).toAggregateExpression())
+
+  /** The k smallest distinct hashes of A ∪ B, computed from the two
+    * sides' k-min sets alone. Sound because any of the k smallest
+    * hashes of the true union that came from A is necessarily among
+    * A's own k smallest — so the union's k-min set is fully contained
+    * in Ak ∪ Bk (the closure property all KMV set ops rest on). */
+  def unionMin(a: Column, b: Column, k: Int = DefaultK): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+
+  /** [[estimate]] over a k-min hash ARRAY (e.g. [[unionMin]]'s
+    * output): exact while fewer than k hashes exist, else the KMV
+    * estimator on the k-th element. */
+  def estimateFromHashes(u: Column, k: Int = DefaultK): Column =
+    when(size(u) < k, size(u).cast("long"))
+      .otherwise(floor(lit((k - 1).toDouble) * lit(M) /
+        greatest(element_at(u, k), lit(1L)).cast("double")).cast("long"))
+
+  /** Of the union's k-min hashes, how many fall in BOTH sides' k-min
+    * sets — the coincidence count C whose ratio C/|U| estimates the
+    * Jaccard similarity (for h ∈ U, h ∈ A ⟺ h ∈ Ak, so membership
+    * tests against the sketches are exact). Intersection cardinality
+    * then estimates as C·|A∪B|est/|U| — composed in the query so the
+    * oracle can mirror the arithmetic textually. */
+  def coincidences(u: Column, a: Column, b: Column): Column =
+    size(array_intersect(u, array_intersect(a, b))).cast("long")
 
   /** DuckDB re-derivation of [[kmvSketch]]+[[estimate]] over a relation
     * `(grp, h)` of pre-hashed values: rank distinct hashes per group,

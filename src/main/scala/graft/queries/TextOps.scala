@@ -431,6 +431,103 @@ object TextOps {
         |  GROUP BY lang),
         |kmv AS ${graft.functions.KmvSketch.oracleEstimateSql("th", "lang", "h")}
         |SELECT ex.lang, ex.n_exact, kmv.n_kmv
-        |FROM ex JOIN kmv USING (lang) ORDER BY ex.lang""".stripMargin))
+        |FROM ex JOIN kmv USING (lang) ORDER BY ex.lang""".stripMargin)),
+
+    // SKETCH-BASED DECONTAMINATION ESTIMATE — t_contamination's scale
+    // twin: train/test shingle overlap WITHOUT the equi-join. Each
+    // split reduces to its k=64-min hash set; the union's k-min set is
+    // provably contained in the two sketches' union (closure), and for
+    // any of its members h, h ∈ train ⟺ h ∈ train's sketch — so the
+    // coincidence ratio C/|U| estimates Jaccard and C·est(A∪B)/|U|
+    // the shared-shingle count, from 2×512 bytes. At 100 TB the exact
+    // columns drop and each side's sketch comes from its own corpus
+    // scan (even separate clusters — sketches are mailable); the
+    // whole estimator is deterministic integer/IEEE arithmetic, so
+    // DuckDB re-derives every column bit-for-bit from the raw corpus.
+    Entry("t_kmv_contamination",
+      (spark, dir) => {
+        import graft.functions.KmvSketch
+        val bucket = TextFunctions.tokenHash(col("doc_id").cast("string")) % 100
+        val sh = Registry.table(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .withColumn("split",
+            when(bucket < 90, "train").when(bucket < 95, "val")
+              .otherwise("test"))
+          .filter(col("split") =!= "val")
+          .select(col("split"), TextFunctions.tokens(col("text")).as("toks"))
+          .select(col("split"), explode(array_distinct(
+            TextFunctions.shingles3FromTokens(col("toks")))).as("sh"))
+          .select(col("split"), TextFunctions.fingerprint64(col("sh")).as("fp"))
+        def side(s: String) = sh.filter(col("split") === s)
+          .agg(countDistinct(col("fp")).as(s"n_${s}_exact"),
+            KmvSketch.estimate(KmvSketch.kmvSketch(col("fp")))
+              .as(s"n_${s}_kmv"),
+            KmvSketch.kmvHashes(col("fp")).as(s"${s}_hs"))
+        val both = side("train").crossJoin(side("test"))
+          .withColumn("u", KmvSketch.unionMin(col("train_hs"), col("test_hs")))
+          .withColumn("n_union_kmv", KmvSketch.estimateFromHashes(col("u")))
+          .withColumn("c",
+            KmvSketch.coincidences(col("u"), col("train_hs"), col("test_hs")))
+          .withColumn("jaccard_kmv",
+            when(size(col("u")) === 0, lit(0.0))
+              .otherwise(round(col("c") / size(col("u")), 6)))
+          .withColumn("n_inter_kmv",
+            when(size(col("u")) === 0, lit(0L)).otherwise(
+              floor(col("c") * col("n_union_kmv") / size(col("u")))
+                .cast("long")))
+        val nInterExact = sh.filter(col("split") === "train")
+          .select(col("fp")).distinct()
+          .join(sh.filter(col("split") === "test")
+            .select(col("fp")).distinct(), Seq("fp"))
+          .agg(count(lit(1)).as("n_inter_exact"))
+        both.crossJoin(nInterExact)
+          .select(col("n_train_exact"), col("n_test_exact"),
+            col("n_inter_exact"), col("n_train_kmv"), col("n_test_kmv"),
+            col("n_union_kmv"), col("c"), col("jaccard_kmv"),
+            col("n_inter_kmv"))
+      },
+      Some(s"""WITH b AS (SELECT doc_id, text,
+        |  CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+        |       WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT split, ${fp64Sql("sh")} AS fp
+        |  FROM (SELECT split,
+        |    unnest(list_distinct(${DedupOps.shinglesListSql})) AS sh
+        |    FROM b WHERE split <> 'val')),
+        |tr AS (SELECT fp FROM sh WHERE split = 'train'),
+        |te AS (SELECT fp FROM sh WHERE split = 'test'),
+        |trk AS (SELECT fp, row_number() OVER (ORDER BY fp) AS rn FROM tr),
+        |tek AS (SELECT fp, row_number() OVER (ORDER BY fp) AS rn FROM te),
+        |un AS (SELECT fp, row_number() OVER (ORDER BY fp) AS rn
+        |  FROM (SELECT fp FROM tr UNION SELECT fp FROM te)),
+        |uk AS (SELECT fp FROM un WHERE rn <= 64),
+        |est AS (SELECT
+        |  (SELECT CASE WHEN max(rn) < 64 THEN max(rn)
+        |     ELSE CAST(floor(63.0 * 1152921504606846976.0 /
+        |       CAST(GREATEST(max(CASE WHEN rn = 64 THEN fp END), 1) AS DOUBLE)) AS BIGINT) END
+        |   FROM trk) AS n_train_kmv,
+        |  (SELECT CASE WHEN max(rn) < 64 THEN max(rn)
+        |     ELSE CAST(floor(63.0 * 1152921504606846976.0 /
+        |       CAST(GREATEST(max(CASE WHEN rn = 64 THEN fp END), 1) AS DOUBLE)) AS BIGINT) END
+        |   FROM tek) AS n_test_kmv,
+        |  (SELECT CASE WHEN max(rn) < 64 THEN max(rn)
+        |     ELSE CAST(floor(63.0 * 1152921504606846976.0 /
+        |       CAST(GREATEST(max(CASE WHEN rn = 64 THEN fp END), 1) AS DOUBLE)) AS BIGINT) END
+        |   FROM un) AS n_union_kmv,
+        |  (SELECT count(*) FROM uk
+        |   WHERE fp IN (SELECT fp FROM tr) AND fp IN (SELECT fp FROM te))
+        |    AS c,
+        |  (SELECT count(*) FROM uk) AS nu)
+        |SELECT
+        |  (SELECT count(*) FROM tr) AS n_train_exact,
+        |  (SELECT count(*) FROM te) AS n_test_exact,
+        |  (SELECT count(*) FROM tr WHERE fp IN (SELECT fp FROM te))
+        |    AS n_inter_exact,
+        |  n_train_kmv, n_test_kmv, n_union_kmv, c,
+        |  CASE WHEN nu = 0 THEN 0.0 ELSE round(c / nu, 6) END AS jaccard_kmv,
+        |  CASE WHEN nu = 0 THEN 0 ELSE
+        |    CAST(floor(c * n_union_kmv / nu) AS BIGINT) END AS n_inter_kmv
+        |FROM est""".stripMargin))
   )
 }

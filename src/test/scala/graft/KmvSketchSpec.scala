@@ -68,6 +68,45 @@ class KmvSketchSpec extends SparkTestBase {
     assert(got == 10L)
   }
 
+  test("set operations: below k the union/Jaccard/intersection " +
+    "estimates are exact") {
+    // A = {0..29}, B = {20..49}: |A|=30, |B|=30, |A∪B|=50 < k=64,
+    // |A∩B|=10, J = 0.2 — the estimator must return these exactly
+    val a = spark.range(0, 30)
+      .select(TextFunctions.fingerprint64($"id".cast("string")).as("h"))
+      .agg(KmvSketch.kmvHashes($"h").as("ah"))
+    val b = spark.range(20, 50)
+      .select(TextFunctions.fingerprint64($"id".cast("string")).as("h"))
+      .agg(KmvSketch.kmvHashes($"h").as("bh"))
+    val got = a.crossJoin(b)
+      .withColumn("u", KmvSketch.unionMin($"ah", $"bh"))
+      .select(
+        KmvSketch.estimateFromHashes($"u").as("un"),
+        KmvSketch.coincidences($"u", $"ah", $"bh").as("c"),
+        size($"u").as("nu"))
+      .as[(Long, Long, Int)].head()
+    assert(got == ((50L, 10L, 50)))
+  }
+
+  test("set operations: above k the union estimate stays in band and " +
+    "coincidences are bounded by k") {
+    val a = hashed(8000, 2).agg(KmvSketch.kmvHashes($"h").as("ah"))
+    val b = spark.range(2000, 6000) // overlaps 2000..3999 of A's 0..3999
+      .select(TextFunctions.fingerprint64($"id".cast("string")).as("h"))
+      .agg(KmvSketch.kmvHashes($"h").as("bh"))
+    val (un, c, nu) = a.crossJoin(b)
+      .withColumn("u", KmvSketch.unionMin($"ah", $"bh"))
+      .select(KmvSketch.estimateFromHashes($"u").as("un"),
+        KmvSketch.coincidences($"u", $"ah", $"bh").as("c"),
+        size($"u").as("nu"))
+      .as[(Long, Long, Int)].head()
+    assert(nu == 64 && c <= 64)
+    // true union 6000; 4-sigma band ±51%
+    assert(math.abs(un - 6000L).toDouble / 6000 < 0.51, s"union est $un")
+    // true J = 2000/6000 = 1/3; C ~ Binomial(64, 1/3) → 4-sigma ≈ ±24
+    assert(math.abs(c - 64.0 / 3) < 24, s"coincidence count $c")
+  }
+
   test("graft_kmv is SQL-registered and matches a window re-derivation") {
     graft.plans.GraftExtensions.register(spark)
     hashed(40000, 4).createOrReplaceTempView("kmv_probe")
