@@ -528,6 +528,48 @@ object TextOps {
         |  CASE WHEN nu = 0 THEN 0.0 ELSE round(c / nu, 6) END AS jaccard_kmv,
         |  CASE WHEN nu = 0 THEN 0 ELSE
         |    CAST(floor(c * n_union_kmv / nu) AS BIGINT) END AS n_inter_kmv
-        |FROM est""".stripMargin))
+        |FROM est""".stripMargin)),
+
+    // SEQUENCE PACKING — the concatenate-and-chunk step of LM training
+    // prep: documents are concatenated in a deterministic order and
+    // cut into fixed 512-token context windows; each document is
+    // assigned the window its first token lands in. Packing is
+    // inherently sequential, so the production shape shards it: the
+    // running token offset is windowed over (lang, shard of 1,000
+    // docs), never over a whole language — at 100 TB that keeps
+    // per-reducer work bounded at shard size (5 language partitions
+    // would otherwise serialize the corpus through 5 reducers) at the
+    // cost of at most one under-filled window per shard boundary,
+    // which is how real packers trade too. Pure integer arithmetic
+    // throughout — the oracle mirrors it exactly.
+    Entry("t_seq_packing",
+      (spark, dir) => {
+        val d = Registry.table(spark, dir, "documents")
+          .select(col("lang"), col("doc_id"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens"))
+          .withColumn("shard", expr("doc_id div 1000"))
+        val w = Window.partitionBy(col("lang"), col("shard"))
+          .orderBy(col("doc_id"))
+        d.withColumn("offset",
+            sum(col("n_tokens")).over(w) - col("n_tokens"))
+          .withColumn("bin", expr("offset div 512"))
+          .groupBy(col("lang"), col("shard"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("sum_tokens"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy(col("lang"), col("shard"), col("bin"))
+      },
+      Some(s"""WITH d AS (SELECT lang, doc_id,
+        |  CAST(floor(doc_id / 1000) AS BIGINT) AS shard,
+        |  len($tokSql) AS n_tokens FROM documents),
+        |o AS (SELECT lang, shard, doc_id, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_off
+        |  FROM d)
+        |SELECT lang, shard, CAST(floor(tok_off / 512) AS BIGINT) AS bin,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  min(doc_id) AS first_doc
+        |FROM o GROUP BY 1, 2, 3 ORDER BY lang, shard, bin""".stripMargin))
   )
 }
