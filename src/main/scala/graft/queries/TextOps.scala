@@ -563,8 +563,8 @@ object TextOps {
         |  CAST(floor(doc_id / 1000) AS BIGINT) AS shard,
         |  len($tokSql) AS n_tokens FROM documents),
         |o AS (SELECT lang, shard, doc_id, n_tokens,
-        |  sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
-        |    ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_off
+        |  CAST(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS tok_off
         |  FROM d)
         |SELECT lang, shard, CAST(floor(tok_off / 512) AS BIGINT) AS bin,
         |  count(*) AS n_docs,

@@ -38,7 +38,10 @@ class RegistrySpec extends SparkTestBase {
       "ann_ivf_quantized_topk",
       // 3-row threshold panel + two 1-row corpus aggregates broadcast
       // against the slim pair stream
-      "dedup_lsh_prune_ratio")
+      "dedup_lsh_prune_ratio",
+      // three 1-row aggregates crossed (train sketch × test sketch ×
+      // exact-intersection count) — every BNLJ side is a single row
+      "t_kmv_contamination")
     val offenders = Registry.all.flatMap { e =>
       val df = e.fn(spark, sfDir)
       val nested = df.schema.fields.collect {
