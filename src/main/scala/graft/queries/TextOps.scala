@@ -458,14 +458,19 @@ object TextOps {
           .select(col("split"), explode(array_distinct(
             TextFunctions.shingles3FromTokens(col("toks")))).as("sh"))
           .select(col("split"), TextFunctions.fingerprint64(col("sh")).as("fp"))
+        // k=256 (2 KB/side): the coincidence count C ~ Binomial(k, J)
+        // is the noisy term at low overlap — k=64 put C's rse near 70%
+        // on this corpus's J≈0.05; 256 quarters the variance while the
+        // sketches stay mailable
+        val k = 256
         def side(s: String) = sh.filter(col("split") === s)
           .agg(countDistinct(col("fp")).as(s"n_${s}_exact"),
-            KmvSketch.estimate(KmvSketch.kmvSketch(col("fp")))
+            KmvSketch.estimate(KmvSketch.kmvSketch(col("fp"), k), k)
               .as(s"n_${s}_kmv"),
-            KmvSketch.kmvHashes(col("fp")).as(s"${s}_hs"))
+            KmvSketch.kmvHashes(col("fp"), k).as(s"${s}_hs"))
         val both = side("train").crossJoin(side("test"))
-          .withColumn("u", KmvSketch.unionMin(col("train_hs"), col("test_hs")))
-          .withColumn("n_union_kmv", KmvSketch.estimateFromHashes(col("u")))
+          .withColumn("u", KmvSketch.unionMin(col("train_hs"), col("test_hs"), k))
+          .withColumn("n_union_kmv", KmvSketch.estimateFromHashes(col("u"), k))
           .withColumn("c",
             KmvSketch.coincidences(col("u"), col("train_hs"), col("test_hs")))
           .withColumn("jaccard_kmv",
@@ -501,19 +506,19 @@ object TextOps {
         |tek AS (SELECT fp, row_number() OVER (ORDER BY fp) AS rn FROM te),
         |un AS (SELECT fp, row_number() OVER (ORDER BY fp) AS rn
         |  FROM (SELECT fp FROM tr UNION SELECT fp FROM te)),
-        |uk AS (SELECT fp FROM un WHERE rn <= 64),
+        |uk AS (SELECT fp FROM un WHERE rn <= 256),
         |est AS (SELECT
-        |  (SELECT CASE WHEN max(rn) < 64 THEN max(rn)
-        |     ELSE CAST(floor(63.0 * 1152921504606846976.0 /
-        |       CAST(GREATEST(max(CASE WHEN rn = 64 THEN fp END), 1) AS DOUBLE)) AS BIGINT) END
+        |  (SELECT CASE WHEN max(rn) < 256 THEN max(rn)
+        |     ELSE CAST(floor(255.0 * 1152921504606846976.0 /
+        |       CAST(GREATEST(max(CASE WHEN rn = 256 THEN fp END), 1) AS DOUBLE)) AS BIGINT) END
         |   FROM trk) AS n_train_kmv,
-        |  (SELECT CASE WHEN max(rn) < 64 THEN max(rn)
-        |     ELSE CAST(floor(63.0 * 1152921504606846976.0 /
-        |       CAST(GREATEST(max(CASE WHEN rn = 64 THEN fp END), 1) AS DOUBLE)) AS BIGINT) END
+        |  (SELECT CASE WHEN max(rn) < 256 THEN max(rn)
+        |     ELSE CAST(floor(255.0 * 1152921504606846976.0 /
+        |       CAST(GREATEST(max(CASE WHEN rn = 256 THEN fp END), 1) AS DOUBLE)) AS BIGINT) END
         |   FROM tek) AS n_test_kmv,
-        |  (SELECT CASE WHEN max(rn) < 64 THEN max(rn)
-        |     ELSE CAST(floor(63.0 * 1152921504606846976.0 /
-        |       CAST(GREATEST(max(CASE WHEN rn = 64 THEN fp END), 1) AS DOUBLE)) AS BIGINT) END
+        |  (SELECT CASE WHEN max(rn) < 256 THEN max(rn)
+        |     ELSE CAST(floor(255.0 * 1152921504606846976.0 /
+        |       CAST(GREATEST(max(CASE WHEN rn = 256 THEN fp END), 1) AS DOUBLE)) AS BIGINT) END
         |   FROM un) AS n_union_kmv,
         |  (SELECT count(*) FROM uk
         |   WHERE fp IN (SELECT fp FROM tr) AND fp IN (SELECT fp FROM te))
