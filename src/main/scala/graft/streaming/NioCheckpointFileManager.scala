@@ -160,7 +160,14 @@ class NioCheckpointFileManager(root: Path, conf: Configuration)
         finally walk.close()
       } else Files.deleteIfExists(p)
       ()
-    } catch { case _: NoSuchFileException => () } // idempotent, like fc.delete
+    } catch {
+      // idempotent like fc.delete — including entries vanishing DURING
+      // the walk (a maintenance thread purging old deltas in parallel):
+      // walk's iterator surfaces that as UncheckedIOException
+      case _: NoSuchFileException => ()
+      case e: java.io.UncheckedIOException
+          if e.getCause.isInstanceOf[NoSuchFileException] => ()
+    }
   }
 
   override def isLocal: Boolean = true
