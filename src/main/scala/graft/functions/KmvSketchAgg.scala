@@ -203,8 +203,10 @@ object KmvSketch {
     size(array_intersect(u, array_intersect(a, b))).cast("long")
 
   /** DuckDB re-derivation of [[kmvSketch]]+[[estimate]] over a relation
-    * `(grp, h)` of pre-hashed values: rank distinct hashes per group,
-    * keep the count and the k-th smallest, apply the same estimator
+    * `(grp, h)` of pre-hashed values: rank distinct hashes per group
+    * (nulls excluded, mirroring the aggregate's null skip — DISTINCT
+    * alone would rank the NULL row and inflate the count by one), keep
+    * the count and the k-th smallest, apply the same estimator
     * arithmetic. Compose into a WITH chain; `grp`/`h` are column names
     * in `src`. */
   def oracleEstimateSql(src: String, grp: String, h: String,
@@ -215,6 +217,7 @@ object KmvSketch {
        |    AS BIGINT) END AS n_kmv
        | FROM (SELECT $grp, $h, row_number() OVER
        |         (PARTITION BY $grp ORDER BY $h) AS rn
-       |       FROM (SELECT DISTINCT $grp, $h FROM $src))
+       |       FROM (SELECT DISTINCT $grp, $h FROM $src
+       |             WHERE $h IS NOT NULL))
        | GROUP BY $grp)""".stripMargin
 }

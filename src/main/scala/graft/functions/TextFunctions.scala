@@ -27,6 +27,36 @@ object TextFunctions {
   def fingerprint64(text: Column): Column =
     conv(substring(md5(text), 1, 15), 16, 10).cast("long")
 
+  // -- THE corpus split rule (90/5/5 by md5 bucket of doc_id) ---------
+  //
+  // Single source of truth: the invariant "same doc → same split in
+  // every query, every engine, every run" only holds if nothing
+  // re-derives the rule by hand. Spark callers use splitBucket /
+  // splitAssign; oracle SQL interpolates splitBucketSql / splitCaseSql.
+
+  def splitBucket(id: Column): Column = tokenHash(id.cast("string")) % 100
+
+  /** Bucket→split assignment over an already-projected bucket column
+    * (for plans that carry the bucket through intermediate stages). */
+  def splitFromBucket(b: Column): Column =
+    when(b < 90, "train").when(b < 95, "val").otherwise("test")
+
+  def splitAssign(id: Column): Column = splitFromBucket(splitBucket(id))
+
+  /** DuckDB twin of [[fingerprint64]] over an arbitrary expression. */
+  def fp64Sql(expr: String): String =
+    s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  /** DuckDB twin of [[splitBucket]] over a bigint id expression. */
+  def splitBucketSql(id: String): String =
+    s"CAST(concat('0x', substr(md5(CAST($id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+
+  /** DuckDB twin of the bucket→split assignment, over an already-
+    * projected bucket column/expression. */
+  def splitCaseSql(bucket: String): String =
+    s"CASE WHEN $bucket < 90 THEN 'train' " +
+      s"WHEN $bucket < 95 THEN 'val' ELSE 'test' END"
+
   /** Token 3-gram shingles over an already-materialized token-array
     * column (1-based element_at to mirror DuckDB's 1-based list
     * indexing); short texts fall back to the whole text joined back as

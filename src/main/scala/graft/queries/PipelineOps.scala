@@ -36,8 +36,7 @@ object PipelineOps {
         val q = d.select(col("doc_id"), col("lang"),
           TextFunctions.qualityScore(col("text")).as("quality"),
           md5(col("text")).as("fp"),
-          (TextFunctions.tokenHash(col("doc_id").cast("string")) % 100)
-            .as("bucket"))
+          TextFunctions.splitBucket(col("doc_id")).as("bucket"))
         val gated = q.filter(col("quality") >= qualityMin)
         // exact dedup among survivors: keep the min doc_id per content
         val wFp = Window.partitionBy(col("fp"))
@@ -76,9 +75,7 @@ object PipelineOps {
           .select(col("v2").as("doc_id")).distinct()
         sv.join(dropped, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("lang"),
-            when(col("bucket") < 90, "train")
-              .when(col("bucket") < 95, "val")
-              .otherwise("test").as("split"),
+            TextFunctions.splitFromBucket(col("bucket")).as("split"),
             col("quality"), col("cell"))
           .orderBy(col("doc_id"))
       },
@@ -87,7 +84,7 @@ object PipelineOps {
         |        / len(string_split(text, ' '))::DOUBLE)
         |      + 0.5 * least(1.0, length(text)::DOUBLE / 200.0), 6) AS quality,
         |    md5(text) AS fp,
-        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        |    ${TextFunctions.splitBucketSql("doc_id")} AS bucket
         |  FROM documents),
         |g AS (SELECT * FROM q WHERE quality >= $qualityMin),
         |e AS (SELECT * FROM (SELECT *,
@@ -111,8 +108,7 @@ object PipelineOps {
         |  WHERE round(${VectorOps.cosSql("va.e", "vb.e")}, 6)
         |    >= ${VectorOps.nearDupThreshold})
         |SELECT doc_id, lang,
-        |  CASE WHEN bucket < 90 THEN 'train'
-        |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+        |  ${TextFunctions.splitCaseSql("bucket")} AS split,
         |  quality, cell
         |FROM sv WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         |ORDER BY doc_id""".stripMargin))

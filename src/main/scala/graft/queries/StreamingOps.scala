@@ -1872,8 +1872,7 @@ object StreamingOps {
                 df.select(col("doc_id"),
                     TextFunctions.qualityScore(col("text")).as("quality"),
                     TextFunctions.fingerprint64(col("text")).as("fp64"),
-                    (TextFunctions.tokenHash(col("doc_id").cast("string"))
-                      % 100).as("bucket"))
+                    TextFunctions.splitBucket(col("doc_id")).as("bucket"))
                   .filter(col("quality") >= lit(0.6))
                   .join(emb, col("vec_id") === col("doc_id"))
                   .join(asg.withColumnRenamed("vec_id", "avid"),
@@ -1936,9 +1935,7 @@ object StreamingOps {
                 .withColumnRenamed("vec_id", "ks"), col("ks") === col("doc_id"))
               .join(docsMeta, col("mid") === col("doc_id"))
               .select(col("doc_id"), col("lang"),
-                when(col("bucket") < 90, "train")
-                  .when(col("bucket") < 95, "val")
-                  .otherwise("test").as("split"),
+                TextFunctions.splitFromBucket(col("bucket")).as("split"),
                 col("quality"), col("cell"))
               .orderBy(col("doc_id"))
               .localCheckpoint()
@@ -1949,8 +1946,8 @@ object StreamingOps {
         |    round(0.5 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
         |        / len(string_split(text, ' '))::DOUBLE)
         |      + 0.5 * least(1.0, length(text)::DOUBLE / 200.0), 6) AS quality,
-        |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS fp64,
-        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        |    ${TextFunctions.fp64Sql("text")} AS fp64,
+        |    ${TextFunctions.splitBucketSql("doc_id")} AS bucket
         |  FROM documents),
         |gated AS (SELECT * FROM g WHERE quality >= 0.6),
         |v AS (${VectorOps.embSql}),
@@ -1974,8 +1971,7 @@ object StreamingOps {
         |  WHERE round(${VectorOps.cosSql("va.e", "vb.e")}, 6)
         |    >= ${VectorOps.nearDupThreshold})
         |SELECT doc_id, lang,
-        |  CASE WHEN bucket < 90 THEN 'train'
-        |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+        |  ${TextFunctions.splitCaseSql("bucket")} AS split,
         |  quality, cell
         |FROM sv
         |WHERE doc_id NOT IN (SELECT doc_id FROM drop_e)
@@ -2151,8 +2147,8 @@ object StreamingOps {
         }(_.orderBy(col("event_type")))
       },
       Some(s"""WITH th AS (SELECT event_type,
-        |  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
-        |    AS BIGINT) AS h FROM events),
+        |  ${TextFunctions.fp64Sql("CAST(user_id AS VARCHAR)")} AS h
+        |  FROM events),
         |kmv AS ${graft.functions.KmvSketch.oracleEstimateSql(
                "th", "event_type", "h")}
         |SELECT event_type, n_kmv FROM kmv

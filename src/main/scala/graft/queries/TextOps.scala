@@ -14,8 +14,7 @@ object TextOps {
 
   // DuckDB fragments mirroring TextFunctions (same md5-derived hashes).
   private val tokSql = "string_split(text, ' ')"
-  private def fp64Sql(expr: String) =
-    s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
+  private def fp64Sql(expr: String) = TextFunctions.fp64Sql(expr)
 
   def entries: Seq[Entry] = Seq(
 
@@ -143,21 +142,17 @@ object TextOps {
     Entry("t_sample_split",
       (spark, dir) => {
         val d = Registry.table(spark, dir, "documents")
-        val bucket = TextFunctions.tokenHash(col("doc_id").cast("string")) % 100
-        d.withColumn("split",
-            when(bucket < 90, "train").when(bucket < 95, "val")
-              .otherwise("test"))
+        d.withColumn("split", TextFunctions.splitAssign(col("doc_id")))
           .groupBy(col("lang"), col("split"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
             min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
           .orderBy(col("lang"), col("split"))
       },
-      Some("""WITH b AS (SELECT lang, doc_id, n_chars,
-        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+      Some(s"""WITH b AS (SELECT lang, doc_id, n_chars,
+        |  ${TextFunctions.splitBucketSql("doc_id")} AS bucket
         |  FROM documents)
         |SELECT lang,
-        |  CASE WHEN bucket < 90 THEN 'train'
-        |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+        |  ${TextFunctions.splitCaseSql("bucket")} AS split,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
@@ -207,11 +202,8 @@ object TextOps {
         val d = Registry.table(spark, dir, "documents")
           .select(col("doc_id"), col("text"))
           .repartition(spark.sparkContext.defaultParallelism)
-        val bucket = TextFunctions.tokenHash(col("doc_id").cast("string")) % 100
         val sh = d
-          .withColumn("split",
-            when(bucket < 90, "train").when(bucket < 95, "val")
-              .otherwise("test"))
+          .withColumn("split", TextFunctions.splitAssign(col("doc_id")))
           .select(col("doc_id"), col("split"),
             TextFunctions.tokens(col("text")).as("toks"))
           .select(col("doc_id"), col("split"),
@@ -231,9 +223,7 @@ object TextOps {
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH b AS (SELECT doc_id, text,
-        |  CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
-        |       WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
-        |       ELSE 'test' END AS split
+        |  ${TextFunctions.splitCaseSql(TextFunctions.splitBucketSql("doc_id"))} AS split
         |  FROM documents),
         |sh AS (SELECT doc_id, split,
         |  ${fp64Sql("sh")} AS fp
@@ -447,24 +437,27 @@ object TextOps {
     Entry("t_kmv_contamination",
       (spark, dir) => {
         import graft.functions.KmvSketch
-        val bucket = TextFunctions.tokenHash(col("doc_id").cast("string")) % 100
         val sh = Registry.table(spark, dir, "documents")
           .select(col("doc_id"), col("text"))
-          .withColumn("split",
-            when(bucket < 90, "train").when(bucket < 95, "val")
-              .otherwise("test"))
+          .withColumn("split", TextFunctions.splitAssign(col("doc_id")))
           .filter(col("split") =!= "val")
           .select(col("split"), TextFunctions.tokens(col("text")).as("toks"))
           .select(col("split"), explode(array_distinct(
             TextFunctions.shingles3FromTokens(col("toks")))).as("sh"))
           .select(col("split"), TextFunctions.fingerprint64(col("sh")).as("fp"))
+          // every downstream consumer needs only the distinct (split,
+          // fp) set — materialize it ONCE (the tokenize+shingle+md5
+          // scan is the dominant cost; without this the two sketch
+          // sides and both exact-intersection branches would re-run it
+          // four times)
+          .distinct().localCheckpoint()
         // k=256 (2 KB/side): the coincidence count C ~ Binomial(k, J)
         // is the noisy term at low overlap — k=64 put C's rse near 70%
         // on this corpus's J≈0.05; 256 quarters the variance while the
         // sketches stay mailable
         val k = 256
         def side(s: String) = sh.filter(col("split") === s)
-          .agg(countDistinct(col("fp")).as(s"n_${s}_exact"),
+          .agg(count(col("fp")).as(s"n_${s}_exact"), // fp already distinct
             KmvSketch.estimate(KmvSketch.kmvSketch(col("fp"), k), k)
               .as(s"n_${s}_kmv"),
             KmvSketch.kmvHashes(col("fp"), k).as(s"${s}_hs"))
@@ -481,9 +474,9 @@ object TextOps {
               floor(col("c") * col("n_union_kmv") / size(col("u")))
                 .cast("long")))
         val nInterExact = sh.filter(col("split") === "train")
-          .select(col("fp")).distinct()
-          .join(sh.filter(col("split") === "test")
-            .select(col("fp")).distinct(), Seq("fp"))
+          .select(col("fp"))
+          .join(sh.filter(col("split") === "test").select(col("fp")),
+            Seq("fp"))
           .agg(count(lit(1)).as("n_inter_exact"))
         both.crossJoin(nInterExact)
           .select(col("n_train_exact"), col("n_test_exact"),
@@ -492,9 +485,7 @@ object TextOps {
             col("n_inter_kmv"))
       },
       Some(s"""WITH b AS (SELECT doc_id, text,
-        |  CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
-        |       WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
-        |       ELSE 'test' END AS split
+        |  ${TextFunctions.splitCaseSql(TextFunctions.splitBucketSql("doc_id"))} AS split
         |  FROM documents),
         |sh AS (SELECT DISTINCT split, ${fp64Sql("sh")} AS fp
         |  FROM (SELECT split,

@@ -63,8 +63,10 @@ class NioCheckpointFileManager(root: Path, conf: Configuration)
   private final class NioAtomicStream(target: JPath, tmp: JPath,
       overwriteIfPossible: Boolean)
       extends CancellableFSDataOutputStream(
-        Files.newOutputStream(tmp, StandardOpenOption.CREATE,
-          StandardOpenOption.TRUNCATE_EXISTING, StandardOpenOption.WRITE)) {
+        new java.io.BufferedOutputStream( // WAL writers emit many small
+          Files.newOutputStream(tmp, StandardOpenOption.CREATE, // writes;
+            StandardOpenOption.TRUNCATE_EXISTING, // don't pay a syscall
+            StandardOpenOption.WRITE))) { // per write() call
 
     private var terminated = false
 
@@ -76,21 +78,29 @@ class NioCheckpointFileManager(root: Path, conf: Configuration)
           Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
             StandardCopyOption.REPLACE_EXISTING)
         } else {
-          // Surface *Hadoop's* FileAlreadyExistsException (pre-check +
-          // NIO-exception conversion for the race): HDFSMetadataLog.add
-          // catches it to detect a concurrent writer having won the
-          // batch commit.
-          if (Files.exists(target)) {
+          // ATOMICALLY fail if the target exists — rename(2) silently
+          // REPLACES, so a check-then-move would let two racing writers
+          // both believe they won the batch commit (HDFSMetadataLog
+          // detects the loser via Hadoop's FileAlreadyExistsException).
+          // link(2) is the POSIX primitive with exactly-one-winner
+          // semantics: publish via hard link, then drop the temp name.
+          try {
+            Files.createLink(target, tmp)
             Files.deleteIfExists(tmp)
-            throw new org.apache.hadoop.fs.FileAlreadyExistsException(
-              s"rename destination $target already exists")
-          }
-          try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-          catch {
+          } catch {
             case _: java.nio.file.FileAlreadyExistsException =>
               Files.deleteIfExists(tmp)
               throw new org.apache.hadoop.fs.FileAlreadyExistsException(
                 s"rename destination $target already exists")
+            case _: UnsupportedOperationException =>
+              // no-hardlink filesystem: fall back to check-then-move and
+              // accept the narrow race this cannot close
+              if (Files.exists(target)) {
+                Files.deleteIfExists(tmp)
+                throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+                  s"rename destination $target already exists")
+              }
+              Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
           }
         }
         ()
@@ -118,9 +128,15 @@ class NioCheckpointFileManager(root: Path, conf: Configuration)
 
   override def open(path: Path): FSDataInputStream = {
     val p = nio(path)
-    if (!Files.exists(p)) throw new FileNotFoundException(p.toString)
-    new FSDataInputStream(new NioSeekableInputStream(
-      Files.newByteChannel(p, StandardOpenOption.READ)))
+    // no exists() pre-check — it cannot close the window anyway; map
+    // the NIO miss to the FileNotFoundException callers catch for
+    // missing batches (HDFSMetadataLog.get)
+    val ch =
+      try Files.newByteChannel(p, StandardOpenOption.READ)
+      catch { case _: NoSuchFileException =>
+        throw new FileNotFoundException(p.toString)
+      }
+    new FSDataInputStream(new NioSeekableInputStream(ch))
   }
 
   override def list(path: Path, filter: PathFilter): Array[FileStatus] = {
@@ -128,22 +144,32 @@ class NioCheckpointFileManager(root: Path, conf: Configuration)
     if (!Files.isDirectory(p)) {
       if (!Files.exists(p)) throw new FileNotFoundException(p.toString)
       val st = status(path, p)
-      return if (filter.accept(st.getPath)) Array(st) else Array.empty
+      return st match {
+        case Some(s) if filter.accept(s.getPath) => Array(s)
+        case _                                   => Array.empty
+      }
     }
-    val ls = Files.list(p)
+    val ls =
+      try Files.list(p)
+      catch { case _: NoSuchFileException =>
+        throw new FileNotFoundException(p.toString)
+      }
     try ls.iterator().asScala.flatMap { c =>
       val hp = new Path(path, c.getFileName.toString)
-      if (filter.accept(hp)) Some(status(hp, c)) else None
+      // entries may vanish between enumeration and stat (a maintenance
+      // thread purging old deltas): omit them, as Hadoop listStatus does
+      if (filter.accept(hp)) status(hp, c) else None
     }.toArray
     finally ls.close()
   }
 
-  private def status(hp: Path, p: JPath): FileStatus = {
-    val isDir = Files.isDirectory(p)
-    val len = if (isDir) 0L else Files.size(p)
-    new FileStatus(len, isDir, 1, 64L * 1024 * 1024,
-      Files.getLastModifiedTime(p).toMillis, hp)
-  }
+  private def status(hp: Path, p: JPath): Option[FileStatus] =
+    try {
+      val isDir = Files.isDirectory(p)
+      val len = if (isDir) 0L else Files.size(p)
+      Some(new FileStatus(len, isDir, 1, 64L * 1024 * 1024,
+        Files.getLastModifiedTime(p).toMillis, hp))
+    } catch { case _: NoSuchFileException => None }
 
   override def mkdirs(path: Path): Unit =
     Files.createDirectories(nio(path))
@@ -185,17 +211,26 @@ class NioCheckpointFileManager(root: Path, conf: Configuration)
 private[streaming] final class NioSeekableInputStream(ch: SeekableByteChannel)
     extends InputStream with Seekable with PositionedReadable {
 
-  override def read(): Int = {
-    val one = ByteBuffer.allocate(1)
+  // ALL channel access synchronizes on `this`: positioned reads move
+  // the shared cursor temporarily, so an unsynchronized cursor read
+  // racing one would read from the positioned offset (and have its own
+  // advance clobbered by the restore). One lock covers both families —
+  // the PositionedReadable thread-safety contract.
+
+  private val one = ByteBuffer.allocate(1)
+
+  override def read(): Int = synchronized {
+    one.clear()
     val n = ch.read(one)
     if (n <= 0) -1 else one.get(0) & 0xff
   }
 
-  override def read(b: Array[Byte], off: Int, len: Int): Int =
+  override def read(b: Array[Byte], off: Int, len: Int): Int = synchronized {
     ch.read(ByteBuffer.wrap(b, off, len))
+  }
 
-  override def seek(pos: Long): Unit = { ch.position(pos); () }
-  override def getPos: Long = ch.position()
+  override def seek(pos: Long): Unit = synchronized { ch.position(pos); () }
+  override def getPos: Long = synchronized { ch.position() }
   override def seekToNewSource(targetPos: Long): Boolean = false
 
   override def read(position: Long, buffer: Array[Byte], offset: Int,
@@ -219,5 +254,5 @@ private[streaming] final class NioSeekableInputStream(ch: SeekableByteChannel)
   override def readFully(position: Long, buffer: Array[Byte]): Unit =
     readFully(position, buffer, 0, buffer.length)
 
-  override def close(): Unit = ch.close()
+  override def close(): Unit = synchronized { ch.close() }
 }

@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   * on test data. */
 class RuntimeFilterSpec extends SparkTestBase {
 
-  private val dir = "/root/testdata/sf0.001"
+  private val dir = sys.props.getOrElse("graft.testdata.dir",
+    sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001"))
 
   test("a selective dim predicate injects a bloom filter into the " +
     "fact-side scan of a shuffle join, preserving results") {
