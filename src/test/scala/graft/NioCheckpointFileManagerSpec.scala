@@ -78,6 +78,26 @@ class NioCheckpointFileManagerSpec extends SparkTestBase {
     assert(names == List("1.delta"), s"temp litter: $names")
   }
 
+  test("racing no-overwrite writers: exactly one wins, the loser gets " +
+    "FAEE, no temp litter") {
+    val (fm, dir) = mkFm()
+    val target = new HPath(dir.toUri.toString, "wal/5")
+    // both streams open BEFORE either closes — the interleaving a
+    // check-then-rename protocol gets wrong (rename(2) replaces
+    // silently; the link(2)-based publish must fail the loser)
+    val w1 = fm.createAtomic(target, false)
+    val w2 = fm.createAtomic(target, false)
+    w1.write("alpha".getBytes(UTF_8))
+    w2.write("beta".getBytes(UTF_8))
+    w1.close()
+    intercept[org.apache.hadoop.fs.FileAlreadyExistsException] { w2.close() }
+    assert(readAll(fm, target) == "alpha")
+    val files = Files.list(Paths.get(dir.toString, "wal")).iterator()
+    var names = List.empty[String]
+    while (files.hasNext) names ::= files.next().getFileName.toString
+    assert(names == List("5"), s"temp litter: $names")
+  }
+
   test("open serves seekable + positioned reads (state-store recovery shape)") {
     val (fm, dir) = mkFm()
     val target = new HPath(dir.toUri.toString, "snap/1.snapshot")
