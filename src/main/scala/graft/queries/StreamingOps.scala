@@ -2152,7 +2152,119 @@ object StreamingOps {
         |kmv AS ${graft.functions.KmvSketch.oracleEstimateSql(
                "th", "event_type", "h")}
         |SELECT event_type, n_kmv FROM kmv
-        |ORDER BY event_type""".stripMargin))
+        |ORDER BY event_type""".stripMargin)),
+
+    // CONTINUOUS DECONTAMINATION MONITORING — t_kmv_contamination's
+    // streaming twin: as document chunks land, each split's KMV k-min
+    // hash SET is maintained as engine-managed streaming-agg state
+    // (2 KB per split, never the shingles), and the converged sketches
+    // feed the same union/Jaccard/intersection estimator. Because the
+    // sketch is a pure function of the hash set, the streamed
+    // estimates must equal the batch row's kmv columns BIT-FOR-BIT —
+    // the oracle is the same re-derivation. At 100 TB this runs
+    // against the live ingest: overlap between the growing train feed
+    // and a frozen eval set, continuously, from 4 KB of state.
+    Entry("s39_stream_kmv_contamination",
+      (spark, dir) => { import spark.implicits._
+        import graft.functions.KmvSketch
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_kmvc_")
+          val log = tmp.resolve("log"); val ckpt = tmp.resolve("ckpt")
+          try {
+            val in = sharedChunkDir(dir, "doctext", "documents") { p =>
+              Registry.table(spark, dir, "documents")
+                .select(col("doc_id"), col("text"))
+                .repartitionByRange(chunks, col("doc_id"))
+                .write.parquet(p.toString)
+            }
+            val src = spark.readStream.schema("doc_id BIGINT, text STRING")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+            val k = 256
+            val sketches = src
+              .withColumn("split", TextFunctions.splitAssign(col("doc_id")))
+              .filter(col("split") =!= "val")
+              .select(col("split"), TextFunctions.tokens(col("text")).as("toks"))
+              .select(col("split"), explode(array_distinct(
+                TextFunctions.shingles3FromTokens(col("toks")))).as("sh"))
+              .select(col("split"),
+                TextFunctions.fingerprint64(col("sh")).as("fp"))
+              .groupBy(col("split"))
+              .agg(KmvSketch.kmvHashes(col("fp"), k).as("hs"))
+            val q = sketches.writeStream.outputMode("complete")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.repartition(1).write.mode("overwrite").parquet(log.toString)
+                ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            val conv = spark.read.parquet(log.toString)
+            val tr = conv.filter(col("split") === "train")
+              .select(col("hs").as("train_hs"))
+            val te = conv.filter(col("split") === "test")
+              .select(col("hs").as("test_hs"))
+            tr.crossJoin(te)
+              .withColumn("u",
+                KmvSketch.unionMin(col("train_hs"), col("test_hs"), k))
+              .select(
+                KmvSketch.estimateFromHashes(
+                  sort_array(col("train_hs")), k).as("n_train_kmv"),
+                KmvSketch.estimateFromHashes(
+                  sort_array(col("test_hs")), k).as("n_test_kmv"),
+                KmvSketch.estimateFromHashes(col("u"), k).as("n_union_kmv"),
+                KmvSketch.coincidences(col("u"), col("train_hs"),
+                  col("test_hs")).as("c"),
+                size(col("u")).as("nu"))
+              .select(col("n_train_kmv"), col("n_test_kmv"),
+                col("n_union_kmv"), col("c"),
+                when(col("nu") === 0, lit(0.0))
+                  .otherwise(round(col("c") / col("nu"), 6))
+                  .as("jaccard_kmv"),
+                when(col("nu") === 0, lit(0L)).otherwise(
+                  floor(col("c") * col("n_union_kmv") / col("nu"))
+                    .cast("long")).as("n_inter_kmv"))
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(s"""WITH b AS (SELECT doc_id, text,
+        |  ${TextFunctions.splitCaseSql(
+             TextFunctions.splitBucketSql("doc_id"))} AS split
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT split, ${TextFunctions.fp64Sql("sh")} AS fp
+        |  FROM (SELECT split,
+        |    unnest(list_distinct(${DedupOps.shinglesListSql})) AS sh
+        |    FROM b WHERE split <> 'val')),
+        |tr AS (SELECT fp FROM sh WHERE split = 'train'),
+        |te AS (SELECT fp FROM sh WHERE split = 'test'),
+        |trk AS (SELECT fp, row_number() OVER (ORDER BY fp) AS rn FROM tr),
+        |tek AS (SELECT fp, row_number() OVER (ORDER BY fp) AS rn FROM te),
+        |un AS (SELECT fp, row_number() OVER (ORDER BY fp) AS rn
+        |  FROM (SELECT fp FROM tr UNION SELECT fp FROM te)),
+        |uk AS (SELECT fp FROM un WHERE rn <= 256),
+        |est AS (SELECT
+        |  (SELECT CASE WHEN max(rn) < 256 THEN max(rn)
+        |     ELSE CAST(floor(255.0 * 1152921504606846976.0 /
+        |       CAST(GREATEST(max(CASE WHEN rn = 256 THEN fp END), 1) AS DOUBLE)) AS BIGINT) END
+        |   FROM trk) AS n_train_kmv,
+        |  (SELECT CASE WHEN max(rn) < 256 THEN max(rn)
+        |     ELSE CAST(floor(255.0 * 1152921504606846976.0 /
+        |       CAST(GREATEST(max(CASE WHEN rn = 256 THEN fp END), 1) AS DOUBLE)) AS BIGINT) END
+        |   FROM tek) AS n_test_kmv,
+        |  (SELECT CASE WHEN max(rn) < 256 THEN max(rn)
+        |     ELSE CAST(floor(255.0 * 1152921504606846976.0 /
+        |       CAST(GREATEST(max(CASE WHEN rn = 256 THEN fp END), 1) AS DOUBLE)) AS BIGINT) END
+        |   FROM un) AS n_union_kmv,
+        |  (SELECT count(*) FROM uk
+        |   WHERE fp IN (SELECT fp FROM tr) AND fp IN (SELECT fp FROM te))
+        |    AS c,
+        |  (SELECT count(*) FROM uk) AS nu)
+        |SELECT n_train_kmv, n_test_kmv, n_union_kmv, c,
+        |  CASE WHEN nu = 0 THEN 0.0 ELSE round(c / nu, 6) END AS jaccard_kmv,
+        |  CASE WHEN nu = 0 THEN 0 ELSE
+        |    CAST(floor(c * n_union_kmv / nu) AS BIGINT) END AS n_inter_kmv
+        |FROM est""".stripMargin))
   )
 
   /** Watermark + append-mode replay harness with the sentinel flush

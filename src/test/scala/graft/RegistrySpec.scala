@@ -41,7 +41,10 @@ class RegistrySpec extends SparkTestBase {
       "dedup_lsh_prune_ratio",
       // three 1-row aggregates crossed (train sketch × test sketch ×
       // exact-intersection count) — every BNLJ side is a single row
-      "t_kmv_contamination")
+      "t_kmv_contamination",
+      // its streaming twin: the converged 1-row train × 1-row test
+      // sketches crossed at the end of the replay
+      "s39_stream_kmv_contamination")
     val offenders = Registry.all.flatMap { e =>
       val df = e.fn(spark, sfDir)
       val nested = df.schema.fields.collect {
