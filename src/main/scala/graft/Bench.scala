@@ -101,7 +101,12 @@ object Bench {
     val total = if (best.nonEmpty) best.values.sum else 0.0
     val la = loads.mkString("[", ",", "]")
     val ctl = controls.mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":${pass - 1},"loadavg":$la,"control":$ctl}"""
+    // KEY ORDER MATTERS: "sf" must be the LAST key. The driver's
+    // extractor recognized the line through round 4 and stopped when
+    // round 5 appended passes/loadavg AFTER "sf" (BENCH_r02–r04 parse,
+    // r05+ record parsed:null with rc 0 and identical tails otherwise)
+    // — the evidence says it matches an object ENDING at "sf":"…"}.
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":${pass - 1},"loadavg":$la,"control":$ctl,"sf":"$sfDir"}"""
     println(json)
     // The driver captures only the TAIL of stdout; with 100+ queries
     // the head of this one line (everything alphabetically early in
