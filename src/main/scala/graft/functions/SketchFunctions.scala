@@ -33,6 +33,38 @@ object SketchFunctions {
     (lit(a) * h + lit(b)) % lit(P)
   }
 
+  // -- count-min sketch (frequency estimation) ------------------------
+  //
+  // The frequency member of the sketch family (KMV = cardinality,
+  // MinHash/LSH = similarity): d=4 universal-hash rows × w=1024
+  // buckets of counters. The (row, bucket)-keyed count table IS the
+  // sketch — counter matrices merge by addition, which is exactly what
+  // map-side partial aggregation and streaming aggregation state do to
+  // counts, so the engine maintains the sketch with no custom state
+  // code. Point estimate = min over rows of the probed bucket count;
+  // always an OVERestimate (collisions only add), within 2N/w with
+  // probability 1 − 2^−d. All integer arithmetic on the shared
+  // [[graft.functions.TextFunctions.tokenHash]] values — the DuckDB
+  // oracle rebuilds the identical matrix.
+
+  val cmsDepth = 4
+  val cmsWidth = 1024L
+
+  /** The d (row, bucket) coordinates of an already-hashed value, as an
+    * array ready to explode (bucket_i = h_i(th) mod w). */
+  def cmsCoords(th: Column): Column =
+    array((0 until cmsDepth).map { i =>
+      struct(lit(i).as("r"), (permute(th, i) % lit(cmsWidth)).as("b"))
+    }: _*)
+
+  /** DuckDB VALUES relation of the d hash-row coefficients, for the
+    * oracle's cross-join form: `CROSS JOIN ${cmsCoeffSql} AS c(r, a, b)`
+    * with bucket `(c.a * th + c.b) % $P % $cmsWidth`. */
+  def cmsCoeffSql: String =
+    minhashCoeffs.take(cmsDepth).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }
+      .mkString("(VALUES ", ", ", ")")
+
   /** doc-id + exploded distinct shingle hashes → one row per doc with
     * minhash columns h0..h{k-1}. Input must have columns (id, sh)
     * where sh is the raw shingle string. One shuffle (the groupBy). */

@@ -2264,7 +2264,94 @@ object StreamingOps {
         |  CASE WHEN nu = 0 THEN 0.0 ELSE round(c / nu, 6) END AS jaccard_kmv,
         |  CASE WHEN nu = 0 THEN 0 ELSE
         |    CAST(floor(c * n_union_kmv / nu) AS BIGINT) END AS n_inter_kmv
-        |FROM est""".stripMargin))
+        |FROM est""".stripMargin)),
+
+    // STREAMING FREQUENCY MONITORING — t_cms_heavy_hitters' streaming
+    // twin: the d×w count-min counter matrix maintained as
+    // engine-managed streaming-aggregation state over the replayed
+    // ingest. Counter matrices merge by ADDITION, which is precisely
+    // what streaming count state does across microbatches — so the
+    // sketch needs no custom state code and its converged value is
+    // BATCH-IDENTICAL (counts are exact integers; the estimate is a
+    // pure function of the matrix). State is 4,096 counters regardless
+    // of traffic or vocabulary — the token-frequency dashboard a
+    // 100 TB feed runs. The probe set (exact top-20) joins in from the
+    // static table at convergence; same oracle as the batch row.
+    Entry("s40_stream_cms_heavy_hitters",
+      (spark, dir) => { import spark.implicits._
+        import graft.functions.SketchFunctions
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_cms_")
+          val log = tmp.resolve("log"); val ckpt = tmp.resolve("ckpt")
+          try {
+            val in = sharedChunkDir(dir, "doctext", "documents") { p =>
+              Registry.table(spark, dir, "documents")
+                .select(col("doc_id"), col("text"))
+                .repartitionByRange(chunks, col("doc_id"))
+                .write.parquet(p.toString)
+            }
+            val src = spark.readStream.schema("doc_id BIGINT, text STRING")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+            val cmsStream = src
+              .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+              .select(explode(SketchFunctions.cmsCoords(
+                TextFunctions.tokenHash(col("tok")))).as("rb"))
+              .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+              .agg(count(lit(1)).as("cnt"))
+            val q = cmsStream.writeStream.outputMode("complete")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.repartition(1).write.mode("overwrite").parquet(log.toString)
+                ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            val cms = spark.read.parquet(log.toString)
+            val top = Registry.table(spark, dir, "documents")
+              .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+              .groupBy(col("tok"))
+              .agg(count(lit(1)).as("n_exact"))
+              .orderBy(col("n_exact").desc, col("tok"))
+              .limit(20)
+            top
+              .select(col("tok"), col("n_exact"),
+                explode(SketchFunctions.cmsCoords(
+                  TextFunctions.tokenHash(col("tok")))).as("rb"))
+              .select(col("tok"), col("n_exact"),
+                col("rb.r").as("r"), col("rb.b").as("b"))
+              .join(cms, Seq("r", "b"))
+              .groupBy(col("tok"), col("n_exact"))
+              .agg(min(col("cnt")).as("n_cms"))
+              .withColumn("overestimate", col("n_cms") - col("n_exact"))
+              .orderBy(col("n_exact").desc, col("tok"))
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some {
+        import graft.functions.SketchFunctions.{P, cmsCoeffSql, cmsWidth}
+        s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |h AS (SELECT tok,
+        |  CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS th
+        |  FROM t),
+        |cms AS (SELECT c.r, (c.a * th + c.b) % $P % $cmsWidth AS b,
+        |    count(*) AS cnt
+        |  FROM h CROSS JOIN $cmsCoeffSql AS c(r, a, b)
+        |  GROUP BY 1, 2),
+        |top AS (SELECT tok, count(*) AS n_exact FROM t
+        |  GROUP BY tok ORDER BY n_exact DESC, tok LIMIT 20),
+        |probe AS (SELECT top.tok, top.n_exact, c.r,
+        |    (c.a * CAST(concat('0x', substr(md5(top.tok), 1, 8)) AS BIGINT)
+        |      + c.b) % $P % $cmsWidth AS b
+        |  FROM top CROSS JOIN $cmsCoeffSql AS c(r, a, b))
+        |SELECT probe.tok, probe.n_exact, min(cms.cnt) AS n_cms,
+        |  min(cms.cnt) - probe.n_exact AS overestimate
+        |FROM probe JOIN cms ON cms.r = probe.r AND cms.b = probe.b
+        |GROUP BY probe.tok, probe.n_exact
+        |ORDER BY probe.n_exact DESC, probe.tok""".stripMargin
+      })
   )
 
   /** Watermark + append-mode replay harness with the sentinel flush

@@ -566,6 +566,67 @@ object TextOps {
         |  count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
         |  min(doc_id) AS first_doc
-        |FROM o GROUP BY 1, 2, 3 ORDER BY lang, shard, bin""".stripMargin))
+        |FROM o GROUP BY 1, 2, 3 ORDER BY lang, shard, bin""".stripMargin)),
+
+    // COUNT-MIN SKETCH HEAVY HITTERS — the frequency member of the
+    // sketch family (KMV = cardinality, MinHash/LSH = similarity):
+    // token frequencies estimated from a d=4 × w=1024 counter matrix
+    // instead of a full token groupBy. The (row, bucket)-keyed counts
+    // ARE the sketch, and counter matrices merge by ADDITION — exactly
+    // what map-side partial aggregation does to counts — so at 100 TB
+    // the token stream collapses to ≤ d·w counters per partition
+    // before any shuffle, and the converged sketch is 4,096 longs
+    // regardless of vocabulary. The exact top-20 ride along as probes:
+    // n_cms ≥ n_exact always (collisions only add), within 2N/w with
+    // probability 1 − 2^−d. Deterministic integer arithmetic end to
+    // end; the oracle rebuilds the identical matrix.
+    Entry("t_cms_heavy_hitters",
+      (spark, dir) => {
+        import graft.functions.SketchFunctions
+        val toks = Registry.table(spark, dir, "documents")
+          .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        val cms = toks
+          .select(explode(SketchFunctions.cmsCoords(
+            TextFunctions.tokenHash(col("tok")))).as("rb"))
+          .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+          .agg(count(lit(1)).as("cnt"))
+        val top = toks.groupBy(col("tok"))
+          .agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("tok"))
+          .limit(20)
+        top
+          .select(col("tok"), col("n_exact"),
+            explode(SketchFunctions.cmsCoords(
+              TextFunctions.tokenHash(col("tok")))).as("rb"))
+          .select(col("tok"), col("n_exact"),
+            col("rb.r").as("r"), col("rb.b").as("b"))
+          .join(cms, Seq("r", "b"))
+          .groupBy(col("tok"), col("n_exact"))
+          .agg(min(col("cnt")).as("n_cms"))
+          .withColumn("overestimate", col("n_cms") - col("n_exact"))
+          .orderBy(col("n_exact").desc, col("tok"))
+      },
+      Some {
+        import graft.functions.SketchFunctions.{P, cmsCoeffSql, cmsWidth}
+        s"""WITH t AS (SELECT unnest($tokSql) AS tok FROM documents),
+        |h AS (SELECT tok,
+        |  CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS th
+        |  FROM t),
+        |cms AS (SELECT c.r, (c.a * th + c.b) % $P % $cmsWidth AS b,
+        |    count(*) AS cnt
+        |  FROM h CROSS JOIN $cmsCoeffSql AS c(r, a, b)
+        |  GROUP BY 1, 2),
+        |top AS (SELECT tok, count(*) AS n_exact FROM t
+        |  GROUP BY tok ORDER BY n_exact DESC, tok LIMIT 20),
+        |probe AS (SELECT top.tok, top.n_exact, c.r,
+        |    (c.a * CAST(concat('0x', substr(md5(top.tok), 1, 8)) AS BIGINT)
+        |      + c.b) % $P % $cmsWidth AS b
+        |  FROM top CROSS JOIN $cmsCoeffSql AS c(r, a, b))
+        |SELECT probe.tok, probe.n_exact, min(cms.cnt) AS n_cms,
+        |  min(cms.cnt) - probe.n_exact AS overestimate
+        |FROM probe JOIN cms ON cms.r = probe.r AND cms.b = probe.b
+        |GROUP BY probe.tok, probe.n_exact
+        |ORDER BY probe.n_exact DESC, probe.tok""".stripMargin
+      })
   )
 }

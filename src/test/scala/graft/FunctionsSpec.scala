@@ -108,4 +108,36 @@ class FunctionsSpec extends SparkTestBase {
       rows, _._1, _._2)
     assert(kept.map(_._3) == Seq("first"))
   }
+
+  test("count-min estimates never underestimate and are exact for " +
+    "collision-free buckets") {
+    val toks = docs.select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val cms = toks
+      .select(explode(SketchFunctions.cmsCoords(
+        TextFunctions.tokenHash(col("tok")))).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val est = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+      .select(col("tok"), col("n_exact"),
+        explode(SketchFunctions.cmsCoords(
+          TextFunctions.tokenHash(col("tok")))).as("rb"))
+      .select(col("tok"), col("n_exact"),
+        col("rb.r").as("r"), col("rb.b").as("b"))
+      .join(cms, Seq("r", "b"))
+      .groupBy(col("tok"), col("n_exact"))
+      .agg(min(col("cnt")).as("n_cms"))
+      .collect()
+    assert(est.nonEmpty)
+    // CMS guarantee: min over rows is an overestimate, never an under
+    est.foreach { r =>
+      assert(r.getAs[Long]("n_cms") >= r.getAs[Long]("n_exact"),
+        s"CMS underestimated ${r.getAs[String]("tok")}")
+    }
+    // this tiny vocabulary (~30 distinct « w=1024): with 4 independent
+    // rows a same-bucket collision in EVERY row is overwhelmingly
+    // unlikely, so the min should be exact for all tokens
+    val exact = est.count(r => r.getAs[Long]("n_cms") == r.getAs[Long]("n_exact"))
+    assert(exact == est.length,
+      s"only $exact/${est.length} exact at vocab << width")
+  }
 }
