@@ -65,6 +65,31 @@ object SketchFunctions {
       .map { case ((a, b), i) => s"($i, $a, $b)" }
       .mkString("(VALUES ", ", ", ")")
 
+  // -- bloom filter (membership) --------------------------------------
+  //
+  // The membership member of the sketch family: k=4 universal-hash bit
+  // positions in an m=65,536-bit array. The SET-BIT SET is the filter
+  // (built as a distinct-positions relation — at 100 TB the 8 KB bit
+  // array broadcasts and the probe is scan-local); no false negatives
+  // ever, false positives at rate ≈ (1 − e^(−kn/m))^k. Same hash
+  // coefficients and 32-bit [[TextFunctions.tokenHash]] input as the
+  // CMS rows, so a*x stays < 2^63 and the DuckDB oracle rebuilds the
+  // identical positions.
+
+  val bloomK = 4
+  val bloomM = 65536L
+
+  /** The k bit positions of an already-32-bit-hashed value, ready to
+    * explode. */
+  def bloomPositions(th: Column): Column =
+    array((0 until bloomK).map(i => permute(th, i) % lit(bloomM)): _*)
+
+  /** DuckDB VALUES relation of the k position-hash coefficients. */
+  def bloomCoeffSql: String =
+    minhashCoeffs.take(bloomK).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }
+      .mkString("(VALUES ", ", ", ")")
+
   /** doc-id + exploded distinct shingle hashes → one row per doc with
     * minhash columns h0..h{k-1}. Input must have columns (id, sh)
     * where sh is the raw shingle string. One shuffle (the groupBy). */

@@ -627,6 +627,93 @@ object TextOps {
         |FROM probe JOIN cms ON cms.r = probe.r AND cms.b = probe.b
         |GROUP BY probe.tok, probe.n_exact
         |ORDER BY probe.n_exact DESC, probe.tok""".stripMargin
+      }),
+
+    // BLOOM-FILTER CONTAMINATION PRE-SCREEN — the membership member of
+    // the sketch family, in its canonical pipeline role: screen test
+    // documents against the TRAIN shingle set through a k=4 ×
+    // m=65,536-bit bloom filter before paying the exact join. The
+    // filter is built as a distinct set-bit relation (at 100 TB the
+    // 8 KB bit array broadcasts and probing is scan-local; here the
+    // ≤65k-row position set broadcast-joins, the same plan); a shingle
+    // screens positive iff ALL k of its positions are set. No false
+    // negatives — per doc, bloom_hits >= n_contaminated always (the
+    // exact count on the same 32-bit hash key rides along, so the
+    // false-positive overhead is measured, not assumed). Deterministic
+    // integer arithmetic; the oracle rebuilds the identical bit set.
+    Entry("t_bloom_contamination",
+      (spark, dir) => {
+        import graft.functions.SketchFunctions
+        val sh = Registry.table(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .withColumn("split", TextFunctions.splitAssign(col("doc_id")))
+          .filter(col("split") =!= "val")
+          .select(col("doc_id"), col("split"),
+            TextFunctions.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("split"), explode(array_distinct(
+            TextFunctions.shingles3FromTokens(col("toks")))).as("sh"))
+          .select(col("doc_id"), col("split"),
+            TextFunctions.tokenHash(col("sh")).as("th"))
+        val trainTh = sh.filter(col("split") === "train")
+          .select(col("th")).distinct()
+        val bits = trainTh
+          .select(explode(SketchFunctions.bloomPositions(col("th")))
+            .as("pos")).distinct()
+          .withColumn("set", lit(1))
+        val test = sh.filter(col("split") === "test")
+        val bloomHits = test
+          .select(col("doc_id"), col("th"),
+            explode(SketchFunctions.bloomPositions(col("th"))).as("pos"))
+          .join(broadcast(bits), Seq("pos"), "left")
+          .groupBy(col("doc_id"), col("th"))
+          .agg((count(col("set")) === SketchFunctions.bloomK)
+            .cast("int").as("hit"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(col("hit")).as("n_bloom_hits"))
+        val exactHits = test
+          .join(trainTh.withColumn("intrain", lit(1)), Seq("th"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(col("intrain")).as("n_contaminated"))
+        bloomHits.join(exactHits, Seq("doc_id"))
+          .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+            col("n_bloom_hits"),
+            (col("n_bloom_hits") - col("n_contaminated"))
+              .as("bloom_false_pos"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        import graft.functions.SketchFunctions.{P, bloomCoeffSql, bloomK, bloomM}
+        s"""WITH b AS (SELECT doc_id, text,
+        |  ${TextFunctions.splitCaseSql(
+             TextFunctions.splitBucketSql("doc_id"))} AS split
+        |  FROM documents),
+        |sh AS (SELECT doc_id, split,
+        |  CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS th
+        |  FROM (SELECT doc_id, split,
+        |    unnest(list_distinct(${DedupOps.shinglesListSql})) AS sh
+        |    FROM b WHERE split <> 'val')),
+        |tr AS (SELECT DISTINCT th FROM sh WHERE split = 'train'),
+        |bits AS (SELECT DISTINCT (c.a * th + c.b) % $P % $bloomM AS pos
+        |  FROM tr CROSS JOIN $bloomCoeffSql AS c(r, a, b)),
+        |te AS (SELECT doc_id, th FROM sh WHERE split = 'test'),
+        |hits AS (SELECT doc_id, th,
+        |    CASE WHEN count(bits.pos) = $bloomK
+        |      THEN 1 ELSE 0 END AS hit
+        |  FROM (SELECT te.doc_id, te.th,
+        |          (c.a * te.th + c.b) % $P % $bloomM AS pos
+        |        FROM te CROSS JOIN $bloomCoeffSql AS c(r, a, b)) p
+        |  LEFT JOIN bits ON bits.pos = p.pos
+        |  GROUP BY doc_id, th),
+        |bl AS (SELECT doc_id, count(*) AS n_shingles,
+        |    CAST(sum(hit) AS BIGINT) AS n_bloom_hits
+        |  FROM hits GROUP BY doc_id),
+        |ex AS (SELECT te.doc_id, count(tr.th) AS n_contaminated
+        |  FROM te LEFT JOIN tr ON tr.th = te.th GROUP BY te.doc_id)
+        |SELECT bl.doc_id, n_shingles, n_contaminated, n_bloom_hits,
+        |  n_bloom_hits - n_contaminated AS bloom_false_pos
+        |FROM bl JOIN ex ON ex.doc_id = bl.doc_id
+        |ORDER BY bl.doc_id""".stripMargin
       })
   )
 }
