@@ -2351,6 +2351,121 @@ object StreamingOps {
         |FROM probe JOIN cms ON cms.r = probe.r AND cms.b = probe.b
         |GROUP BY probe.tok, probe.n_exact
         |ORDER BY probe.n_exact DESC, probe.tok""".stripMargin
+      }),
+
+    // STREAMING BLOOM MEMBERSHIP — t_bloom_contamination's streaming
+    // twin, closing the batch+streaming pairing for every sketch
+    // family (KMV: s38/s39, CMS: s40, bloom: here): the TRAIN side's
+    // set-bit set grows as ingest chunks land — streaming distinct
+    // state keyed by bit position, ≤ m = 65,536 slim rows no matter
+    // the corpus — and at convergence the static test split screens
+    // against it. Set bits only ever turn ON (bloom filters are
+    // monotone), so arrival order is irrelevant and the converged
+    // screen equals the batch row exactly — same oracle. At 100 TB
+    // this is the incremental dedup pre-filter: the filter keeps
+    // absorbing the feed without rebuilds.
+    Entry("s41_stream_bloom_contamination",
+      (spark, dir) => { import spark.implicits._
+        import graft.functions.SketchFunctions
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_blm_")
+          val log = tmp.resolve("log"); val ckpt = tmp.resolve("ckpt")
+          try {
+            val in = sharedChunkDir(dir, "doctext", "documents") { p =>
+              Registry.table(spark, dir, "documents")
+                .select(col("doc_id"), col("text"))
+                .repartitionByRange(chunks, col("doc_id"))
+                .write.parquet(p.toString)
+            }
+            val src = spark.readStream.schema("doc_id BIGINT, text STRING")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+            def shingleHashes(df: DataFrame): DataFrame = df
+              .withColumn("split", TextFunctions.splitAssign(col("doc_id")))
+              .select(col("doc_id"), col("split"),
+                TextFunctions.tokens(col("text")).as("toks"))
+              .select(col("doc_id"), col("split"), explode(array_distinct(
+                TextFunctions.shingles3FromTokens(col("toks")))).as("sh"))
+              .select(col("doc_id"), col("split"),
+                TextFunctions.tokenHash(col("sh")).as("th"))
+            // train bits as streaming DISTINCT state (monotone: set
+            // bits only turn on) — groupBy(pos).count in complete mode
+            val bitsStream = shingleHashes(src.toDF())
+              .filter(col("split") === "train")
+              .select(explode(SketchFunctions.bloomPositions(col("th")))
+                .as("pos"))
+              .groupBy(col("pos")).agg(count(lit(1)).as("n"))
+            val q = bitsStream.writeStream.outputMode("complete")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.repartition(1).write.mode("overwrite").parquet(log.toString)
+                ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            val bits = spark.read.parquet(log.toString)
+              .select(col("pos")).withColumn("set", lit(1))
+            val sh = shingleHashes(
+              Registry.table(spark, dir, "documents")
+                .select(col("doc_id"), col("text")))
+            val test = sh.filter(col("split") === "test")
+            val trainTh = sh.filter(col("split") === "train")
+              .select(col("th")).distinct()
+            val bloomHits = test
+              .select(col("doc_id"), col("th"),
+                explode(SketchFunctions.bloomPositions(col("th"))).as("pos"))
+              .join(broadcast(bits), Seq("pos"), "left")
+              .groupBy(col("doc_id"), col("th"))
+              .agg((count(col("set")) === SketchFunctions.bloomK)
+                .cast("int").as("hit"))
+              .groupBy(col("doc_id"))
+              .agg(count(lit(1)).as("n_shingles"),
+                sum(col("hit")).as("n_bloom_hits"))
+            val exactHits = test
+              .join(trainTh.withColumn("intrain", lit(1)), Seq("th"), "left")
+              .groupBy(col("doc_id"))
+              .agg(count(col("intrain")).as("n_contaminated"))
+            bloomHits.join(exactHits, Seq("doc_id"))
+              .select(col("doc_id"), col("n_shingles"),
+                col("n_contaminated"), col("n_bloom_hits"),
+                (col("n_bloom_hits") - col("n_contaminated"))
+                  .as("bloom_false_pos"))
+              .orderBy(col("doc_id"))
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some {
+        import graft.functions.SketchFunctions.{P, bloomCoeffSql, bloomK, bloomM}
+        s"""WITH b AS (SELECT doc_id, text,
+        |  ${TextFunctions.splitCaseSql(
+             TextFunctions.splitBucketSql("doc_id"))} AS split
+        |  FROM documents),
+        |sh AS (SELECT doc_id, split,
+        |  CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS th
+        |  FROM (SELECT doc_id, split,
+        |    unnest(list_distinct(${DedupOps.shinglesListSql})) AS sh
+        |    FROM b WHERE split <> 'val')),
+        |tr AS (SELECT DISTINCT th FROM sh WHERE split = 'train'),
+        |bits AS (SELECT DISTINCT (c.a * th + c.b) % $P % $bloomM AS pos
+        |  FROM tr CROSS JOIN $bloomCoeffSql AS c(r, a, b)),
+        |te AS (SELECT doc_id, th FROM sh WHERE split = 'test'),
+        |hits AS (SELECT doc_id, th,
+        |    CASE WHEN count(bits.pos) = $bloomK THEN 1 ELSE 0 END AS hit
+        |  FROM (SELECT te.doc_id, te.th,
+        |          (c.a * te.th + c.b) % $P % $bloomM AS pos
+        |        FROM te CROSS JOIN $bloomCoeffSql AS c(r, a, b)) p
+        |  LEFT JOIN bits ON bits.pos = p.pos
+        |  GROUP BY doc_id, th),
+        |bl AS (SELECT doc_id, count(*) AS n_shingles,
+        |    CAST(sum(hit) AS BIGINT) AS n_bloom_hits
+        |  FROM hits GROUP BY doc_id),
+        |ex AS (SELECT te.doc_id, count(tr.th) AS n_contaminated
+        |  FROM te LEFT JOIN tr ON tr.th = te.th GROUP BY te.doc_id)
+        |SELECT bl.doc_id, n_shingles, n_contaminated, n_bloom_hits,
+        |  n_bloom_hits - n_contaminated AS bloom_false_pos
+        |FROM bl JOIN ex ON ex.doc_id = bl.doc_id
+        |ORDER BY bl.doc_id""".stripMargin
       })
   )
 
