@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.functions.TextFunctions
+
 /** General analytics surface over the TPC-H-ish driver tables —
   * aggregation, multi-way joins, window functions, sort/limit,
   * semi/anti joins, set operations, rollup, and event-time windowed
@@ -842,6 +844,58 @@ object Analytics {
           .orderBy(col("event_type"))
       },
       Some("""SELECT event_type, count(*) AS n, TRUE AS within_bounds
-        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // DETERMINISTIC quantile sketch — q_approx_percentile's
+    // hash-matchable counterpart, completing the sketch family's
+    // quantile axis (KMV = distinct, CMS = frequency, Bloom =
+    // membership, priority sample = order statistics). approx_
+    // percentile's KLL sketch is merge-order-dependent, so its value
+    // can only be bounds-checked; the bottom-k-by-hash sample
+    // ([[graft.functions.PrioritySampleAgg]]) is a pure function of
+    // the input set, so p50/p90/p99 computed from it are identical
+    // under any partitioning AND in DuckDB — the oracle re-derives
+    // every column bit-for-bit. The quantile estimates are raw input
+    // doubles (element selection, no interpolation), immune to
+    // float-arithmetic drift. At 100 TB: map-side partials ship ≤ k
+    // (hash, value) pairs per group per partition — the event stream
+    // itself is never shuffled; the exact n_events count rides along
+    // for the driver's cross-check.
+    Entry("q_quantile_sketch",
+      (spark, dir) => {
+        import graft.functions.PrioritySample
+        val k = PrioritySample.DefaultK
+        Registry.table(spark, dir, "events")
+          .select(col("event_type"), col("value"),
+            TextFunctions.fingerprint64(col("event_id").cast("string"))
+              .as("h"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            PrioritySample.sample(col("h"), col("value"), k).as("xs"))
+          // the aggregate emits (hash, value)-ascending; sort by VALUE
+          // once, select three ranks from the sorted attribute
+          .withColumn("sxs", array_sort(col("xs")))
+          .select(col("event_type"), col("n_events"),
+            size(col("sxs")).cast("long").as("n_sample"),
+            PrioritySample.discQuantile(col("sxs"), 0.5).as("p50_sketch"),
+            PrioritySample.discQuantile(col("sxs"), 0.9).as("p90_sketch"),
+            PrioritySample.discQuantile(col("sxs"), 0.99).as("p99_sketch"))
+          .orderBy(col("event_type"))
+      },
+      Some {
+        import graft.functions.PrioritySample
+        val fp = TextFunctions.fp64Sql("CAST(event_id AS VARCHAR)")
+        s"""WITH th AS (SELECT event_type, value, $fp AS h FROM events),
+        |s AS ${PrioritySample.oracleSampleSql("th", "event_type", "h", "value")},
+        |ex AS (SELECT event_type, count(*) AS n_events FROM events
+        |  GROUP BY event_type)
+        |SELECT ex.event_type, ex.n_events,
+        |  CAST(len(s.xs) AS BIGINT) AS n_sample,
+        |  ${PrioritySample.discQuantileSql("s.xs", 0.5)} AS p50_sketch,
+        |  ${PrioritySample.discQuantileSql("s.xs", 0.9)} AS p90_sketch,
+        |  ${PrioritySample.discQuantileSql("s.xs", 0.99)} AS p99_sketch
+        |FROM s JOIN ex USING (event_type)
+        |ORDER BY event_type""".stripMargin
+      })
   )
 }

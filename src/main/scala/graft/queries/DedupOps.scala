@@ -420,9 +420,14 @@ object DedupOps {
             concat_ws(" ", col("kept")).as("trimmed_text"))
           .orderBy(col("doc_id"))
       },
-      Some {
-        val k = substringGramLen
-        s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+      Some(substringTrimOracleSql))
+  )
+
+  /** Shared with StreamingOps (s42): the incremental trim state must
+    * converge to exactly this batch answer. */
+  private[queries] val substringTrimOracleSql: String = {
+    val k = substringGramLen
+    s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
            |w0 AS (SELECT doc_id,
            |    unnest(list_transform(generate_series(1, len(t) - ${k - 1}),
            |      i -> {'i': i,
@@ -447,8 +452,7 @@ object DedupOps {
            |  -- is '' in Spark; a fully-trimmed doc must agree
            |  coalesce(array_to_string(kept, ' '), '') AS trimmed_text
            |FROM kept ORDER BY doc_id""".stripMargin
-      })
-  )
+  }
 
   /** Shared with StreamingOps (s36): the incremental substring-span
     * state must converge to exactly this batch answer. */

@@ -63,6 +63,14 @@ final case class GramRow(g: String, doc_id: Long, cnt: Long)
   * storage-dedup state; the payload bytes never enter state. */
 final case class ChunkRow(chunk_md5: String, doc_id: Long, cnt: Long)
 
+/** One k-token-window fingerprint POSITION row (s42): gram md5, doc
+  * id, and the 1-based window-start positions of that gram within the
+  * doc — [[GramRow]] widened just enough that the converged state can
+  * reconstruct which spans to CUT (the trim transform needs where a
+  * duplicated window sits, not only how often); the text itself still
+  * never enters state. */
+final case class GramPosRow(g: String, doc_id: Long, ps: Seq[Long])
+
 /** Streaming operators, driven synchronously: the parquet tables are
   * range-split into chunked ingest directories and replayed through the
   * file source one file per trigger (so the engine sees multiple
@@ -2466,6 +2474,157 @@ object StreamingOps {
         |  n_bloom_hits - n_contaminated AS bloom_false_pos
         |FROM bl JOIN ex ON ex.doc_id = bl.doc_id
         |ORDER BY bl.doc_id""".stripMargin
+      }),
+
+    // INCREMENTAL EXACT-SUBSTRING TRIM — dedup_substring_trim's
+    // streaming twin, completing the Lee et al. pipeline incrementally
+    // (s36 SCORES duplicated spans; this row CUTS them). Each arriving
+    // document's k-token windows are fingerprinted scan-locally and
+    // the per-gram window-start POSITIONS (not just counts — the trim
+    // needs to know where a duplicated span sits) are upserted into
+    // GRAM-keyed state. The removable-window rule — gram held by ≥2
+    // distinct docs, and this doc is not the lowest-id holder — is a
+    // pure function of the converged membership, so the trimmed corpus
+    // derives as a projection over final state with zero retraction
+    // machinery: a later doc repeating an earlier doc's span flips
+    // that span removable for the LATER doc only (the first holder
+    // keeps its copy), arrival-order-free by construction. The text
+    // re-enters only at the final projection, joined back from the
+    // static table by doc_id — state holds (gram, doc_id, positions)
+    // rows, never the corpus, exactly the s24 slim-state /
+    // re-fetch-payload-post-dedup pattern. Converges to the batch
+    // dedup_substring_trim oracle bit-for-bit.
+    Entry("s42_stream_substring_trim",
+      (spark, dir) => { import spark.implicits._
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_trim_")
+          val log = tmp.resolve("log")
+          val ckpt = tmp.resolve("ckpt")
+          try {
+            val in = sharedChunkDir(dir, "doctext", "documents") { p =>
+              Registry.table(spark, dir, "documents")
+                .select(col("doc_id"), col("text"))
+                .repartitionByRange(chunks, col("doc_id"))
+                .write.parquet(p.toString)
+            }
+            val src = spark.readStream.schema("doc_id BIGINT, text STRING")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+            val k = DedupOps.substringGramLen
+            // window fingerprints materialized as an attribute before
+            // the position-extraction HOF reads it twice (the
+            // shingles3FromTokens perf note); per-distinct-gram
+            // position lists are scan-local
+            val gramRows = src
+              .select(col("doc_id"),
+                TextFunctions.tokens(col("text")).as("t"))
+              .filter(size(col("t")) >= k)
+              .select(col("doc_id"),
+                transform(sequence(lit(1), size(col("t")) - (k - 1)),
+                  i => md5(concat_ws(" ", slice(col("t"), i, lit(k)))))
+                  .as("gs"))
+              .select(col("doc_id"),
+                explode(transform(array_distinct(col("gs")), g =>
+                  struct(g.as("g"),
+                    filter(transform(col("gs"), (x, i) =>
+                      when(x === g, i.cast("long") + 1L).otherwise(-1L)),
+                      p => p =!= -1L).as("ps")))).as("gp"))
+              .select(col("gp.g").as("g"), col("doc_id"),
+                col("gp.ps").as("ps"))
+              .as[GramPosRow]
+            val dd = VersionedStreamDedup.latestPerKeyId[GramPosRow](
+              gramRows, _.g, _.doc_id.toString, _ => 0L)
+            val q = dd.toDF().writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("key"))
+            val members = raw
+              .withColumn("max_seq", max(col("seq")).over(wMax))
+              .filter(col("seq") === col("max_seq"))
+              .select(col("key").as("g"), explode(col("xs")).as("x"))
+              .select(col("g"), col("x.doc_id").as("doc_id"),
+                col("x.ps").as("ps"))
+            val gstat = members.groupBy(col("g"))
+              .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("mind"))
+            val covered = members.join(gstat, "g")
+              .filter(col("nd") >= 2 && col("doc_id") > col("mind"))
+              .select(col("doc_id"), explode(col("ps")).as("i"))
+              .select(col("doc_id"),
+                explode(sequence(col("i"), col("i") + (k - 1))).as("p"))
+              .groupBy(col("doc_id"))
+              .agg(collect_set(col("p")).as("cov"))
+            val toks = Registry.table(spark, dir, "documents")
+              .select(col("doc_id"),
+                TextFunctions.tokens(col("text")).as("t"))
+            toks.join(covered, Seq("doc_id"), "left")
+              .select(col("doc_id"), col("t"),
+                coalesce(col("cov"), array().cast("array<long>")).as("cov"))
+              .select(col("doc_id"),
+                size(col("t")).cast("long").as("n_tokens"),
+                filter(col("t"), (_, idx) =>
+                  !array_contains(col("cov"), idx.cast("long") + 1L))
+                  .as("kept"))
+              .select(col("doc_id"), col("n_tokens"),
+                size(col("kept")).cast("long").as("n_kept"),
+                concat_ws(" ", col("kept")).as("trimmed_text"))
+              .orderBy(col("doc_id"))
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(DedupOps.substringTrimOracleSql)),
+
+    // STREAMING QUANTILE MONITORING — q_quantile_sketch's streaming
+    // twin, closing the sketch family's streaming symmetry (KMV
+    // s38/s39, CMS s40, Bloom s41, priority sample here): the per-type
+    // bottom-k-by-hash value sample ([[graft.functions
+    // .PrioritySampleAgg]]) is engine-managed streaming-agg state
+    // (≤ k (hash, value) pairs per event type, never the stream), so
+    // p50/p90/p99 latency-style monitoring is maintained incrementally
+    // with no custom state code. Because the sample is a pure function
+    // of the row SET, the converged streamed quantiles equal the batch
+    // row's bit-for-bit — arrival order, microbatch boundaries, and
+    // merge trees all cancel — and the DuckDB oracle re-derives them.
+    // At 100 TB this is the live p99 dashboard from 2 KB per group.
+    Entry("s43_stream_quantile_sketch",
+      (spark, dir) => {
+        import graft.functions.{PrioritySample, TextFunctions}
+        runFileStream(spark, dir, mode = "complete") { src =>
+          src().toDF()
+            .select(col("event_type"), col("value"),
+              TextFunctions.fingerprint64(col("event_id").cast("string"))
+                .as("h"))
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n_events"),
+              PrioritySample.sample(col("h"), col("value")).as("xs"))
+            .withColumn("sxs", array_sort(col("xs")))
+            .select(col("event_type"), col("n_events"),
+              size(col("sxs")).cast("long").as("n_sample"),
+              PrioritySample.discQuantile(col("sxs"), 0.5).as("p50_sketch"),
+              PrioritySample.discQuantile(col("sxs"), 0.9).as("p90_sketch"),
+              PrioritySample.discQuantile(col("sxs"), 0.99).as("p99_sketch"))
+        }(_.orderBy(col("event_type")))
+      },
+      Some {
+        import graft.functions.PrioritySample
+        val fp = TextFunctions.fp64Sql("CAST(event_id AS VARCHAR)")
+        s"""WITH th AS (SELECT event_type, value, $fp AS h FROM events),
+        |s AS ${PrioritySample.oracleSampleSql("th", "event_type", "h", "value")},
+        |ex AS (SELECT event_type, count(*) AS n_events FROM events
+        |  GROUP BY event_type)
+        |SELECT ex.event_type, ex.n_events,
+        |  CAST(len(s.xs) AS BIGINT) AS n_sample,
+        |  ${PrioritySample.discQuantileSql("s.xs", 0.5)} AS p50_sketch,
+        |  ${PrioritySample.discQuantileSql("s.xs", 0.9)} AS p90_sketch,
+        |  ${PrioritySample.discQuantileSql("s.xs", 0.99)} AS p99_sketch
+        |FROM s JOIN ex USING (event_type)
+        |ORDER BY event_type""".stripMargin
       })
   )
 
