@@ -181,7 +181,15 @@ object PrioritySample {
        |             WHERE $h IS NOT NULL AND $v IS NOT NULL))
        | WHERE rn <= $k GROUP BY $grp)""".stripMargin
 
-  /** DuckDB twin of [[discQuantile]] over a list column expression. */
+  /** DuckDB twin of [[discQuantile]] over a list column expression.
+    * The q literal is cast to DOUBLE before the multiply: DuckDB
+    * parses `0.9` as DECIMAL (exact decimal math), Spark's `lit(q)`
+    * is IEEE double. At k ≤ 256 the two ceilings provably coincide
+    * (the double product's error stays under half an ulp, so a
+    * decimal-exact integer rank rounds back to the exact integer),
+    * but the cast removes the decimal-vs-double asymmetry class
+    * outright instead of leaning on that magnitude argument — both
+    * engines run the identical IEEE multiply-then-ceil at any k. */
   def discQuantileSql(xs: String, q: Double): String =
-    s"$xs[GREATEST(CAST(ceil($q * len($xs)) AS INT), 1)]"
+    s"$xs[GREATEST(CAST(ceil(CAST($q AS DOUBLE) * len($xs)) AS INT), 1)]"
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProductExpr, KmvSketchAgg, RollingHashExpr}
+import graft.functions.{DotProductExpr, KmvSketchAgg, PrioritySampleAgg, RollingHashExpr}
 
 /** Session-extension wiring for the library's native expressions —
   * the `SparkSessionExtensions` integration point, so a cluster deploy
@@ -64,6 +64,19 @@ object GraftExtensions {
           case Literal(k: Int, IntegerType) => KmvSketchAgg(args.head, k)
           case other => throw new IllegalArgumentException(
             s"graft_kmv sketch width must be an integer literal, got $other")
+        }
+      }), (
+      FunctionIdentifier("graft_priority_sample"),
+      new ExpressionInfo(classOf[PrioritySampleAgg].getName,
+        "graft_priority_sample"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_priority_sample(hash, value, k) takes three arguments")
+        args(2) match {
+          case Literal(k: Int, IntegerType) =>
+            PrioritySampleAgg(args.head, args(1), k)
+          case other => throw new IllegalArgumentException(
+            s"graft_priority_sample width must be an integer literal, got $other")
         }
       }))
 

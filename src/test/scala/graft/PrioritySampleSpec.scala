@@ -73,4 +73,18 @@ class PrioritySampleSpec extends SparkTestBase {
       .select(size($"xs")).as[Int].head()
     assert(empty == 0)
   }
+
+  test("graft_priority_sample is SQL-registered and matches a window re-derivation") {
+    graft.plans.GraftExtensions.register(spark)
+    rows(40000).createOrReplaceTempView("ps_probe")
+    val viaAgg = spark.sql(
+      """SELECT sort_array(graft_priority_sample(h, v, 64)) AS xs
+        |FROM ps_probe""".stripMargin).as[Seq[Double]].head()
+    val viaRank = spark.sql(
+      """SELECT sort_array(collect_list(v)) AS xs
+        |FROM (SELECT v, row_number() OVER (ORDER BY h, v) AS rn
+        |      FROM (SELECT DISTINCT h, v FROM ps_probe))
+        |WHERE rn <= 64""".stripMargin).as[Seq[Double]].head()
+    assert(viaAgg == viaRank)
+  }
 }
