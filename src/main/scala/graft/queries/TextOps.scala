@@ -16,6 +16,71 @@ object TextOps {
   private val tokSql = "string_split(text, ' ')"
   private def fp64Sql(expr: String) = TextFunctions.fp64Sql(expr)
 
+  // BPE training (t_bpe_train): shared pre-tokenizer pattern (the same
+  // one t_token_bpe counts with) and merge-round count. Symbols are
+  // wrapped as "<sym>" — '<'/'>' are outside the corpus charset
+  // (lowercase + space) and outside both engines' non-regex `replace`
+  // metacharacters, so "<l><r>" matches exactly a full-left-symbol /
+  // full-right-symbol adjacency and nothing else.
+  private val bpePat = " ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+| +"
+  private val bpeMerges = 8
+
+  /** Spark side of `n` BPE merge rounds over the documents corpus.
+    * Corpus is scanned once into a (word, cnt) vocab table; each round
+    * is a vocab-sized pair-count shuffle + TakeOrdered(1) + 1-row
+    * broadcast merge-apply. localCheckpoint truncates the plan between
+    * rounds (the VectorTools.lloyd pattern). */
+  private def bpeTrainQuery(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, n: Int): org.apache.spark.sql.DataFrame = {
+    var w = Registry.table(spark, dir, "documents")
+      .select(explode(expr(s"regexp_extract_all(text, '$bpePat', 0)")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("w"), "(.)", "<$1>").as("sym"), col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]()
+    for (rank <- 1 to n) {
+      val best = w
+        .select(split(expr("trim(BOTH '<>' FROM sym)"), "><").as("syms"), col("cnt"))
+        .select(explode(expr(
+          "transform(slice(syms, 1, size(syms) - 1), (x, i) -> struct(x AS l, syms[i + 1] AS r))"))
+          .as("p"), col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("l"), col("r"))
+        .limit(1)
+        .localCheckpoint()
+      merges += best.select(lit(rank).as("merge_rank"), col("l"), col("r"),
+        concat(col("l"), col("r")).as("merged"), col("pair_count"))
+      w = w.crossJoin(broadcast(best.select(col("l"), col("r"))))
+        .select(expr(
+          "replace(sym, '<' || l || '><' || r || '>', '<' || l || r || '>')").as("sym"),
+          col("cnt"))
+        .localCheckpoint()
+    }
+    merges.reduce(_.unionAll(_)).orderBy(col("merge_rank"))
+  }
+
+  /** DuckDB oracle unrolling the identical `n` merge rounds as CTEs. */
+  private def bpeTrainOracleSql(n: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH w0 AS (
+         |  SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS sym, count(*) AS cnt
+         |  FROM (SELECT unnest(regexp_extract_all(text, '$bpePat', 0)) AS w FROM documents)
+         |  GROUP BY 1)""".stripMargin)
+    for (r <- 1 to n) sb.append(s""",
+      |p$r AS (SELECT syms[i] AS l, syms[i+1] AS r, cnt FROM
+      |  (SELECT string_split(trim(sym, '<>'), '><') AS syms, cnt FROM w${r - 1}) t,
+      |  unnest(generate_series(1, len(syms)-1)) g(i)),
+      |b$r AS (SELECT l, r, sum(cnt)::BIGINT AS pair_count FROM p$r
+      |  GROUP BY l, r ORDER BY pair_count DESC, l, r LIMIT 1),
+      |w$r AS (SELECT replace(sym, '<'||b.l||'><'||b.r||'>', '<'||b.l||b.r||'>') AS sym, cnt
+      |  FROM w${r - 1}, b$r b)""".stripMargin)
+    sb.append("\nSELECT * FROM (" + (1 to n).map(r =>
+      s"SELECT $r AS merge_rank, l, r, l||r AS merged, pair_count FROM b$r")
+      .mkString(" UNION ALL ") + ") ORDER BY merge_rank")
+    sb.toString
+  }
+
   def entries: Seq[Entry] = Seq(
 
     Entry("t_token_stats",
@@ -78,6 +143,33 @@ object TextOps {
         |  len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+| +', 0)) AS n_bpe_tokens,
         |  len(string_split(text, ' ')) AS n_ws_tokens
         |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // REAL BPE vocabulary training: the distributed merge loop, not
+    // just the pre-tokenizer count above. Words (pre-tokens from the
+    // same GPT2-ish regex as t_token_bpe) are frequency-aggregated
+    // once, each word encoded as boundary-wrapped symbols
+    // ("<t><h><e>"); then `bpeMerges` rounds of: count adjacent symbol
+    // pairs weighted by word frequency → pick the global max (count
+    // DESC, then (l, r) lexicographic — both engines' binary string
+    // order) → apply the merge to every word as a single non-regex
+    // replace("<l><r>" -> "<lr>"), whose left-to-right non-overlapping
+    // scan IS greedy BPE merging ("<a><a><a><a>" -> "<aa><aa>"), and
+    // the per-symbol <> wrapping makes prefix false-matches impossible
+    // ("<a><bc>" never matches "<a><b>"). Output: the learned merge
+    // table, rank by rank — merge r can consume merge r-1's symbol
+    // (at sf0.001 rank 8 is 'p'+'ar' over rank 7's 'ar').
+    //
+    // 100 TB: the corpus is touched ONCE (pre-token groupBy); every
+    // round after that runs over the word-frequency table (vocab-sized,
+    // orders of magnitude smaller), with one pair-count shuffle and a
+    // TakeOrdered(1) per round; the chosen pair rejoins as a 1-row
+    // broadcast, and localCheckpoint truncates the growing plan between
+    // rounds (same pattern as core.VectorTools.lloyd). The oracle
+    // unrolls the identical rounds as CTEs (the v_kmeans_lloyd3
+    // pattern), so the whole training trajectory is hash-checked.
+    Entry("t_bpe_train",
+      (spark, dir) => bpeTrainQuery(spark, dir, bpeMerges),
+      Some(bpeTrainOracleSql(bpeMerges))),
 
     // Winnowing fingerprints (rolling-hash k-grams + window-min
     // selection): the canonical robust document fingerprint; shared
