@@ -1,0 +1,171 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.types._
+
+/** A REAL image decode rung for the multimodal pipeline (replacing the
+  * honest-but-fake `MultimodalPipeline.decodeStub` for the one format
+  * that needs no media library): uncompressed 24-bit Windows BMP,
+  * encoded and decoded with pure byte arithmetic in the JVM.
+  *
+  * [[BmpEncodeExpr]] renders a deterministic test-pattern bitmap per
+  * `doc_id` (varying width 4–8 and height 5–8, so every row-padding
+  * case 0–3 bytes is exercised); [[BmpDecodeExpr]] parses the actual
+  * container — magic, little-endian header fields, pixel-array offset,
+  * 4-byte row stride, bottom-up (or top-down, negative-height) row
+  * order, BGR channel order — and returns per-channel pixel sums, or
+  * null for anything that is not a parseable uncompressed 24bpp BMP.
+  * Because the pixel function is closed-form, the DuckDB oracle can
+  * reproduce the expected stats analytically, so the whole
+  * encode→bytes→decode round trip (offsets, stride, padding, channel
+  * order) is hash-checked without DuckDB ever touching a BMP.
+  *
+  * Both expressions participate in whole-stage codegen as a single
+  * static call per row (no interpreted-projection fallback).
+  */
+object BmpCodec {
+
+  /** Modulus for the test-pattern pixel value: a prime > 2^7, so
+    * pixel bytes cover (almost) the full unsigned 0..255 range and the
+    * decoder's signed-byte handling (`& 0xFF`) is actually exercised. */
+  final val PixelMod = 251
+  final val HeaderLen = 54
+
+  def width(docId: Long): Int = (4 + (docId % 5)).toInt
+  def height(docId: Long): Int = (5 + (docId % 4)).toInt
+  /** c: 0=R, 1=G, 2=B; (x, y) with y=0 the TOP image row. */
+  def pixel(docId: Long, x: Int, y: Int, c: Int): Int =
+    ((docId * 7 + y * 31 + x * 13 + c * 5) % PixelMod).toInt
+  def stride(w: Int): Int = ((w * 3 + 3) / 4) * 4
+
+  /** Emit a spec-complete BITMAPFILEHEADER + BITMAPINFOHEADER + padded
+    * bottom-up BGR pixel array (biSizeImage left 0, legal for BI_RGB). */
+  def encode(docId: Long): Array[Byte] = {
+    val w = width(docId); val h = height(docId)
+    val st = stride(w)
+    val size = HeaderLen + st * h
+    val b = new Array[Byte](size)
+    def le32(off: Int, v: Int): Unit = {
+      b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
+      b(off + 2) = ((v >> 16) & 0xFF).toByte; b(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    b(0) = 'B'; b(1) = 'M'
+    le32(2, size); le32(10, HeaderLen)
+    le32(14, 40); le32(18, w); le32(22, h)
+    le16(26, 1); le16(28, 24)
+    var sy = 0
+    while (sy < h) {
+      val y = h - 1 - sy // bottom-up storage
+      var x = 0
+      while (x < w) {
+        val o = HeaderLen + sy * st + x * 3
+        b(o) = pixel(docId, x, y, 2).toByte     // B
+        b(o + 1) = pixel(docId, x, y, 1).toByte // G
+        b(o + 2) = pixel(docId, x, y, 0).toByte // R
+        x += 1
+      }
+      sy += 1
+    }
+    b
+  }
+
+  val schema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("bpp", IntegerType, nullable = false),
+    StructField("n_pixels", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false)))
+
+  /** Parse the container and sum each channel over all pixels.
+    * Returns null (not an exception) for malformed/unsupported input —
+    * a lake-scale decode stage must skip bad blobs, not die. */
+  def decode(b: Array[Byte]): InternalRow = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def le32(off: Int): Int =
+      u8(off) | (u8(off + 1) << 8) | (u8(off + 2) << 16) | (u8(off + 3) << 24)
+    def le16(off: Int): Int = u8(off) | (u8(off + 1) << 8)
+    if (b.length < HeaderLen || b(0) != 'B' || b(1) != 'M') return null
+    val pixOff = le32(10)
+    val w = le32(18)
+    val hRaw = le32(22) // negative = top-down storage
+    val bpp = le16(28)
+    val compression = le32(30)
+    val h = math.abs(hRaw)
+    if (bpp != 24 || compression != 0 || w <= 0 || h == 0) return null
+    val st = stride(w)
+    if (pixOff < HeaderLen || pixOff.toLong + st.toLong * h > b.length) return null
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var sy = 0
+    while (sy < h) {
+      var x = 0
+      while (x < w) {
+        val o = pixOff + sy * st + x * 3
+        sumB += u8(o); sumG += u8(o + 1); sumR += u8(o + 2)
+        x += 1
+      }
+      sy += 1
+    }
+    new GenericInternalRow(Array[Any](
+      w, h, bpp, w.toLong * h, sumR, sumG, sumB))
+  }
+}
+
+/** `bigint doc_id` → binary BMP payload (see [[BmpCodec.encode]]). */
+case class BmpEncodeExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint argument, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(v: Any): Any =
+    BmpCodec.encode(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BmpCodec.encode($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BmpEncodeExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_bmp_encode"
+}
+
+/** binary BMP payload → struct of header fields + per-channel pixel
+  * sums; null for non-BMP input (see [[BmpCodec.decode]]). */
+case class BmpDecodeExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary argument, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = BmpCodec.schema
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    BmpCodec.decode(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.BmpCodec.decode($c);
+      |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): BmpDecodeExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_bmp_decode"
+}

@@ -23,10 +23,29 @@ object MultimodalPipeline {
 
   /** STUB decode: a real implementation would decode `payload` into
     * pixels/samples. Deterministic fake: the payload length and md5
-    * act as the "decoded" surrogate so downstream stages are testable. */
+    * act as the "decoded" surrogate so downstream stages are testable.
+    * For the one format that needs no media library there IS a real
+    * rung now — see [[decodeBmp]] / m_image_decode, which parses an
+    * actual 24bpp BMP container byte-for-byte. */
   def decodeStub(payload: Column): Column =
     struct(octet_length(payload).as("decoded_len"),
       md5(payload).as("decoded_md5"))
+
+  /** REAL decode: binary 24bpp uncompressed BMP → struct(width,
+    * height, bpp, n_pixels, sum_r, sum_g, sum_b), null on malformed
+    * input. Native expression, one static call per row inside
+    * whole-stage codegen (see [[graft.functions.BmpDecodeExpr]]). */
+  def decodeBmp(payload: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.BmpDecodeExpr(
+        org.apache.spark.sql.graft.Bridge.expression(payload)))
+
+  /** Deterministic per-id BMP payload (the test-pattern generator
+    * feeding [[decodeBmp]]'s round trip). */
+  def encodeBmp(docId: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.BmpEncodeExpr(
+        org.apache.spark.sql.graft.Bridge.expression(docId)))
 
   /** Sample up to `maxFrames` fixed-size frames from the payload —
     * the video-frame-extraction shape: one output row per frame with

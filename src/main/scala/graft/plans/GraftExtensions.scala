@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProductExpr, KmvSketchAgg, PrioritySampleAgg, RollingHashExpr}
+import graft.functions.{BmpDecodeExpr, BmpEncodeExpr, DotProductExpr, KmvSketchAgg, PrioritySampleAgg, RollingHashExpr}
 
 /** Session-extension wiring for the library's native expressions —
   * the `SparkSessionExtensions` integration point, so a cluster deploy
@@ -78,6 +78,18 @@ object GraftExtensions {
           case other => throw new IllegalArgumentException(
             s"graft_priority_sample width must be an integer literal, got $other")
         }
+      }), (
+      FunctionIdentifier("graft_bmp_encode"),
+      new ExpressionInfo(classOf[BmpEncodeExpr].getName, "graft_bmp_encode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_bmp_encode(doc_id) takes one argument")
+        BmpEncodeExpr(args.head)
+      }), (
+      FunctionIdentifier("graft_bmp_decode"),
+      new ExpressionInfo(classOf[BmpDecodeExpr].getName, "graft_bmp_decode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_bmp_decode(payload) takes one argument")
+        BmpDecodeExpr(args.head)
       }))
 
   /** Runtime registration on a live session (the notebook/REPL path —

@@ -6,10 +6,14 @@ import graft.multimodal.MultimodalPipeline
 
 /** Multimodal-column plumbing: the `documents.text` bytes stand in for
   * opaque media payloads (`binary` column + typed metadata). The
-  * decode step is a clearly-marked deterministic stub (no image/audio
-  * codecs in this container — see [[MultimodalPipeline.decodeStub]]);
-  * everything Spark-side — schema, binary columns, frame chunking,
-  * batch shape — is real and oracle-checked.
+  * generic decode step is a clearly-marked deterministic stub (no
+  * image/audio codecs in this container — see
+  * [[MultimodalPipeline.decodeStub]]) EXCEPT for uncompressed 24bpp
+  * BMP, which needs no library and is encoded+decoded for real with
+  * pure byte arithmetic (m_image_decode /
+  * [[graft.functions.BmpDecodeExpr]]); everything Spark-side —
+  * schema, binary columns, frame chunking, batch shape — is real and
+  * oracle-checked.
   */
 object MultimodalOps {
 
@@ -132,6 +136,53 @@ object MultimodalOps {
           .orderBy(col("chunk_md5"))
       },
       Some(cdcChunkOracleSql)),
+
+    // REAL image decode (not the stub): a deterministic 24bpp BMP is
+    // rendered per doc_id (width 4–8 × height 5–8, so every 4-byte
+    // row-padding case 0–3 occurs), and BmpDecodeExpr parses the
+    // actual container — magic, little-endian header fields, pixel
+    // offset, stride, bottom-up row order, BGR channel order — into
+    // per-channel pixel stats. The pixel pattern is closed-form, so
+    // the oracle reproduces the expected stats (and the exact file
+    // size) analytically: any mistake in either side of the
+    // encode→bytes→decode round trip breaks the hash. Both codec
+    // sides are native expressions compiled as one static call per
+    // row inside whole-stage codegen; at 100 TB this is the
+    // scan-local, shuffle-free decode stage of a media-lake pipeline
+    // (a JPEG/audio codec swaps in at the same call site — see
+    // MultimodalPipeline.decodeBmp).
+    Entry("m_image_decode",
+      (spark, dir) => {
+        val d = Registry.table(spark, dir, "documents").select(col("doc_id"))
+        d.withColumn("payload", MultimodalPipeline.encodeBmp(col("doc_id")))
+          .withColumn("img", MultimodalPipeline.decodeBmp(col("payload")))
+          .select(col("doc_id"),
+            col("img.width").as("width"),
+            col("img.height").as("height"),
+            col("img.n_pixels").as("n_pixels"),
+            octet_length(col("payload")).cast("long").as("n_bytes"),
+            round(col("img.sum_r") / col("img.n_pixels"), 6).as("mean_r"),
+            round(col("img.sum_g") / col("img.n_pixels"), 6).as("mean_g"),
+            round(col("img.sum_b") / col("img.n_pixels"), 6).as("mean_b"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH g AS (SELECT doc_id,
+        |    (4 + doc_id % 5)::INT AS w, (5 + doc_id % 4)::INT AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h,
+        |    sum((doc_id*7 + y*31 + x*13) % 251) AS sum_r,
+        |    sum((doc_id*7 + y*31 + x*13 + 5) % 251) AS sum_g,
+        |    sum((doc_id*7 + y*31 + x*13 + 10) % 251) AS sum_b
+        |  FROM g, unnest(generate_series(0, w - 1)) gx(x),
+        |    unnest(generate_series(0, h - 1)) gy(y)
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, w AS width, h AS height,
+        |  (w * h)::BIGINT AS n_pixels,
+        |  (54 + ((w * 3 + 3) // 4) * 4 * h)::BIGINT AS n_bytes,
+        |  round(sum_r::DOUBLE / (w * h), 6) AS mean_r,
+        |  round(sum_g::DOUBLE / (w * h), 6) AS mean_g,
+        |  round(sum_b::DOUBLE / (w * h), 6) AS mean_b
+        |FROM px ORDER BY doc_id""".stripMargin)),
 
     // Deterministic stub "feature extraction" from raw bytes — the
     // embedding-from-media shape with a fake feature vector.

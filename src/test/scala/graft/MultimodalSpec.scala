@@ -78,4 +78,64 @@ class MultimodalSpec extends SparkTestBase {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
       "sorted-runs multiplicity counting diverged from explode-and-count")
   }
+
+  test("BMP codec round trip: decode recovers the generator's closed-form stats") {
+    import graft.functions.BmpCodec
+    for (id <- Seq(0L, 1L, 2L, 3L, 4L, 17L, 123L)) {
+      val row = BmpCodec.decode(BmpCodec.encode(id))
+      assert(row != null)
+      val w = BmpCodec.width(id); val h = BmpCodec.height(id)
+      assert(row.getInt(0) == w && row.getInt(1) == h && row.getInt(2) == 24)
+      assert(row.getLong(3) == w.toLong * h)
+      for (c <- 0 until 3) {
+        val want = (for (y <- 0 until h; x <- 0 until w)
+          yield BmpCodec.pixel(id, x, y, c).toLong).sum
+        assert(row.getLong(4 + c) == want, s"channel $c of doc $id")
+      }
+    }
+  }
+
+  test("BMP decode rejects malformed payloads with null, not an exception") {
+    import graft.functions.BmpCodec
+    val good = BmpCodec.encode(7L)
+    assert(BmpCodec.decode(Array[Byte]()) == null, "empty")
+    assert(BmpCodec.decode("not a bitmap at all, just text bytes!!!!!!!!!!!!!!!!!"
+      .getBytes("UTF-8")) == null, "wrong magic")
+    val truncated = good.take(good.length - 1)
+    assert(BmpCodec.decode(truncated) == null, "pixel array truncated")
+    val badBpp = good.clone(); badBpp(28) = 32
+    assert(BmpCodec.decode(badBpp) == null, "unsupported bpp")
+    val compressed = good.clone(); compressed(30) = 1
+    assert(BmpCodec.decode(compressed) == null, "compressed")
+  }
+
+  test("BMP decode handles top-down (negative height) storage") {
+    import graft.functions.BmpCodec
+    val b = BmpCodec.encode(3L)
+    val h = BmpCodec.height(3L)
+    // rewrite height as -h (two's-complement little-endian)
+    val neg = -h
+    b(22) = (neg & 0xFF).toByte; b(23) = ((neg >> 8) & 0xFF).toByte
+    b(24) = ((neg >> 16) & 0xFF).toByte; b(25) = ((neg >> 24) & 0xFF).toByte
+    val row = BmpCodec.decode(b)
+    assert(row != null && row.getInt(1) == h,
+      "abs(height) rows decoded for top-down storage")
+    // channel sums are row-order independent, so they still match
+    val w = BmpCodec.width(3L)
+    val wantR = (for (y <- 0 until h; x <- 0 until w)
+      yield BmpCodec.pixel(3L, x, y, 0).toLong).sum
+    assert(row.getLong(4) == wantR)
+  }
+
+  test("BMP codec runs inside codegen as SQL functions") {
+    graft.plans.GraftExtensions.register(spark)
+    val out = spark.range(0, 20).toDF("doc_id")
+      .selectExpr("graft_bmp_decode(graft_bmp_encode(doc_id)) AS img")
+      .selectExpr("sum(img.n_pixels) AS np", "count(img.width) AS n")
+      .head()
+    val want = (0L until 20L)
+      .map(id => graft.functions.BmpCodec.width(id).toLong *
+        graft.functions.BmpCodec.height(id)).sum
+    assert(out.getLong(0) == want && out.getLong(1) == 20)
+  }
 }
