@@ -660,6 +660,54 @@ object TextOps {
         |  min(doc_id) AS first_doc
         |FROM o GROUP BY 1, 2, 3 ORDER BY lang, shard, bin""".stripMargin)),
 
+    // PACKING BOUNDARY SPANS — the metadata the trainer actually
+    // consumes from a packed dataset: for every 512-token context
+    // window, the ordered (doc_id, start_tok, len) segments that fill
+    // it, i.e. the attention-mask / position-reset input of
+    // packed-sequence training. Unlike t_seq_packing's whole-doc
+    // window assignment, a document here SPANS every window its token
+    // range [offset, offset+n) overlaps — one output row per
+    // (doc × overlapped window) with the in-window start and the
+    // clipped length, so each window's spans sum exactly to its fill.
+    // Same shard-bounded running-offset window as t_seq_packing (the
+    // 100 TB sequentiality story is identical); the explode fans a doc
+    // out to ceil(n/512)+1 windows at most, all integer arithmetic.
+    Entry("t_seq_packing_spans",
+      (spark, dir) => {
+        val d = Registry.table(spark, dir, "documents")
+          .select(col("lang"), col("doc_id"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens"))
+          .withColumn("shard", expr("doc_id div 1000"))
+          .filter(col("n_tokens") > 0)
+        val w = Window.partitionBy(col("lang"), col("shard"))
+          .orderBy(col("doc_id"))
+        d.withColumn("offset",
+            sum(col("n_tokens")).over(w) - col("n_tokens"))
+          .withColumn("bin",
+            explode(expr("sequence(offset div 512, (offset + n_tokens - 1) div 512)")))
+          .select(col("lang"), col("shard"), col("bin"), col("doc_id"),
+            (greatest(col("offset"), col("bin") * 512) - col("bin") * 512)
+              .as("start_tok"),
+            (least(col("offset") + col("n_tokens"), (col("bin") + 1) * 512)
+              - greatest(col("offset"), col("bin") * 512)).as("len"))
+          .orderBy(col("lang"), col("shard"), col("bin"), col("start_tok"))
+      },
+      Some(s"""WITH d AS (SELECT lang, doc_id,
+        |  CAST(floor(doc_id / 1000) AS BIGINT) AS shard,
+        |  len($tokSql) AS n_tokens FROM documents),
+        |o AS (SELECT lang, shard, doc_id, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS tok_off
+        |  FROM d WHERE n_tokens > 0)
+        |SELECT lang, shard, bin, doc_id,
+        |  GREATEST(tok_off, bin * 512) - bin * 512 AS start_tok,
+        |  LEAST(tok_off + n_tokens, (bin + 1) * 512)
+        |    - GREATEST(tok_off, bin * 512) AS len
+        |FROM o, unnest(generate_series(
+        |  CAST(floor(tok_off / 512) AS BIGINT),
+        |  CAST(floor((tok_off + n_tokens - 1) / 512) AS BIGINT))) g(bin)
+        |ORDER BY lang, shard, bin, start_tok""".stripMargin)),
+
     // COUNT-MIN SKETCH HEAVY HITTERS — the frequency member of the
     // sketch family (KMV = cardinality, MinHash/LSH = similarity):
     // token frequencies estimated from a d=4 × w=1024 counter matrix
