@@ -2625,7 +2625,95 @@ object StreamingOps {
         |  ${PrioritySample.discQuantileSql("s.xs", 0.99)} AS p99_sketch
         |FROM s JOIN ex USING (event_type)
         |ORDER BY event_type""".stripMargin
-      })
+      }),
+
+    // STREAMING ANN SERVING — the index-maintenance → query-serving
+    // loop CLOSED: s25's incremental IVF index (vectors streamed in,
+    // cell memberships upserted in keyed state) is built to
+    // convergence, and then ANSWERS the standing query panel through
+    // the full production read path — probe nprobe cells against the
+    // broadcast centroids, fetch candidates from the LIVE streamed
+    // membership table (not a batch assignment), score candidates
+    // int8-only (SQ8), top-k per query. Hash-matches the batch
+    // ann_ivf_quantized_topk oracle exactly: a service that swapped
+    // its batch-built index for this streamed one would return
+    // byte-identical answers. At 100 TB the index state holds two
+    // longs per vector (never payloads), probes touch Σ|probed cell|
+    // candidates, and scoring reads the int8 corpus — each rung's
+    // scale story is unchanged from its batch row.
+    Entry("s44_stream_ann_serving",
+      (spark, dir) => { import spark.implicits._
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_serve_")
+          val relay = tmp.resolve("relay")
+          val log = tmp.resolve("log")
+          val ckpt1 = tmp.resolve("ckpt1")
+          val ckpt2 = tmp.resolve("ckpt2")
+          try {
+            val in = sharedChunkDir(dir, "embvec", "embeddings") { p =>
+              VectorOps.embSlim(spark, dir)
+                .repartitionByRange(chunks, col("vec_id"))
+                .write.parquet(p.toString)
+            }
+            val cent = VectorOps.ivfSeedCentroids(spark, dir)
+              .localCheckpoint()
+            val q1 = spark.readStream
+              .schema("vec_id BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+              .writeStream.outputMode("append")
+              .option("checkpointLocation", ckpt1.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.crossJoin(broadcast(cent))
+                  .select(col("vec_id"),
+                    round(graft.functions.VectorFunctions.dot(
+                      col("e"), col("ce")) / (col("nrm") * col("cn")), 6)
+                      .as("csim"),
+                    col("cid"))
+                  .groupBy(col("vec_id"))
+                  .agg(max_by(col("cid"), struct(col("csim"), -col("cid")))
+                    .as("cell"))
+                  .write.mode("append").parquet(relay.toString)
+                ()
+              }.start()
+            java.nio.file.Files.createDirectories(relay)
+            val asgs = spark.readStream.schema("vec_id BIGINT, cell BIGINT")
+              .option("maxFilesPerTrigger", streamShufflePartitions.toString)
+              .option("pathGlobFilter", "part-*")
+              .parquet(relay.toString).as[AsgRow]
+            val dd = VersionedStreamDedup.latestPerKeyId[AsgRow](
+              asgs, _.cell.toString, _.vec_id.toString, _ => 0L)
+            val q2 = dd.toDF().writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt2.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try {
+              q1.processAllAvailable()
+              q2.processAllAvailable()
+            } finally {
+              try q1.stop() finally q2.stop()
+            }
+            // the converged inverted index, read back from state output
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("key"))
+            val asg = raw
+              .withColumn("max_seq", max(col("seq")).over(wMax))
+              .filter(col("seq") === col("max_seq"))
+              .select(explode(col("xs")).as("x"))
+              .select(col("x.vec_id").as("vec_id"), col("x.cell").as("cell"))
+            // SERVE: probe → fetch members from the streamed index →
+            // int8 score → top-k (the batch entry's exact tail)
+            VectorOps.quantScoredTopk(spark, dir,
+                VectorOps.ivfCandidatesFrom(spark, dir, asg))
+              .orderBy(col("query_id"), col("rank"))
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(VectorOps.ivfQuantTopkOracleSql))
   )
 
   /** Watermark + append-mode replay harness with the sentinel flush

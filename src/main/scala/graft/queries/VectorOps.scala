@@ -670,37 +670,10 @@ object VectorOps {
     // exact cross-engine. This is the query the other ann_* rows are
     // rungs toward.
     Entry("ann_ivf_quantized_topk",
-      (spark, dir) => {
-        val cand = ivfCandidates(spark, dir)
-        val qv = quantized(spark, dir)
-        val q = qv.select(col("vec_id").as("query_id"),
-          col("q").as("qe"), col("qn").as("qqn"))
-        val n = qv.select(col("vec_id").as("neighbor_id"),
-          col("q").as("ne"), col("qn").as("nqn"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("qsim").desc, col("neighbor_id"))
-        cand.join(q, "query_id").join(n, "neighbor_id")
-          .withColumn("qsim",
-            safeCosine(VectorFunctions.dot(col("qe"), col("ne")),
-              col("qqn"), col("nqn")))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= ivfTopK)
-          .select(col("query_id"), col("rank"), col("neighbor_id"),
-            col("qsim"))
-          .orderBy(col("query_id"), col("rank"))
-      },
-      Some(s"""WITH $ivfCteSql,
-        |$quantTailCteSql
-        |SELECT cand.query_id,
-        |  CAST(row_number() OVER (PARTITION BY cand.query_id
-        |    ORDER BY ${quantSimSql("q", "n")} DESC,
-        |      cand.neighbor_id) AS INT) AS rank,
-        |  cand.neighbor_id,
-        |  ${quantSimSql("q", "n")} AS qsim
-        |FROM cand JOIN qq q ON q.vec_id = cand.query_id
-        |  JOIN qq n ON n.vec_id = cand.neighbor_id
-        |QUALIFY rank <= $ivfTopK
-        |ORDER BY query_id, rank""".stripMargin)),
+      (spark, dir) =>
+        quantScoredTopk(spark, dir, ivfCandidates(spark, dir))
+          .orderBy(col("query_id"), col("rank")),
+      Some(ivfQuantTopkOracleSql)),
 
     // JOHNSON-LINDENSTRAUSS RANDOM PROJECTION (64 → 16 dims): each
     // output component is a dot against a deterministic md5-derived
@@ -905,6 +878,75 @@ object VectorOps {
        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
        |  FROM probes p JOIN asg a ON a.cell = p.pcell
        |  WHERE a.vec_id <> p.query_id)""".stripMargin
+
+  /** Int8 scoring + top-k over an arbitrary (query_id, neighbor_id)
+    * candidate set — the serving tail of the IVF+SQ8 stack, shared by
+    * the batch ann_ivf_quantized_topk and the streamed s44 twin
+    * (which generates candidates from the LIVE streamed cell
+    * memberships instead of the batch assignment). */
+  private[queries] def quantScoredTopk(spark: SparkSession, dir: String,
+                                       cand: DataFrame): DataFrame = {
+    val qv = quantized(spark, dir)
+    val q = qv.select(col("vec_id").as("query_id"),
+      col("q").as("qe"), col("qn").as("qqn"))
+    val n = qv.select(col("vec_id").as("neighbor_id"),
+      col("q").as("ne"), col("qn").as("nqn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qsim").desc, col("neighbor_id"))
+    cand.join(q, "query_id").join(n, "neighbor_id")
+      .withColumn("qsim",
+        safeCosine(VectorFunctions.dot(col("qe"), col("ne")),
+          col("qqn"), col("nqn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= ivfTopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("qsim"))
+  }
+
+  /** Probe-side candidate generation against a SUPPLIED cell
+    * membership table (vec_id, cell) — the query path of a live ANN
+    * service: score the query panel against the broadcast centroids,
+    * keep the nprobe best cells, and fetch each probed cell's members
+    * from the index. Identical probe order/tiebreak to
+    * [[ivfCandidates]]; only the membership source differs. */
+  private[queries] def ivfCandidatesFrom(spark: SparkSession, dir: String,
+                                         asg: DataFrame): DataFrame = {
+    val base = emb(spark, dir)
+    val cent = base.filter(col("vec_id") < ivfCells)
+      .select(col("vec_id").as("cid"), col("e").as("ce"),
+        col("nrm").as("cn"))
+    val probes = base.filter(col("vec_id") < queryCount)
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"),
+        round(VectorFunctions.dot(col("e"), col("ce")) /
+          (col("nrm") * col("cn")), 6).as("csim"),
+        col("cid"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cid"))))
+      .filter(col("pr") <= ivfProbes)
+      .select(col("vec_id").as("query_id"), col("cid").as("pcell"))
+    probes.join(asg, col("pcell") === col("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+  }
+
+  /** The IVF+SQ8 top-k oracle — shared by ann_ivf_quantized_topk and
+    * its streamed serving twin s44 (whose converged index must answer
+    * the same queries identically). */
+  private[queries] def ivfQuantTopkOracleSql: String =
+    s"""WITH $ivfCteSql,
+       |$quantTailCteSql
+       |SELECT cand.query_id,
+       |  CAST(row_number() OVER (PARTITION BY cand.query_id
+       |    ORDER BY ${quantSimSql("q", "n")} DESC,
+       |      cand.neighbor_id) AS INT) AS rank,
+       |  cand.neighbor_id,
+       |  ${quantSimSql("q", "n")} AS qsim
+       |FROM cand JOIN qq q ON q.vec_id = cand.query_id
+       |  JOIN qq n ON n.vec_id = cand.neighbor_id
+       |QUALIFY rank <= $ivfTopK
+       |ORDER BY query_id, rank""".stripMargin
 
   /** Int8 symmetric scalar quantization of the corpus: per vector a
     * scale s = max|x|/[[qLevels]], components floor(x/s + 0.5), plus
