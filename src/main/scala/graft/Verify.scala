@@ -40,8 +40,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Every oracle is rewritten to read the canonical-cast table CTEs
+    // (Registry.mirrorCanonicalSql) so the DuckDB side applies the
+    // SAME dtype normalization the Spark loader does — closing the
+    // one-sided-cast asymmetry a value-changing testdata drift would
+    // otherwise expose.
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(queries.Registry.mirrorCanonicalSql(v, sfDir))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

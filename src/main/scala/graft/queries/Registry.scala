@@ -68,16 +68,12 @@ object Registry {
     * their DuckDB oracles read the same parquet, so a drift there
     * shifts both engines together and stays correct.
     *
-    * ASYMMETRY, by design: these casts apply to the SPARK side only —
-    * the DuckDB oracles read the raw parquet. For the drifts this map
-    * exists for (integer/float WIDTH changes that preserve values,
-    * like the events µs/ns episode) both engines still see equal
-    * values. A hypothetical VALUE-changing drift (e.g. embeddings
-    * regenerated with genuine float64 precision) would be truncated to
-    * float32 only on the Spark side and show up as oracle hash
-    * mismatches on every embedding query — read such a wave of red
-    * rows as "testdata vintage changed semantically; widen the
-    * canonical dtype (and re-baseline)", not as query-logic bugs. */
+    * SYMMETRIC since round 12: [[mirrorCanonicalSql]] injects the
+    * same casts into every dumped oracle as table CTEs over the raw
+    * parquet, so a VALUE-changing drift (e.g. embeddings regenerated
+    * with genuine float64 precision) is truncated identically on both
+    * engines instead of red-waving every embedding query
+    * (VintageSpec's float64-drift case exercises exactly that). */
   private val canonical: Map[String, Seq[(String, String)]] = Map(
     "events" -> Seq("event_id" -> "bigint", "user_id" -> "bigint",
       "event_type" -> "string", "value" -> "double"),
@@ -86,6 +82,50 @@ object Registry {
     "embeddings" -> Seq("vec_id" -> "bigint",
       "embedding" -> "array<float>", "label" -> "int")
   ).withDefaultValue(Seq.empty)
+
+  /** DuckDB mirror of [[canonical]] (plus the events `ts` µs
+    * normalization the Spark loader applies): rewrite an oracle so it
+    * reads the three pipeline tables through CTEs that apply the SAME
+    * canonical casts directly over the raw parquet files. Applied by
+    * `graft.Verify` to every dumped oracle, so both engines see
+    * identical post-cast values under ANY testdata dtype drift —
+    * width-preserving or value-changing alike. The CTEs read the
+    * parquet paths directly (not the checker's registered views):
+    * DuckDB forbids a non-recursive CTE referencing its own name, and
+    * a path read is also independent of how the harness registered
+    * the tables. Non-canonical tables (the TPC-H set) pass through
+    * untouched — both engines read them raw, so drift there shifts
+    * them together. */
+  def mirrorCanonicalSql(sql: String, sfDir: String): String = {
+    def duck(t: String): String = t match {
+      case "bigint"       => "BIGINT"
+      case "string"       => "VARCHAR"
+      case "double"       => "DOUBLE"
+      case "int"          => "INTEGER"
+      case "array<float>" => "REAL[]"
+      case other => throw new IllegalArgumentException(
+        s"no DuckDB mirror for canonical dtype $other")
+    }
+    def cte(name: String, extra: Seq[String]): String = {
+      val repls = canonical(name).map { case (c, t) =>
+        s"CAST($c AS ${duck(t)}) AS $c"
+      } ++ extra
+      s"$name AS (SELECT * REPLACE (${repls.mkString(", ")}) " +
+        s"FROM '$sfDir/$name.parquet')"
+    }
+    // CAST(ts AS TIMESTAMP) truncates the nanos vintage to µs exactly
+    // as Registry.table does; a no-op on the µs vintage.
+    val ctes = Seq(cte("documents", Nil), cte("embeddings", Nil),
+      cte("events", Seq("CAST(ts AS TIMESTAMP) AS ts"))).mkString(",\n")
+    val t = sql.dropWhile(_.isWhitespace)
+    val up = t.toUpperCase
+    if (up.startsWith("WITH RECURSIVE"))
+      "WITH RECURSIVE " + ctes + ",\n" +
+        t.substring("WITH RECURSIVE".length).dropWhile(_.isWhitespace)
+    else if (up.startsWith("WITH"))
+      "WITH " + ctes + ",\n" + t.substring("WITH".length).dropWhile(_.isWhitespace)
+    else "WITH " + ctes + "\n" + t
+  }
 
   /** Cast listed columns to their canonical dtype where the loaded
     * schema differs; a no-op (and no plan node at all) on canonical

@@ -59,4 +59,54 @@ class VintageSpec extends SparkTestBase {
       }
     } finally deleteRec(tmp)
   }
+
+  test("a VALUE-changing float64 embedding drift is closed by the " +
+    "oracle-side canonical-cast mirror") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vintage_v_")
+    def deleteRec(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(deleteRec(_))
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    try {
+      // drift that does NOT round-trip through float32: +1e-9 is far
+      // below float32 resolution at these magnitudes, so the double
+      // keeps it and the canonical cast drops it
+      Registry.table(spark, sfDir, "embeddings")
+        .withColumn("embedding",
+          expr("transform(cast(embedding AS array<double>), x -> x + 1e-9)"))
+        .write.parquet(s"$tmp/embeddings.parquet")
+
+      def vals(df: org.apache.spark.sql.DataFrame): Seq[Seq[Double]] = df
+        .orderBy(col("vec_id")).limit(20)
+        .select(col("embedding").cast("array<double>"))
+        .collect().toSeq.map(_.getSeq[Double](0).toSeq)
+
+      // what the Spark side computes on: canonical float32
+      val sparkSide = vals(Registry.table(spark, tmp.toString, "embeddings"))
+      // what an UN-mirrored oracle would read: the raw doubles
+      val oracleRaw = vals(spark.read.parquet(s"$tmp/embeddings.parquet"))
+      // what the mirrored oracle reads: CAST(embedding AS REAL[]) over
+      // the raw parquet (IEEE round-to-nearest, same as Spark's cast)
+      val oracleMirrored = vals(spark.read
+        .parquet(s"$tmp/embeddings.parquet")
+        .withColumn("embedding", col("embedding").cast("array<float>")))
+
+      assert(oracleRaw != sparkSide,
+        "drift must be value-changing, or this spec tests nothing")
+      assert(oracleMirrored == sparkSide,
+        "the mirrored cast must reproduce the Spark-side values exactly")
+      // and the rewrite actually injects that cast into dumped oracles
+      val rewritten = Registry.mirrorCanonicalSql(
+        "SELECT vec_id FROM embeddings", tmp.toString)
+      assert(rewritten.contains("CAST(embedding AS REAL[])") &&
+        rewritten.contains(s"$tmp/embeddings.parquet"))
+      // WITH / WITH RECURSIVE prefixes keep a single WITH clause
+      assert(Registry.mirrorCanonicalSql("WITH x AS (SELECT 1) SELECT * FROM x",
+        "/d").startsWith("WITH documents AS"))
+      assert(Registry.mirrorCanonicalSql(
+        "WITH RECURSIVE x AS (SELECT 1) SELECT * FROM x",
+        "/d").startsWith("WITH RECURSIVE documents AS"))
+    } finally deleteRec(tmp)
+  }
 }
