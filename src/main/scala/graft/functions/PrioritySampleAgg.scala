@@ -163,10 +163,14 @@ object PrioritySample {
     * CDF reaches q — percentile_disc semantics). Pure element
     * selection, no interpolation arithmetic, so the result is a raw
     * input double and hash-matches across engines. Pass the sorted
-    * array in (sort once, select many). */
+    * array in (sort once, select many). An EMPTY sample (every input
+    * hash/value null for the group) yields NULL — without the guard
+    * the clamped rank 1 would element_at an empty array, which is a
+    * runtime error under ANSI mode. */
   def discQuantile(sortedXs: Column, q: Double): Column =
-    element_at(sortedXs,
-      greatest(ceil(lit(q) * size(sortedXs)).cast("int"), lit(1)))
+    when(size(sortedXs) === 0, lit(null).cast("double"))
+      .otherwise(element_at(sortedXs,
+        greatest(ceil(lit(q) * size(sortedXs)).cast("int"), lit(1))))
 
   /** DuckDB re-derivation of [[sample]] over a relation
     * `(grp, h, value)`: distinct pairs (mirroring the set buffer),
@@ -189,7 +193,9 @@ object PrioritySample {
     * decimal-exact integer rank rounds back to the exact integer),
     * but the cast removes the decimal-vs-double asymmetry class
     * outright instead of leaning on that magnitude argument — both
-    * engines run the identical IEEE multiply-then-ceil at any k. */
+    * engines run the identical IEEE multiply-then-ceil at any k.
+    * Mirrors the empty-sample NULL guard of [[discQuantile]]. */
   def discQuantileSql(xs: String, q: Double): String =
-    s"$xs[GREATEST(CAST(ceil(CAST($q AS DOUBLE) * len($xs)) AS INT), 1)]"
+    s"(CASE WHEN len($xs) = 0 THEN NULL ELSE " +
+      s"$xs[GREATEST(CAST(ceil(CAST($q AS DOUBLE) * len($xs)) AS INT), 1)] END)"
 }

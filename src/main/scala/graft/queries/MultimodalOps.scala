@@ -170,9 +170,9 @@ object MultimodalOps {
         |    (4 + doc_id % 5)::INT AS w, (5 + doc_id % 4)::INT AS h
         |  FROM documents),
         |px AS (SELECT doc_id, w, h,
-        |    sum((doc_id*7 + y*31 + x*13) % 251) AS sum_r,
-        |    sum((doc_id*7 + y*31 + x*13 + 5) % 251) AS sum_g,
-        |    sum((doc_id*7 + y*31 + x*13 + 10) % 251) AS sum_b
+        |    CAST(sum((doc_id*7 + y*31 + x*13) % 251) AS BIGINT) AS sum_r,
+        |    CAST(sum((doc_id*7 + y*31 + x*13 + 5) % 251) AS BIGINT) AS sum_g,
+        |    CAST(sum((doc_id*7 + y*31 + x*13 + 10) % 251) AS BIGINT) AS sum_b
         |  FROM g, unnest(generate_series(0, w - 1)) gx(x),
         |    unnest(generate_series(0, h - 1)) gy(y)
         |  GROUP BY 1, 2, 3)

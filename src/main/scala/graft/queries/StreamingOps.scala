@@ -1097,15 +1097,16 @@ object StreamingOps {
           a.join(b, expr("user_id = uid2 AND " +
               "bts BETWEEN ats - INTERVAL 30 MINUTES " +
               "AND ats + INTERVAL 30 MINUTES"))
-            // the non-time inequality can't live in the join CONDITION
-            // (see above) but it can filter the joined stream before the
-            // sink: halves emitted rows and kills self-pairs at the
-            // source instead of in the batch projection
-            .filter(col("event_id") < col("e2"))
+            // NO post-join e1 < e2 filter on the streaming side: the
+            // optimizer pushes such a filter INTO the inner-join
+            // condition (PushDownPredicates), and StreamingJoinHelper
+            // then logs a caught INTERNAL_ERROR per microbatch while
+            // probing the non-time predicate for a state watermark.
+            // Both orientations + self-pairs are emitted; the batch
+            // projection below keeps each unordered pair exactly once.
             .select(col("user_id"), col("event_id").as("e1"), col("e2"),
               (col("tus2") - col("ts_us")).as("dt_us"))
         } { raw =>
-          // no-op safety net (the streaming filter above already holds)
           raw.filter(col("e1") < col("e2"))
             .orderBy(col("user_id"), col("e1"), col("e2"))
         }
@@ -2514,8 +2515,15 @@ object StreamingOps {
             val k = DedupOps.substringGramLen
             // window fingerprints materialized as an attribute before
             // the position-extraction HOF reads it twice (the
-            // shingles3FromTokens perf note); per-distinct-gram
-            // position lists are scan-local
+            // shingles3FromTokens perf note). Per-distinct-gram
+            // position lists are scan-local, but NOT linear: the
+            // extraction rescans the full gs array once per distinct
+            // gram — O(|windows| × |distinct grams|), quadratic in
+            // document length. Fine at this corpus's ≤ ~200-token
+            // docs; a long-document ingest should restructure to one
+            // posexplode + groupBy(doc_id, g) collect_list pass (the
+            // batch row's shape), trading the quadratic scan for one
+            // extra linear shuffle per microbatch.
             val gramRows = src
               .select(col("doc_id"),
                 TextFunctions.tokens(col("text")).as("t"))

@@ -71,7 +71,7 @@ object TextOps {
       |p$r AS (SELECT syms[i] AS l, syms[i+1] AS r, cnt FROM
       |  (SELECT string_split(trim(sym, '<>'), '><') AS syms, cnt FROM w${r - 1}) t,
       |  unnest(generate_series(1, len(syms)-1)) g(i)),
-      |b$r AS (SELECT l, r, sum(cnt)::BIGINT AS pair_count FROM p$r
+      |b$r AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pair_count FROM p$r
       |  GROUP BY l, r ORDER BY pair_count DESC, l, r LIMIT 1),
       |w$r AS (SELECT replace(sym, '<'||b.l||'><'||b.r||'>', '<'||b.l||b.r||'>') AS sym, cnt
       |  FROM w${r - 1}, b$r b)""".stripMargin)
