@@ -53,6 +53,9 @@ final case class BandRow(bi: Int, bv: String, doc_id: Long)
   * streaming vector-index state — never the 64-dim vector itself. */
 final case class AsgRow(vec_id: Long, cell: Long)
 
+/** s45's slim event row (purchase stream under event-time TTL). */
+final case class TtlEv(user_id: Long, event_id: Long, ts_us: Long)
+
 /** One k-token-window fingerprint membership row (s36): gram md5,
   * doc id, and the window count of that gram within the doc — the
   * unit of exact-substring state; the text never enters state. */
@@ -2721,7 +2724,142 @@ object StreamingOps {
           } finally deleteRecursively(tmp)
         }
       },
-      Some(VectorOps.ivfQuantTopkOracleSql))
+      Some(VectorOps.ivfQuantTopkOracleSql)),
+
+    // EVENT-TIME TTL TIMERS, ACTUALLY FIRING — the one TTL behavior no
+    // other driver row exercises end-to-end (s14/s17/s18/s22 size the
+    // TTL beyond the replay horizon, so their timers arm but never
+    // fire). The purchase stream is replayed in six TIME-ORDERED
+    // chunks (one file = one microbatch, mtime-ordered — the
+    // runAppendReplay listing trick), keyed by user under a TTL of
+    // 1/32 of the event-time span (~22 h of the 30-day corpus): a user
+    // idle while the watermark advances past last-activity + TTL is
+    // RETIRED mid-replay, emitting a TOMBSTONE (empty xs, the
+    // retraction a downstream copy needs), and a later purchase
+    // rebuilds the key from scratch — so the converged view excludes
+    // everything the user did before a long gap. A final sentinel file
+    // (ets pinned to the global max, so the watermark never moves past
+    // the last real batch's frontier — no nondeterministic extra
+    // firings) fires the remaining timers in a guaranteed data batch:
+    // users idle at end-of-replay are tombstoned entirely. Because
+    // chunks are time-ordered and timers are pure watermark functions,
+    // the full firing schedule is deterministic, and the oracle
+    // replays it in SQL: per-chunk watermark table → per-(user, chunk)
+    // timer anchor → retirement between consecutive active chunks iff
+    // the last pre-rebuild watermark passed the timer → survivors =
+    // events after the user's last retirement, keys retired at the
+    // end excluded. Converged readback orders by SINK BATCH ID (seq
+    // restarts at 1 on rebuild, so per-key seq alone cannot order
+    // pre/post-retirement emissions). At 100 TB this is the state
+    //-bounding contract: state holds only watermark-active keys, and
+    // the tombstone stream is the change feed that keeps downstream
+    // materializations consistent with the retirements.
+    Entry("s45_stream_ttl_retirement",
+      (spark, dir) => { import spark.implicits._
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_ttlr_")
+          val in = tmp.resolve("in")
+          val log = tmp.resolve("log")
+          val ckpt = tmp.resolve("ckpt")
+          try {
+            java.nio.file.Files.createDirectories(in)
+            val ev = Registry.table(spark, dir, "events")
+              .filter(col("event_type") === "purchase")
+              .select(col("user_id"), col("event_id"),
+                expr("unix_micros(ts)").as("ts_us"))
+            val bounds = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+            val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+            val nCh = 6
+            val ttlMs = (mx / 1000 - mn / 1000) / 32
+            val chunked = ev.withColumn("c", expr(
+              s"least(${nCh - 1}, ((ts_us - ${mn}L) * $nCh) div ${mx - mn + 1}L)"))
+              .localCheckpoint()
+            // one file per time-ordered chunk + the sentinel, with
+            // strictly increasing mtimes so the file source replays
+            // them in event-time order (batch = chunk)
+            val base = System.currentTimeMillis() - 3600000L
+            def writeChunk(df: DataFrame, idx: Int): Unit = {
+              val stage = tmp.resolve(s"stage$idx")
+              df.coalesce(1).write.parquet(stage.toString)
+              import scala.jdk.CollectionConverters._
+              val part = java.nio.file.Files.list(stage).iterator().asScala
+                .find(_.getFileName.toString.startsWith("part-")).get
+              val dst = in.resolve(f"chunk$idx%02d.parquet")
+              java.nio.file.Files.move(part, dst)
+              java.nio.file.Files.setLastModifiedTime(dst,
+                java.nio.file.attribute.FileTime.fromMillis(
+                  base + idx * 10000L))
+            }
+            for (c <- 0 until nCh)
+              writeChunk(chunked.filter(col("c") === c)
+                .select(col("user_id"), col("event_id"), col("ts_us")), c)
+            writeChunk(Seq(TtlEv(-1L, -1L, mx)).toDF(), nCh)
+            val src = spark.readStream
+              .schema("user_id BIGINT, event_id BIGINT, ts_us BIGINT")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "chunk*")
+              .parquet(in.toString).as[TtlEv]
+            val dd = VersionedStreamDedup.latestPerKeyIdWithEventTimeTtl[TtlEv](
+              src, _.user_id.toString, _.event_id.toString, _.ts_us,
+              _.ts_us / 1000, ttlMs)
+            val q = dd.toDF().writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: DataFrame, bid: Long) =>
+                df.withColumn("bid", lit(bid))
+                  .repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("key"))
+            raw
+              .withColumn("max_bid", max(col("bid")).over(wMax))
+              .filter(col("bid") === col("max_bid"))
+              .filter(size(col("xs")) > 0) // end-retired keys: tombstoned
+              .select(col("key").cast("long").as("user_id"),
+                explode(col("xs")).as("x"))
+              .filter(col("user_id") >= 0) // drop the sentinel key
+              .select(col("user_id"), col("x.event_id").as("event_id"),
+                col("x.ts_us").as("ts_us"))
+              .orderBy(col("user_id"), col("event_id"))
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |mm AS (SELECT min(ts_us) AS mn, max(ts_us) AS mx FROM ev),
+        |prm AS (SELECT mn, mx,
+        |  ((mx // 1000) - (mn // 1000)) // 32 AS ttl,
+        |  (mx // 1000) - 10000 AS wfire FROM mm),
+        |ch AS (SELECT e.*, e.ts_us // 1000 AS ts_ms,
+        |  LEAST(5, ((e.ts_us - mm.mn) * 6) // (mm.mx - mm.mn + 1)) AS c
+        |  FROM ev e, mm),
+        |cmx AS (SELECT c, max(ts_ms) AS cmax FROM ch GROUP BY c),
+        |wt AS (SELECT g.c,
+        |  CASE WHEN g.c = 0 THEN 0
+        |       ELSE (SELECT max(cmax) FROM cmx WHERE cmx.c < g.c) - 10000
+        |  END AS w
+        |  FROM (SELECT unnest(generate_series(0, 5)) AS c) g),
+        |kb AS (SELECT user_id, c, max(ts_ms) AS kmax FROM ch GROUP BY 1, 2),
+        |anc AS (SELECT kb.user_id, kb.c,
+        |  GREATEST(wt.w, kb.kmax) + prm.ttl AS timer,
+        |  lead(kb.c) OVER (PARTITION BY kb.user_id ORDER BY kb.c) AS nc
+        |  FROM kb JOIN wt USING (c), prm),
+        |ret AS (SELECT a.user_id, a.c, a.nc,
+        |  CASE WHEN a.nc IS NULL THEN prm.wfire > a.timer
+        |       ELSE (SELECT w FROM wt WHERE wt.c = a.nc - 1) > a.timer
+        |  END AS retired
+        |  FROM anc a, prm),
+        |dead AS (SELECT user_id FROM ret WHERE nc IS NULL AND retired),
+        |cut AS (SELECT user_id,
+        |  max(CASE WHEN retired AND nc IS NOT NULL THEN c ELSE -1 END) AS cutc
+        |  FROM ret GROUP BY user_id)
+        |SELECT ch.user_id, ch.event_id, ch.ts_us
+        |FROM ch JOIN cut USING (user_id)
+        |WHERE ch.c > cut.cutc
+        |  AND ch.user_id NOT IN (SELECT user_id FROM dead)
+        |ORDER BY user_id, event_id""".stripMargin))
   )
 
   /** Watermark + append-mode replay harness with the sentinel flush

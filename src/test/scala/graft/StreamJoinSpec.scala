@@ -540,4 +540,38 @@ class StreamJoinSpec extends SparkTestBase {
       .map(e => (e.x, e.y)).toSet
     assert(converged == Set((Some(A(1, 30L)), Some(B(7, 9L, 1)))))
   }
+
+  test("event-time TTL dedup emits a tombstone when a key retires, " +
+    "then rebuilds from scratch") {
+    import graft.streaming.{EmittedDedup, VersionedStreamDedup}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sx = MemoryStream[A]
+    val dd = VersionedStreamDedup.latestPerKeyIdWithEventTimeTtl[A](
+      sx.toDS(), _.id.toString, _.id.toString, _.ts, _.ts, ttlMs = 500L)
+    val q = dd.toDF().writeStream.outputMode("update")
+      .format("memory").queryName("dedup_ettl").start()
+    def rows() = spark.table("dedup_ettl").as[EmittedDedup[A]].collect()
+    try {
+      // batch 1: key "1" (anchor = its own ets 1000, timer 1500)
+      sx.addData(Seq(A(1, 1000L)))
+      q.processAllAvailable()
+      // batch 2: unrelated key pushes the watermark to
+      // 20000 - 10000 (default delay) = 10000 > 1500 -> key "1" FIRES:
+      // tombstone (empty xs) with seq = 2, state removed
+      sx.addData(Seq(A(2, 20000L)))
+      q.processAllAvailable()
+      // batch 3: key "1" rebuilds from scratch (seq restarts at 1) --
+      // the retired A(1, 1000L) must NOT reappear; ets 30000 is ahead
+      // of the watermark so the record is not late-dropped
+      sx.addData(Seq(A(1, 30000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val k1 = rows().filter(_.key == "1")
+    assert(k1.exists(e => e.seq == 2L && e.xs.isEmpty),
+      s"expected a tombstone emission, got: ${k1.mkString(", ")}")
+    assert(k1.exists(e => e.seq == 1L && e.xs == Seq(A(1, 30000L))),
+      "rebuild must restart seq at 1 with only the post-retirement row")
+    assert(!k1.exists(e => e.xs.contains(A(1, 1000L)) && e.xs.size > 1),
+      "the retired version must never co-exist with the rebuilt one")
+  }
 }
