@@ -160,7 +160,10 @@ object MultimodalPipeline {
 
   /** STUB feature extraction: a real pipeline would run a model over
     * decoded media; here a deterministic 4-dim count vector from the
-    * raw bytes keeps the (id, array<bigint>) feature shape real. */
+    * raw bytes keeps the (id, array<bigint>) feature shape real. The
+    * decoded-pixel inputs such a model would consume exist for real in
+    * the BMP rung ([[decodeBmp]] / m_image_decode) — a model stage
+    * slots between that decode and this feature shape. */
   def featureStub(df: DataFrame, src: Column): DataFrame =
     df.select(col("doc_id"),
       array(
