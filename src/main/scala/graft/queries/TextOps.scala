@@ -25,17 +25,22 @@ object TextOps {
   private val bpePat = " ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+| +"
   private val bpeMerges = 8
 
-  /** Spark side of `n` BPE merge rounds over the documents corpus.
-    * Corpus is scanned once into a (word, cnt) vocab table; each round
-    * is a vocab-sized pair-count shuffle + TakeOrdered(1) + 1-row
-    * broadcast merge-apply. localCheckpoint truncates the plan between
-    * rounds (the VectorTools.lloyd pattern). */
-  private def bpeTrainQuery(spark: org.apache.spark.sql.SparkSession,
-                            dir: String, n: Int): org.apache.spark.sql.DataFrame = {
+  /** Shared BPE merge loop over the documents corpus: the corpus is
+    * scanned once into a (word, sym, cnt) vocab table; each round is a
+    * vocab-sized pair-count shuffle + TakeOrdered(1) + 1-row broadcast
+    * merge-apply. localCheckpoint truncates the plan between rounds
+    * (the VectorTools.lloyd pattern). Returns the rank-ordered merge
+    * table AND the post-merge vocab (word → merged symbol string) —
+    * the two halves a tokenizer deployment needs (t_bpe_train emits
+    * the former, t_bpe_encode joins the corpus against the latter). */
+  private def bpeMergeLoop(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, n: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     var w = Registry.table(spark, dir, "documents")
       .select(explode(expr(s"regexp_extract_all(text, '$bpePat', 0)")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(regexp_replace(col("w"), "(.)", "<$1>").as("sym"), col("cnt"))
+      .select(col("w"),
+        regexp_replace(col("w"), "(.)", "<$1>").as("sym"), col("cnt"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]()
     for (rank <- 1 to n) {
@@ -52,34 +57,53 @@ object TextOps {
       merges += best.select(lit(rank).as("merge_rank"), col("l"), col("r"),
         concat(col("l"), col("r")).as("merged"), col("pair_count"))
       w = w.crossJoin(broadcast(best.select(col("l"), col("r"))))
-        .select(expr(
+        .select(col("w"), expr(
           "replace(sym, '<' || l || '><' || r || '>', '<' || l || r || '>')").as("sym"),
           col("cnt"))
         .localCheckpoint()
     }
-    merges.reduce(_.unionAll(_)).orderBy(col("merge_rank"))
+    (merges.reduce(_.unionAll(_)).orderBy(col("merge_rank")), w)
   }
 
-  /** DuckDB oracle unrolling the identical `n` merge rounds as CTEs. */
-  private def bpeTrainOracleSql(n: Int): String = {
+  /** The unrolled merge-round CTE chain (w0 → b1/w1 → … → bN/wN),
+    * shared by the t_bpe_train and t_bpe_encode oracles. */
+  private def bpeCteSql(n: Int): String = {
     val sb = new StringBuilder(
-      s"""WITH w0 AS (
-         |  SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS sym, count(*) AS cnt
+      s"""w0 AS (
+         |  SELECT w, regexp_replace(w, '(.)', '<\\1>', 'g') AS sym, count(*) AS cnt
          |  FROM (SELECT unnest(regexp_extract_all(text, '$bpePat', 0)) AS w FROM documents)
-         |  GROUP BY 1)""".stripMargin)
+         |  GROUP BY 1, 2)""".stripMargin)
     for (r <- 1 to n) sb.append(s""",
       |p$r AS (SELECT syms[i] AS l, syms[i+1] AS r, cnt FROM
       |  (SELECT string_split(trim(sym, '<>'), '><') AS syms, cnt FROM w${r - 1}) t,
       |  unnest(generate_series(1, len(syms)-1)) g(i)),
       |b$r AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pair_count FROM p$r
       |  GROUP BY l, r ORDER BY pair_count DESC, l, r LIMIT 1),
-      |w$r AS (SELECT replace(sym, '<'||b.l||'><'||b.r||'>', '<'||b.l||b.r||'>') AS sym, cnt
+      |w$r AS (SELECT w, replace(sym, '<'||b.l||'><'||b.r||'>', '<'||b.l||b.r||'>') AS sym, cnt
       |  FROM w${r - 1}, b$r b)""".stripMargin)
-    sb.append("\nSELECT * FROM (" + (1 to n).map(r =>
-      s"SELECT $r AS merge_rank, l, r, l||r AS merged, pair_count FROM b$r")
-      .mkString(" UNION ALL ") + ") ORDER BY merge_rank")
     sb.toString
   }
+
+  /** DuckDB oracle unrolling the identical `n` merge rounds as CTEs. */
+  private def bpeTrainOracleSql(n: Int): String =
+    "WITH " + bpeCteSql(n) +
+      "\nSELECT * FROM (" + (1 to n).map(r =>
+        s"SELECT $r AS merge_rank, l, r, l||r AS merged, pair_count FROM b$r")
+        .mkString(" UNION ALL ") + ") ORDER BY merge_rank"
+
+  /** DuckDB oracle for t_bpe_encode: the same unrolled training chain,
+    * then every document's pre-tokens joined against the final vocab's
+    * post-merge symbol counts. */
+  private def bpeEncodeOracleSql(n: Int): String =
+    s"""WITH ${bpeCteSql(n)},
+       |vc AS (SELECT w, len(string_split(trim(sym, '<>'), '><')) AS n_sym
+       |  FROM w$n),
+       |dw AS (SELECT doc_id, unnest(regexp_extract_all(text, '$bpePat', 0)) AS w
+       |  FROM documents)
+       |SELECT dw.doc_id, count(*) AS n_words,
+       |  CAST(sum(vc.n_sym) AS BIGINT) AS n_bpe_tokens
+       |FROM dw JOIN vc USING (w)
+       |GROUP BY dw.doc_id ORDER BY doc_id""".stripMargin
 
   def entries: Seq[Entry] = Seq(
 
@@ -168,8 +192,36 @@ object TextOps {
     // unrolls the identical rounds as CTEs (the v_kmeans_lloyd3
     // pattern), so the whole training trajectory is hash-checked.
     Entry("t_bpe_train",
-      (spark, dir) => bpeTrainQuery(spark, dir, bpeMerges),
+      (spark, dir) => bpeMergeLoop(spark, dir, bpeMerges)._1,
       Some(bpeTrainOracleSql(bpeMerges))),
+
+    // TRAIN → APPLY, closed: tokenize the corpus with the vocabulary
+    // t_bpe_train just learned. The post-merge vocab (word → merged
+    // symbol string) is the DEPLOYED tokenizer artifact; each document
+    // re-pre-tokenizes scan-locally and joins its words against the
+    // vocab's per-word token counts — at 100 TB the vocab is the small
+    // side (broadcastable), the corpus never re-enters the merge loop,
+    // and per-doc BPE token counts (the budget input of packing /
+    // context-window accounting) come out of one join + one groupBy.
+    // n_words rides along, so compression (n_bpe_tokens < 3·n_words
+    // style checks) is measurable per document. The oracle extends the
+    // same unrolled CTE chain through the vocab join.
+    Entry("t_bpe_encode",
+      (spark, dir) => {
+        val vocab = bpeMergeLoop(spark, dir, bpeMerges)._2
+          .select(col("w"),
+            size(split(expr("trim(BOTH '<>' FROM sym)"), "><"))
+              .cast("long").as("n_sym"))
+        Registry.table(spark, dir, "documents")
+          .select(col("doc_id"),
+            explode(expr(s"regexp_extract_all(text, '$bpePat', 0)")).as("w"))
+          .join(broadcast(vocab), "w")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_sym")).as("n_bpe_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(bpeEncodeOracleSql(bpeMerges))),
 
     // Winnowing fingerprints (rolling-hash k-grams + window-min
     // selection): the canonical robust document fingerprint; shared
