@@ -47,6 +47,22 @@ object MultimodalPipeline {
       graft.functions.BmpEncodeExpr(
         org.apache.spark.sql.graft.Bridge.expression(docId)))
 
+  /** REAL audio decode: binary 16-bit PCM RIFF/WAVE → struct(channels,
+    * sample_rate, bits, n_frames, sum_l, sum_r, peak), null on
+    * malformed input. A genuine chunk walker, not a fixed-offset read
+    * (see [[graft.functions.WavDecodeExpr]]). */
+  def decodeWav(payload: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.WavDecodeExpr(
+        org.apache.spark.sql.graft.Bridge.expression(payload)))
+
+  /** Deterministic per-id WAV payload (stereo test signal, junk LIST
+    * chunk included so [[decodeWav]]'s chunk walk is exercised). */
+  def encodeWav(docId: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.WavEncodeExpr(
+        org.apache.spark.sql.graft.Bridge.expression(docId)))
+
   /** Sample up to `maxFrames` fixed-size frames from the payload —
     * the video-frame-extraction shape: one output row per frame with
     * a content hash. Pure Column expressions (sequence + posexplode),

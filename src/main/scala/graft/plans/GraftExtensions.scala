@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{BmpDecodeExpr, BmpEncodeExpr, DotProductExpr, KmvSketchAgg, PrioritySampleAgg, RollingHashExpr}
+import graft.functions.{BmpDecodeExpr, BmpEncodeExpr, DotProductExpr, KmvSketchAgg, PrioritySampleAgg, RollingHashExpr, WavDecodeExpr, WavEncodeExpr}
 
 /** Session-extension wiring for the library's native expressions —
   * the `SparkSessionExtensions` integration point, so a cluster deploy
@@ -90,6 +90,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_bmp_decode(payload) takes one argument")
         BmpDecodeExpr(args.head)
+      }), (
+      FunctionIdentifier("graft_wav_encode"),
+      new ExpressionInfo(classOf[WavEncodeExpr].getName, "graft_wav_encode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_wav_encode(doc_id) takes one argument")
+        WavEncodeExpr(args.head)
+      }), (
+      FunctionIdentifier("graft_wav_decode"),
+      new ExpressionInfo(classOf[WavDecodeExpr].getName, "graft_wav_decode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_wav_decode(payload) takes one argument")
+        WavDecodeExpr(args.head)
       }))
 
   /** Runtime registration on a live session (the notebook/REPL path —

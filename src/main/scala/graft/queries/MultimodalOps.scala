@@ -184,6 +184,48 @@ object MultimodalOps {
         |  round(sum_b::DOUBLE / (w * h), 6) AS mean_b
         |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // REAL audio decode — the second real-codec rung (audio modality):
+    // a deterministic stereo 16-bit PCM RIFF/WAVE is rendered per
+    // doc_id (varying frame counts; signed samples spanning both
+    // polarities so two's-complement handling is exercised, and a junk
+    // LIST chunk between fmt and data so the decoder's CHUNK WALK is
+    // provably real — a hardcoded-offset parser fails on it), then
+    // WavDecodeExpr walks the chunks, validates the PCM format fields,
+    // and scans the signed little-endian samples into per-channel sums
+    // and the absolute peak. Closed-form signal → the oracle
+    // reproduces the stats and exact container size analytically.
+    // Native expressions, one static call per row in whole-stage
+    // codegen; scan-local at 100 TB like m_image_decode.
+    Entry("m_audio_decode",
+      (spark, dir) => {
+        val d = Registry.table(spark, dir, "documents").select(col("doc_id"))
+        d.withColumn("payload", MultimodalPipeline.encodeWav(col("doc_id")))
+          .withColumn("au", MultimodalPipeline.decodeWav(col("payload")))
+          .select(col("doc_id"),
+            col("au.channels").as("channels"),
+            col("au.sample_rate").as("sample_rate"),
+            col("au.bits").as("bits"),
+            col("au.n_frames").as("n_frames"),
+            octet_length(col("payload")).cast("long").as("n_bytes"),
+            col("au.sum_l").as("sum_l"),
+            col("au.sum_r").as("sum_r"),
+            col("au.peak").as("peak"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH g AS (SELECT doc_id,
+        |    (64 + (doc_id % 5) * 16)::BIGINT AS n FROM documents),
+        |sm AS (SELECT doc_id, n,
+        |    CAST(sum(((doc_id*31 + i*17) % 2003) - 1001) AS BIGINT) AS sum_l,
+        |    CAST(sum(((doc_id*31 + i*17 + 7) % 2003) - 1001) AS BIGINT) AS sum_r,
+        |    CAST(max(GREATEST(abs(((doc_id*31 + i*17) % 2003) - 1001),
+        |      abs(((doc_id*31 + i*17 + 7) % 2003) - 1001))) AS INT) AS peak
+        |  FROM g, unnest(generate_series(0, n - 1)) t(i)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, 2 AS channels, 8000 AS sample_rate, 16 AS bits,
+        |  n AS n_frames, (68 + 4 * n)::BIGINT AS n_bytes,
+        |  sum_l, sum_r, peak
+        |FROM sm ORDER BY doc_id""".stripMargin)),
+
     // Deterministic stub "feature extraction" from raw bytes — the
     // embedding-from-media shape with a fake feature vector.
     // The feature vector is serialized to a comma-joined string in the

@@ -138,4 +138,63 @@ class MultimodalSpec extends SparkTestBase {
         graft.functions.BmpCodec.height(id)).sum
     assert(out.getLong(0) == want && out.getLong(1) == 20)
   }
+
+  test("WAV codec round trip: chunk-walked decode recovers the closed-form stats") {
+    import graft.functions.WavCodec
+    for (id <- Seq(0L, 1L, 2L, 3L, 4L, 9L, 250L)) {
+      val row = WavCodec.decode(WavCodec.encode(id))
+      assert(row != null)
+      val n = WavCodec.frames(id)
+      assert(row.getInt(0) == 2 && row.getInt(1) == 8000 && row.getInt(2) == 16)
+      assert(row.getLong(3) == n.toLong)
+      val l = (0 until n).map(i => WavCodec.sample(id, i, 0).toLong).sum
+      val r = (0 until n).map(i => WavCodec.sample(id, i, 1).toLong).sum
+      val pk = (0 until n).flatMap(i => Seq(
+        math.abs(WavCodec.sample(id, i, 0)), math.abs(WavCodec.sample(id, i, 1)))).max
+      assert(row.getLong(4) == l && row.getLong(5) == r && row.getInt(6) == pk)
+    }
+  }
+
+  test("WAV decode walks chunks (junk LIST chunk present) and rejects malformed input") {
+    import graft.functions.WavCodec
+    val good = WavCodec.encode(5L)
+    // the generated container really does hold a junk chunk before data
+    assert(new String(good, 36, 4, "US-ASCII") == "LIST",
+      "generator must emit the junk chunk the walker has to skip")
+    assert(WavCodec.decode(Array[Byte]()) == null, "empty")
+    assert(WavCodec.decode("RIFFxxxxWAVEbut then garbage that is not chunks"
+      .getBytes("US-ASCII")) == null, "broken chunk list")
+    val badFmt = good.clone(); badFmt(20) = 3 // audioFormat = IEEE float
+    assert(WavCodec.decode(badFmt) == null, "non-PCM rejected")
+    val truncated = good.take(good.length - 3)
+    assert(WavCodec.decode(truncated) == null, "truncated data chunk")
+  }
+
+  test("WAV decode handles mono 16-bit PCM (minimal hand-built container)") {
+    // hand-assemble a mono file: RIFF/WAVE + fmt + data with 2 samples
+    val samples = Seq(1000, -1000)
+    val dataLen = samples.size * 2
+    val riffLen = 4 + 24 + 8 + dataLen
+    val b = new Array[Byte](8 + riffLen)
+    var o = 0
+    def ascii(s: String): Unit = s.foreach { ch => b(o) = ch.toByte; o += 1 }
+    def le32(v: Int): Unit = { (0 until 4).foreach(k => { b(o) = ((v >> (8 * k)) & 0xFF).toByte; o += 1 }) }
+    def le16(v: Int): Unit = { (0 until 2).foreach(k => { b(o) = ((v >> (8 * k)) & 0xFF).toByte; o += 1 }) }
+    ascii("RIFF"); le32(riffLen); ascii("WAVE")
+    ascii("fmt "); le32(16); le16(1); le16(1); le32(8000); le32(16000); le16(2); le16(16)
+    ascii("data"); le32(dataLen); samples.foreach(s => le16(s & 0xFFFF))
+    val row = graft.functions.WavCodec.decode(b)
+    assert(row != null && row.getInt(0) == 1 && row.getLong(3) == 2L)
+    assert(row.getLong(4) == 0L && row.getLong(5) == 0L && row.getInt(6) == 1000)
+  }
+
+  test("WAV codec runs inside codegen as SQL functions") {
+    graft.plans.GraftExtensions.register(spark)
+    val out = spark.range(0, 20).toDF("doc_id")
+      .selectExpr("graft_wav_decode(graft_wav_encode(doc_id)) AS au")
+      .selectExpr("sum(au.n_frames) AS nf", "count(au.channels) AS n")
+      .head()
+    val want = (0L until 20L).map(id => graft.functions.WavCodec.frames(id).toLong).sum
+    assert(out.getLong(0) == want && out.getLong(1) == 20)
+  }
 }
