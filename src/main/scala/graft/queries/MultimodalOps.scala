@@ -184,6 +184,51 @@ object MultimodalOps {
         |  round(sum_b::DOUBLE / (w * h), 6) AS mean_b
         |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // VIDEO = CONTAINER OF FRAMES, with REAL per-frame decode: the
+    // composition that closes the third modality. Each document's
+    // "video" payload is four equal-size 24bpp BMP frames
+    // concatenated (frame f rendered for id doc_id·80 + f·20 — the
+    // ·80/·20 stride pins width/height mod 5/4, so every frame is the
+    // same 114-byte 4×5 container and frame offsets are pure
+    // arithmetic, exactly how raw video frame extraction addresses a
+    // fixed-size frame stream). The query is m_frame_sample's explode
+    // shape with the decode stub replaced by the REAL BmpDecodeExpr on
+    // each frame slice: one row per (doc, frame) with decoded pixel
+    // stats. Scan-local (sequence + substr + native decode — no
+    // shuffle, no UDF); the oracle re-derives every frame's stats
+    // analytically, so frame offsets, slicing, and per-frame decode
+    // are all hash-checked.
+    Entry("m_video_frames",
+      (spark, dir) => {
+        val frameLen = 114 // 54-byte headers + 5 rows × 12-byte stride
+        val d = Registry.table(spark, dir, "documents").select(col("doc_id"))
+        d.withColumn("payload",
+            concat((0 until 4).map(f =>
+              MultimodalPipeline.encodeBmp(col("doc_id") * 80 + f * 20)): _*))
+          .select(col("doc_id"),
+            posexplode(expr(s"transform(sequence(0, 3), " +
+              s"f -> substring(payload, f * $frameLen + 1, $frameLen))"))
+              .as(Seq("frame_idx", "frame")))
+          .withColumn("img", MultimodalPipeline.decodeBmp(col("frame")))
+          .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+            col("img.width").as("width"), col("img.height").as("height"),
+            col("img.sum_r").as("sum_r"), col("img.sum_g").as("sum_g"),
+            col("img.sum_b").as("sum_b"))
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some("""WITH fr AS (SELECT doc_id, f, doc_id * 80 + f * 20 AS fid
+        |  FROM documents, unnest(generate_series(0, 3)) t(f)),
+        |px AS (SELECT doc_id, f,
+        |    CAST(sum((fid*7 + y*31 + x*13) % 251) AS BIGINT) AS sum_r,
+        |    CAST(sum((fid*7 + y*31 + x*13 + 5) % 251) AS BIGINT) AS sum_g,
+        |    CAST(sum((fid*7 + y*31 + x*13 + 10) % 251) AS BIGINT) AS sum_b
+        |  FROM fr, unnest(generate_series(0, 3)) gx(x),
+        |    unnest(generate_series(0, 4)) gy(y)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, f AS frame_idx, 4 AS width, 5 AS height,
+        |  sum_r, sum_g, sum_b
+        |FROM px ORDER BY doc_id, frame_idx""".stripMargin)),
+
     // REAL audio decode — the second real-codec rung (audio modality):
     // a deterministic stereo 16-bit PCM RIFF/WAVE is rendered per
     // doc_id (varying frame counts; signed samples spanning both
