@@ -40,6 +40,22 @@ object VectorOps {
   val qLevels = 127
   /** Random-projection target dimensionality (64 → 16). */
   val rpDims = 16
+  /** Product-quantization shape (FAISS PQ8x4 layout): m = 8 subspaces
+    * of 8 dims, 16 centroids per subspace → one 4-bit code per
+    * subspace, 8 codes (4 bytes) per vector vs 512 bytes of float64 —
+    * a 128× payload compression for candidate scoring. */
+  val pqSubspaces = 8
+  val pqSubDim: Int = dims / pqSubspaces
+  val pqCentroids = 16
+  /** Fixed pre-quantization grid for the PQ rung: all PQ distances are
+    * computed on gi = floor(xi·1000 + 0.5) (half-up, the SQ8 idiom),
+    * so every subspace distance, distance-table entry and ADC sum is
+    * an INTEGER held exactly in a double — cross-engine bit-equality
+    * with no rounding or accumulation-order hazard anywhere. Unlike
+    * SQ8's per-vector scale, the grid is global, so L2 geometry is
+    * preserved across vectors (the property PQ needs and a
+    * per-vector scale would break). */
+  val pqGrid = 1000
 
   /** Embeddings with the L2 norm materialized per row — pair-level
     * cosines then cost one dot product instead of three (sqrt per row
@@ -756,7 +772,112 @@ object VectorOps {
         |  round(count(rt.neighbor_id) / count(*), 6) AS recall
         |FROM ex LEFT JOIN rt ON rt.query_id = ex.query_id
         |  AND rt.neighbor_id = ex.neighbor_id
-        |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin))
+        |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin)),
+
+    // PRODUCT QUANTIZATION (FAISS PQ8x4 layout, the third compression
+    // codec after SQ8 and JL projection): split each vector into 8
+    // subspaces of 8 dims, quantize every subvector to its nearest of
+    // 16 per-subspace codebook centroids (codebook = the subvectors
+    // of the first 16 corpus vectors — the same deterministic seed
+    // the IVF coarse quantizer uses), and score queries against the
+    // CODES ONLY via the classic ADC (asymmetric distance
+    // computation): per query precompute the m×k table of
+    // query-subvector → centroid distances, then a candidate's
+    // approximate L2² is 8 table lookups summed. At 100 TB the corpus
+    // ships as 4-byte codes (128× less than float64) and the
+    // distance table is a ~2.5 KB broadcast per query — scoring never
+    // touches a vector. All arithmetic runs on the fixed integer grid
+    // (see [[pqGrid]]), so codes, tables and ADC sums are exact in
+    // both engines with zero float-ordering hazard.
+    Entry("ann_pq_topk",
+      (spark, dir) => pqAdcTopk(spark, dir)
+        .orderBy(col("query_id"), col("rank")),
+      Some(s"""WITH $pqCteSql,
+        |adc AS (SELECT dt.vec_id AS query_id, co.vec_id AS neighbor_id,
+        |    CAST(sum(dt.d2) AS BIGINT) AS adc
+        |  FROM pqc co JOIN pqd dt ON dt.s = co.s AND dt.cid = co.code
+        |  WHERE dt.vec_id < $queryCount AND dt.vec_id <> co.vec_id
+        |  GROUP BY dt.vec_id, co.vec_id)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc, neighbor_id) AS INT) AS rank,
+        |  neighbor_id, adc
+        |FROM adc QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)),
+
+    // Recall of ADC-over-codes against the EXACT grid-L2 top-5 (the
+    // very quantity PQ approximates) — isolates the codebook
+    // approximation error from any metric mismatch, the same
+    // "measured cost of the compression rung" discipline as
+    // ann_quantized_recall (SQ8) and ann_rp_recall (JL).
+    Entry("ann_pq_recall",
+      (spark, dir) => {
+        val exact = gridL2TopkPairs(spark, dir)
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = pqAdcTopk(spark, dir)
+          .select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1))
+        exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_exact"),
+            count(col("hit")).as("n_hit"))
+          .withColumn("recall",
+            round(col("n_hit") / col("n_exact"), 6))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH $pqCteSql,
+        |adc AS (SELECT dt.vec_id AS query_id, co.vec_id AS neighbor_id,
+        |    CAST(sum(dt.d2) AS BIGINT) AS adc
+        |  FROM pqc co JOIN pqd dt ON dt.s = co.s AND dt.cid = co.code
+        |  WHERE dt.vec_id < $queryCount AND dt.vec_id <> co.vec_id
+        |  GROUP BY dt.vec_id, co.vec_id),
+        |pt AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+        |  FROM adc) WHERE rank <= 5),
+        |exg AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_inner_product(q.g, q.g)
+        |        - 2 * list_inner_product(q.g, n.g)
+        |        + list_inner_product(n.g, n.g),
+        |      n.vec_id) AS rank
+        |  FROM gv q JOIN gv n
+        |    ON q.vec_id < $queryCount AND q.vec_id <> n.vec_id)
+        |  WHERE rank <= 5)
+        |SELECT exg.query_id, count(*) AS n_exact,
+        |  count(pt.neighbor_id) AS n_hit,
+        |  round(count(pt.neighbor_id) / count(*), 6) AS recall
+        |FROM exg LEFT JOIN pt ON pt.query_id = exg.query_id
+        |  AND pt.neighbor_id = exg.neighbor_id
+        |GROUP BY exg.query_id ORDER BY exg.query_id""".stripMargin)),
+
+    // IVF + PQ COMPOSED (FAISS's IndexIVFPQ — the billion-vector
+    // default): candidate generation probes nprobe cells exactly as
+    // ann_ivf_topk (float centroids, the cell partitions the corpus),
+    // candidate SCORING reads only the 4-byte PQ codes via ADC. The
+    // sibling of ann_ivf_quantized_topk one compression rung further:
+    // cells bound the comparison space, codes bound the bytes per
+    // comparison at 128× instead of SQ8's 4×.
+    Entry("ann_ivf_pq_topk",
+      (spark, dir) =>
+        pqAdcScoredTopk(spark, dir, ivfCandidates(spark, dir))
+          .orderBy(col("query_id"), col("rank")),
+      Some(s"""WITH $ivfCteSql,
+        |$pqTailCteSql,
+        |adcc AS (SELECT ca.query_id, ca.neighbor_id,
+        |    CAST(sum(dt.d2) AS BIGINT) AS adc
+        |  FROM cand ca
+        |  JOIN pqc co ON co.vec_id = ca.neighbor_id
+        |  JOIN pqd dt ON dt.vec_id = ca.query_id
+        |    AND dt.s = co.s AND dt.cid = co.code
+        |  GROUP BY ca.query_id, ca.neighbor_id)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc, neighbor_id) AS INT) AS rank,
+        |  neighbor_id, adc
+        |FROM adcc QUALIFY rank <= $ivfTopK
+        |ORDER BY query_id, rank""".stripMargin))
   )
 
   /** Shared with StreamingOps (s30): the incremental semantic-dedup
@@ -1007,6 +1128,136 @@ object VectorOps {
   private def quantCteSql: String =
     s"""v AS ($embSql),
        |$quantTailCteSql""".stripMargin
+
+  /** Embeddings on the fixed integer grid (see [[pqGrid]]): every
+    * component an exact small integer held in a double. */
+  private def gridded(spark: SparkSession, dir: String): DataFrame =
+    Registry.table(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * pqGrid + lit(0.5)).cast("double")).as("g"))
+
+  /** (vec_id, s, cid, d2) — the full per-subspace distance matrix of
+    * the corpus against the PQ codebook (the subvector slices of the
+    * first [[pqCentroids]] vectors). d2 = ‖xs‖² − 2·xs·cs + ‖cs‖²,
+    * exact integer arithmetic on the grid. Materialized ONCE per
+    * query: the code assignment AND the query distance table are both
+    * projections of it (the ivfCandidates diamond lesson). The
+    * subspace fan-out and the codebook are fixed-size broadcasts
+    * (8 rows / 128 rows) — never data. */
+  private def pqDist(spark: SparkSession, dir: String): DataFrame = {
+    val subs = broadcast(
+      spark.range(pqSubspaces).select(col("id").cast("int").as("s")))
+    val xs = gridded(spark, dir).crossJoin(subs)
+      .select(col("vec_id"), col("s"),
+        slice(col("g"), col("s") * pqSubDim + 1, lit(pqSubDim)).as("xs"))
+    val cb = xs.filter(col("vec_id") < pqCentroids)
+      .select(col("s").as("cb_s"), col("vec_id").as("cid"),
+        col("xs").as("cs"))
+    xs.join(broadcast(cb), col("s") === col("cb_s"))
+      .select(col("vec_id"), col("s"), col("cid"),
+        (VectorFunctions.dot(col("xs"), col("xs"))
+          - lit(2d) * VectorFunctions.dot(col("xs"), col("cs"))
+          + VectorFunctions.dot(col("cs"), col("cs"))).as("d2"))
+      .localCheckpoint()
+  }
+
+  /** PQ encoding: per (vector, subspace) the argmin-d2 centroid id,
+    * ties to the lower cid (matches the oracle's ORDER BY d2, cid).
+    * These 4-bit codes ARE the stored corpus at 100 TB. */
+  private def pqCodes(dist: DataFrame): DataFrame =
+    dist.groupBy(col("vec_id"), col("s"))
+      .agg(max_by(col("cid"), struct(-col("d2"), -col("cid")))
+        .as("code"))
+
+  /** ADC scoring tail shared by the all-pairs and the IVF-candidate
+    * variants: join codes to the broadcast query distance table on
+    * (s, code) and sum the 8 lookups — integer-exact, so the BIGINT
+    * cast loses nothing. */
+  private def pqAdcRanked(dist: DataFrame, pairsFilter: DataFrame => DataFrame,
+                          topK: Int): DataFrame = {
+    val codes = pqCodes(dist)
+    val dt = dist.filter(col("vec_id") < queryCount)
+      .select(col("vec_id").as("query_id"), col("s").as("dt_s"),
+        col("cid"), col("d2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    val scored = codes.join(broadcast(dt),
+        col("s") === col("dt_s") && col("code") === col("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d2")).cast("long").as("adc"))
+      .withColumnRenamed("vec_id", "neighbor_id")
+    pairsFilter(scored)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adc"))
+  }
+
+  /** PQ-ADC top-5 of the query panel against the whole coded corpus. */
+  private def pqAdcTopk(spark: SparkSession, dir: String): DataFrame =
+    pqAdcRanked(pqDist(spark, dir), identity, 5)
+
+  /** PQ-ADC top-k restricted to supplied (query_id, neighbor_id)
+    * candidates — the IVF+PQ serving tail. */
+  private def pqAdcScoredTopk(spark: SparkSession, dir: String,
+                              cand: DataFrame): DataFrame =
+    pqAdcRanked(pqDist(spark, dir),
+      _.join(cand, Seq("query_id", "neighbor_id"), "leftsemi"), ivfTopK)
+
+  /** Exact grid-L2 top-5 for the query panel (the ground truth ADC
+    * approximates) — the same allow-listed tiny-broadcast BNLJ shape
+    * as [[bruteTopkPairs]]. */
+  private def gridL2TopkPairs(spark: SparkSession, dir: String): DataFrame = {
+    val gv = gridded(spark, dir)
+    val q = gv.filter(col("vec_id") < queryCount)
+      .select(col("vec_id").as("query_id"), col("g").as("qg"))
+    val n = gv.select(col("vec_id").as("neighbor_id"), col("g").as("ng"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2"), col("neighbor_id"))
+    q.join(n, col("query_id") =!= col("neighbor_id"))
+      .withColumn("l2",
+        VectorFunctions.dot(col("qg"), col("qg"))
+          - lit(2d) * VectorFunctions.dot(col("qg"), col("ng"))
+          + VectorFunctions.dot(col("ng"), col("ng")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("l2"))
+  }
+
+  /** The PQ CTE tail (grid corpus → subspace slices → codebook →
+    * distance matrix → codes), assuming `v AS (...)` in scope — so it
+    * composes with [[ivfCteSql]] as well as standing alone via
+    * [[pqCteSql]]. Mirrors the Spark chain in [[pqDist]]/[[pqCodes]]
+    * op for op. */
+  private def pqTailCteSql: String =
+    s"""gv AS (SELECT vec_id,
+       |    list_transform(e, x -> CAST(floor(x * $pqGrid + 0.5) AS DOUBLE))
+       |      AS g FROM v),
+       |sub AS (SELECT CAST(s AS INT) AS s
+       |  FROM generate_series(0, ${pqSubspaces - 1}) t(s)),
+       |sv AS (SELECT gv.vec_id, sub.s,
+       |    gv.g[sub.s * $pqSubDim + 1 : sub.s * $pqSubDim + $pqSubDim] AS xs
+       |  FROM gv CROSS JOIN sub),
+       |pqd AS (SELECT sv.vec_id, sv.s, cb.cid,
+       |    list_inner_product(sv.xs, sv.xs)
+       |      - 2 * list_inner_product(sv.xs, cb.cs)
+       |      + list_inner_product(cb.cs, cb.cs) AS d2
+       |  FROM sv JOIN (SELECT s, vec_id AS cid, xs AS cs FROM sv
+       |    WHERE vec_id < $pqCentroids) cb ON sv.s = cb.s),
+       |pqc AS (SELECT vec_id, s, cid AS code FROM (
+       |  SELECT vec_id, s, cid, row_number() OVER (
+       |    PARTITION BY vec_id, s ORDER BY d2, cid) AS r
+       |  FROM pqd) WHERE r = 1)""".stripMargin
+
+  /** The standalone PQ CTE chain — shared by the ann_pq_topk and
+    * ann_pq_recall oracles. */
+  private def pqCteSql: String =
+    s"""v AS ($embSql),
+       |$pqTailCteSql""".stripMargin
 
   /** Cosine with a zero-norm guard, rounded to 6: an all-zero
     * embedding quantizes/projects to the zero vector, and 0/0 is NaN

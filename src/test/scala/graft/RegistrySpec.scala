@@ -44,7 +44,12 @@ class RegistrySpec extends SparkTestBase {
       "t_kmv_contamination",
       // its streaming twin: the converged 1-row train × 1-row test
       // sketches crossed at the end of the replay
-      "s39_stream_kmv_contamination")
+      "s39_stream_kmv_contamination",
+      // PQ rung: the 8-row subspace fan-out + 128-row codebook +
+      // per-query distance table are all fixed-size broadcasts (m, k
+      // and the query panel — never data); ann_pq_recall additionally
+      // carries the 20-query exact grid-L2 ground-truth BNLJ
+      "ann_pq_topk", "ann_pq_recall", "ann_ivf_pq_topk")
     val offenders = Registry.all.flatMap { e =>
       val df = e.fn(spark, sfDir)
       val nested = df.schema.fields.collect {
