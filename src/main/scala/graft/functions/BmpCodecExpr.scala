@@ -116,6 +116,62 @@ object BmpCodec {
     new GenericInternalRow(Array[Any](
       w, h, bpp, w.toLong * h, sumR, sumG, sumB))
   }
+
+  /** REAL resize: parse the container (same validation as [[decode]]),
+    * nearest-neighbor resample to outW×outH — source pixel
+    * (⌊x·w/outW⌋, ⌊y·h/outH⌋) in top-row coordinates, the classic NN
+    * mapping — and re-encode a spec-complete bottom-up BMP. Handles
+    * both source row orders (positive height bottom-up, negative
+    * top-down) and re-pads rows to the 4-byte stride. Null on
+    * malformed input, like decode: a lake-scale thumbnail stage skips
+    * bad blobs. */
+  def resize(b: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def le32r(off: Int): Int =
+      u8(off) | (u8(off + 1) << 8) | (u8(off + 2) << 16) | (u8(off + 3) << 24)
+    def le16r(off: Int): Int = u8(off) | (u8(off + 1) << 8)
+    if (outW <= 0 || outH <= 0) return null
+    if (b.length < HeaderLen || b(0) != 'B' || b(1) != 'M') return null
+    val pixOff = le32r(10)
+    val w = le32r(18)
+    val hRaw = le32r(22)
+    val bpp = le16r(28)
+    val compression = le32r(30)
+    val h = math.abs(hRaw)
+    if (bpp != 24 || compression != 0 || w <= 0 || h == 0) return null
+    val srcSt = stride(w)
+    if (pixOff < HeaderLen || pixOff.toLong + srcSt.toLong * h > b.length) return null
+    val st = stride(outW)
+    val size = HeaderLen + st * outH
+    val out = new Array[Byte](size)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+      out(off + 2) = ((v >> 16) & 0xFF).toByte; out(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, size); le32(10, HeaderLen)
+    le32(14, 40); le32(18, outW); le32(22, outH)
+    le16(26, 1); le16(28, 24)
+    var sy = 0
+    while (sy < outH) {
+      val y = outH - 1 - sy // output stored bottom-up; y = top coord
+      val srcY = y * h / outH
+      val srcRow = if (hRaw > 0) h - 1 - srcY else srcY
+      var x = 0
+      while (x < outW) {
+        val srcX = x * w / outW
+        val so = pixOff + srcRow * srcSt + srcX * 3
+        val oo = HeaderLen + sy * st + x * 3
+        out(oo) = b(so); out(oo + 1) = b(so + 1); out(oo + 2) = b(so + 2)
+        x += 1
+      }
+      sy += 1
+    }
+    out
+  }
 }
 
 /** `bigint doc_id` → binary BMP payload (see [[BmpCodec.encode]]). */
@@ -168,4 +224,40 @@ case class BmpDecodeExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "graft_bmp_decode"
+}
+
+/** binary BMP payload → nearest-neighbor-resampled `outW`×`outH`
+  * binary BMP; null for non-BMP input (see [[BmpCodec.resize]]). The
+  * target shape is a plan-time constant (like a thumbnail stage's
+  * fixed output size), so codegen emits one static call per row. */
+case class BmpResizeExpr(child: Expression, outW: Int, outH: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (outW <= 0 || outH <= 0)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName target shape must be positive, got ${outW}x$outH")
+    else child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a binary argument, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = BinaryType
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    BmpCodec.resize(v.asInstanceOf[Array[Byte]], outW, outH)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.BmpCodec.resize($c, $outW, $outH);
+      |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): BmpResizeExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_bmp_resize"
 }

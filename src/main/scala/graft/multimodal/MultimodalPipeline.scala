@@ -47,6 +47,16 @@ object MultimodalPipeline {
       graft.functions.BmpEncodeExpr(
         org.apache.spark.sql.graft.Bridge.expression(docId)))
 
+  /** REAL resize: binary 24bpp BMP → nearest-neighbor-resampled
+    * outW×outH binary BMP, null on malformed input — the thumbnail
+    * stage of an image-lake pipeline, scan-local and codegen'd (see
+    * [[graft.functions.BmpResizeExpr]]). The output is itself a
+    * spec-complete BMP, so it feeds straight back into [[decodeBmp]]. */
+  def resizeBmp(payload: Column, outW: Int, outH: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.BmpResizeExpr(
+        org.apache.spark.sql.graft.Bridge.expression(payload), outW, outH))
+
   /** REAL audio decode: binary 16-bit PCM RIFF/WAVE → struct(channels,
     * sample_rate, bits, n_frames, sum_l, sum_r, peak), null on
     * malformed input. A genuine chunk walker, not a fixed-offset read

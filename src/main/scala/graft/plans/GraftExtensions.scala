@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{BmpDecodeExpr, BmpEncodeExpr, DotProductExpr, KmvSketchAgg, PrioritySampleAgg, RollingHashExpr, WavDecodeExpr, WavEncodeExpr}
+import graft.functions.{BmpDecodeExpr, BmpEncodeExpr, BmpResizeExpr, DotProductExpr, KmvSketchAgg, PrioritySampleAgg, RollingHashExpr, WavDecodeExpr, WavEncodeExpr}
 
 /** Session-extension wiring for the library's native expressions —
   * the `SparkSessionExtensions` integration point, so a cluster deploy
@@ -90,6 +90,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_bmp_decode(payload) takes one argument")
         BmpDecodeExpr(args.head)
+      }), (
+      FunctionIdentifier("graft_bmp_resize"),
+      new ExpressionInfo(classOf[BmpResizeExpr].getName, "graft_bmp_resize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_bmp_resize(payload, out_w, out_h) takes three arguments")
+        (args(1), args(2)) match {
+          case (Literal(w: Int, IntegerType), Literal(h: Int, IntegerType)) =>
+            BmpResizeExpr(args.head, w, h)
+          case other => throw new IllegalArgumentException(
+            s"graft_bmp_resize target shape must be integer literals, got $other")
+        }
       }), (
       FunctionIdentifier("graft_wav_encode"),
       new ExpressionInfo(classOf[WavEncodeExpr].getName, "graft_wav_encode"),

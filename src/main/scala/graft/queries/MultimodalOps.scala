@@ -184,6 +184,53 @@ object MultimodalOps {
         |  round(sum_b::DOUBLE / (w * h), 6) AS mean_b
         |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // REAL image RESIZE — the remaining multimodal-pipeline verb
+    // (decode / feature-extract / frame-sample / RESIZE) made real:
+    // each document's BMP is nearest-neighbor resampled to a fixed
+    // 4×4 thumbnail by BmpResizeExpr, which PARSES the actual
+    // container (both row orders, stride re-padding), samples source
+    // pixel (⌊x·w/4⌋, ⌊y·h/4⌋) per output pixel, and re-encodes a
+    // spec-complete BMP — which the REAL decoder then re-parses for
+    // the emitted stats, so the round trip encode→resize→decode is
+    // exercised end-to-end. Scan-local native codegen expressions
+    // (no shuffle, no UDF); at 100 TB a thumbnail stage is exactly
+    // this: an embarrassingly parallel per-row transform whose output
+    // bytes (102/doc here) are a fraction of the input's. The
+    // closed-form pixel pattern makes the resampled sums analytic,
+    // so the NN source-index math is hash-checked too.
+    Entry("m_image_resize",
+      (spark, dir) => {
+        val d = Registry.table(spark, dir, "documents").select(col("doc_id"))
+        d.withColumn("payload", MultimodalPipeline.encodeBmp(col("doc_id")))
+          .withColumn("thumb",
+            MultimodalPipeline.resizeBmp(col("payload"), 4, 4))
+          .withColumn("img", MultimodalPipeline.decodeBmp(col("thumb")))
+          .select(col("doc_id"),
+            col("img.width").as("width"),
+            col("img.height").as("height"),
+            octet_length(col("thumb")).cast("long").as("n_bytes"),
+            col("img.sum_r").as("sum_r"),
+            col("img.sum_g").as("sum_g"),
+            col("img.sum_b").as("sum_b"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH g AS (SELECT doc_id,
+        |    (4 + doc_id % 5)::INT AS w, (5 + doc_id % 4)::INT AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id,
+        |    CAST(sum((doc_id*7 + ((y*h)//4)*31 + ((x*w)//4)*13) % 251)
+        |      AS BIGINT) AS sum_r,
+        |    CAST(sum((doc_id*7 + ((y*h)//4)*31 + ((x*w)//4)*13 + 5) % 251)
+        |      AS BIGINT) AS sum_g,
+        |    CAST(sum((doc_id*7 + ((y*h)//4)*31 + ((x*w)//4)*13 + 10) % 251)
+        |      AS BIGINT) AS sum_b
+        |  FROM g, unnest(generate_series(0, 3)) gx(x),
+        |    unnest(generate_series(0, 3)) gy(y)
+        |  GROUP BY 1)
+        |SELECT doc_id, 4 AS width, 4 AS height,
+        |  102::BIGINT AS n_bytes, sum_r, sum_g, sum_b
+        |FROM px ORDER BY doc_id""".stripMargin)),
+
     // VIDEO = CONTAINER OF FRAMES, with REAL per-frame decode: the
     // composition that closes the third modality. Each document's
     // "video" payload is four equal-size 24bpp BMP frames

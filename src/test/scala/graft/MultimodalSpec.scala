@@ -139,6 +139,56 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.getLong(0) == want && out.getLong(1) == 20)
   }
 
+  test("BMP resize: NN resample picks source pixel (x*w/W, y*h/H), " +
+    "output is a decodable spec-complete BMP") {
+    import graft.functions.BmpCodec
+    for (id <- Seq(0L, 3L, 17L, 123L); (ow, oh) <- Seq((4, 4), (2, 3), (10, 7))) {
+      val thumb = BmpCodec.resize(BmpCodec.encode(id), ow, oh)
+      assert(thumb != null)
+      val row = BmpCodec.decode(thumb)
+      assert(row != null && row.getInt(0) == ow && row.getInt(1) == oh,
+        s"doc $id -> ${ow}x$oh")
+      val w = BmpCodec.width(id); val h = BmpCodec.height(id)
+      for (c <- 0 until 3) {
+        val want = (for (y <- 0 until oh; x <- 0 until ow)
+          yield BmpCodec.pixel(id, x * w / ow, y * h / oh, c).toLong).sum
+        assert(row.getLong(4 + c) == want,
+          s"channel $c of doc $id at ${ow}x$oh")
+      }
+    }
+  }
+
+  test("BMP resize handles top-down sources and rejects malformed input") {
+    import graft.functions.BmpCodec
+    val b = BmpCodec.encode(5L)
+    val h = BmpCodec.height(5L); val w = BmpCodec.width(5L)
+    val neg = -h
+    b(22) = (neg & 0xFF).toByte; b(23) = ((neg >> 8) & 0xFF).toByte
+    b(24) = ((neg >> 16) & 0xFF).toByte; b(25) = ((neg >> 24) & 0xFF).toByte
+    // re-store rows top-down so the image content is unchanged
+    val st = BmpCodec.stride(w)
+    val flipped = b.clone()
+    for (r <- 0 until h)
+      System.arraycopy(b, 54 + (h - 1 - r) * st, flipped, 54 + r * st, st)
+    val row = BmpCodec.decode(BmpCodec.resize(flipped, 3, 3))
+    assert(row != null)
+    val wantR = (for (y <- 0 until 3; x <- 0 until 3)
+      yield BmpCodec.pixel(5L, x * w / 3, y * h / 3, 0).toLong).sum
+    assert(row.getLong(4) == wantR, "top-down source resampled identically")
+    assert(BmpCodec.resize(Array[Byte](1, 2, 3), 4, 4) == null, "garbage")
+    assert(BmpCodec.resize(BmpCodec.encode(5L), 0, 4) == null, "bad shape")
+  }
+
+  test("BMP resize runs inside codegen as a SQL function") {
+    graft.plans.GraftExtensions.register(spark)
+    val out = spark.range(0, 20).toDF("doc_id")
+      .selectExpr(
+        "graft_bmp_decode(graft_bmp_resize(graft_bmp_encode(doc_id), 4, 4)) AS img")
+      .selectExpr("sum(img.n_pixels) AS np", "count(img.width) AS n")
+      .head()
+    assert(out.getLong(0) == 20L * 16 && out.getLong(1) == 20)
+  }
+
   test("WAV codec round trip: chunk-walked decode recovers the closed-form stats") {
     import graft.functions.WavCodec
     for (id <- Seq(0L, 1L, 2L, 3L, 4L, 9L, 250L)) {
