@@ -14,6 +14,13 @@ object TextOps {
 
   // DuckDB fragments mirroring TextFunctions (same md5-derived hashes).
   private val tokSql = "string_split(text, ' ')"
+
+  /** PII detection patterns (t_pii_redact), written in the
+    * conservative character-class regex subset that behaves
+    * identically under Java regex (Spark) and RE2 (DuckDB): no
+    * backreferences, no lookaround, no engine-specific classes. */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+1-555-[0-9]{4}"
   private def fp64Sql(expr: String) = TextFunctions.fp64Sql(expr)
 
   // BPE training (t_bpe_train): shared pre-tokenizer pattern (the same
@@ -274,6 +281,66 @@ object TextOps {
         |  round(0.5 * (len(list_distinct($tokSql))::DOUBLE / len($tokSql)::DOUBLE)
         |      + 0.5 * least(1.0, length(text)::DOUBLE / 200.0), 6) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // PII REDACTION — the compliance scrub every training-data
+    // pipeline runs before a corpus ships: find emails and phone
+    // numbers, replace them with typed placeholder tags, and count
+    // what was scrubbed per document. The synthetic corpus carries no
+    // PII, so the fixture INJECTS a deterministic contact line per
+    // document (one email always; a second cc address on every third
+    // doc, so GLOBAL — not first-match — replacement is proven, the
+    // classic regexp_replace footgun: DuckDB needs the explicit 'g'
+    // flag Spark implies). The detection/replacement regexes are the
+    // real machinery, written in the conservative character-class
+    // subset that parses identically under Java regex and DuckDB's
+    // RE2. Scan-local: a per-row codegen'd transform fused into the
+    // parquet read — at 100 TB redaction costs one linear scan, no
+    // shuffle.
+    Entry("t_pii_redact",
+      (spark, dir) => {
+        val d = Registry.table(spark, dir, "documents")
+        val withPii = d.select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com"),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              concat(lit(" cc admin"), col("doc_id"),
+                lit("@corp.example.org"))).otherwise(lit("")),
+            lit(" tel +1-555-"),
+            lpad(pmod(col("doc_id") * 7919, lit(10000)).cast("string"), 4, "0"))
+            .as("text"))
+        withPii.select(col("doc_id"),
+            regexp_count(col("text"), lit(emailRe)).cast("long")
+              .as("n_emails"),
+            regexp_count(col("text"), lit(phoneRe)).cast("long")
+              .as("n_phones"),
+            length(regexp_replace(
+              regexp_replace(col("text"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>")).cast("long").as("clean_len"),
+            md5(regexp_replace(
+              regexp_replace(col("text"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>")).as("clean_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH p AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' cc admin' || doc_id || '@corp.example.org'
+        |      ELSE '' END ||
+        |    ' tel +1-555-' ||
+        |    lpad(CAST(doc_id * 7919 % 10000 AS VARCHAR), 4, '0') AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT)
+        |    AS n_phones,
+        |  CAST(length(regexp_replace(regexp_replace(text,
+        |    '$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g'))
+        |    AS BIGINT) AS clean_len,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g'))
+        |    AS clean_md5
+        |FROM p ORDER BY doc_id""".stripMargin)),
 
     // Deterministic stratified train/val/test split (90/5/5) by md5
     // hash bucket of doc_id — the reproducible, shuffle-free,
