@@ -52,6 +52,7 @@ final case class BandRow(bi: Int, bv: String, doc_id: Long)
 /** One IVF cell assignment (s25): the unit of membership in the
   * streaming vector-index state — never the 64-dim vector itself. */
 final case class AsgRow(vec_id: Long, cell: Long)
+final case class PqCodeRow(vec_id: Long, s: Int, code: Long)
 
 /** s45's slim event row (purchase stream under event-time TTL). */
 final case class TtlEv(user_id: Long, event_id: Long, ts_us: Long)
@@ -2725,6 +2726,85 @@ object StreamingOps {
         }
       },
       Some(VectorOps.ivfQuantTopkOracleSql)),
+
+    // STREAMING PQ SERVING — the maintenance→serving loop closed for
+    // the SECOND compression codec: arriving vectors are PQ-encoded
+    // per microbatch against the broadcast codebook (the exact batch
+    // encoder, VectorOps.pqEncode — same grid arithmetic, same
+    // tie-break), the (vec_id, s) → code rows upsert into keyed state
+    // (8 codes per vector: the state IS the compressed corpus,
+    // ~4 bytes/vector, never the vectors), and the converged code
+    // table answers the standing query panel through the batch ADC
+    // read path — hash-matching the ann_pq_topk oracle exactly. With
+    // s44 (IVF+SQ8) this gives both production codecs a live-index
+    // serving proof; at 100 TB the arriving corpus never exists
+    // uncompressed anywhere downstream of the encoder.
+    Entry("s46_stream_pq_serving",
+      (spark, dir) => { import spark.implicits._
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_pqserve_")
+          val relay = tmp.resolve("relay")
+          val log = tmp.resolve("log")
+          val ckpt1 = tmp.resolve("ckpt1")
+          val ckpt2 = tmp.resolve("ckpt2")
+          try {
+            val in = sharedChunkDir(dir, "embvec", "embeddings") { p =>
+              VectorOps.embSlim(spark, dir)
+                .repartitionByRange(chunks, col("vec_id"))
+                .write.parquet(p.toString)
+            }
+            val cb = VectorOps.pqCodebook(spark, dir).localCheckpoint()
+            val q1 = spark.readStream
+              .schema("vec_id BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+              .writeStream.outputMode("append")
+              .option("checkpointLocation", ckpt1.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                VectorOps.pqEncode(spark,
+                    df.select(col("vec_id"), col("e")), cb)
+                  .write.mode("append").parquet(relay.toString)
+                ()
+              }.start()
+            java.nio.file.Files.createDirectories(relay)
+            val codesIn = spark.readStream
+              .schema("vec_id BIGINT, s INT, code BIGINT")
+              .option("maxFilesPerTrigger", streamShufflePartitions.toString)
+              .option("pathGlobFilter", "part-*")
+              .parquet(relay.toString).as[PqCodeRow]
+            val dd = VersionedStreamDedup.latestPerKeyId[PqCodeRow](
+              codesIn, _.vec_id.toString, _.s.toString, _ => 0L)
+            val q2 = dd.toDF().writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt2.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try {
+              q1.processAllAvailable()
+              q2.processAllAvailable()
+            } finally {
+              try q1.stop() finally q2.stop()
+            }
+            // the converged code table, read back from state output
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("key"))
+            val codes = raw
+              .withColumn("max_seq", max(col("seq")).over(wMax))
+              .filter(col("seq") === col("max_seq"))
+              .select(explode(col("xs")).as("x"))
+              .select(col("x.vec_id").as("vec_id"), col("x.s").as("s"),
+                col("x.code").as("code"))
+            // SERVE: ADC against the streamed codes (the batch
+            // entry's exact scoring tail)
+            VectorOps.pqAdcServe(spark, dir, codes)
+              .orderBy(col("query_id"), col("rank"))
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(VectorOps.pqTopkOracleSql)),
 
     // EVENT-TIME TTL TIMERS, ACTUALLY FIRING — the one TTL behavior no
     // other driver row exercises end-to-end (s14/s17/s18/s22 size the

@@ -792,18 +792,7 @@ object VectorOps {
     Entry("ann_pq_topk",
       (spark, dir) => pqAdcTopk(spark, dir)
         .orderBy(col("query_id"), col("rank")),
-      Some(s"""WITH $pqCteSql,
-        |adc AS (SELECT dt.vec_id AS query_id, co.vec_id AS neighbor_id,
-        |    CAST(sum(dt.d2) AS BIGINT) AS adc
-        |  FROM pqc co JOIN pqd dt ON dt.s = co.s AND dt.cid = co.code
-        |  WHERE dt.vec_id < $queryCount AND dt.vec_id <> co.vec_id
-        |  GROUP BY dt.vec_id, co.vec_id)
-        |SELECT query_id,
-        |  CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY adc, neighbor_id) AS INT) AS rank,
-        |  neighbor_id, adc
-        |FROM adc QUALIFY rank <= 5
-        |ORDER BY query_id, rank""".stripMargin)),
+      Some(pqTopkOracleSql)),
 
     // Recall of ADC-over-codes against the EXACT grid-L2 top-5 (the
     // very quantity PQ approximates) — isolates the codebook
@@ -1129,39 +1118,56 @@ object VectorOps {
     s"""v AS ($embSql),
        |$quantTailCteSql""".stripMargin
 
-  /** Embeddings on the fixed integer grid (see [[pqGrid]]): every
-    * component an exact small integer held in a double. */
+  /** The grid transform (see [[pqGrid]]): every component an exact
+    * small integer held in a double. */
+  private def toGrid(e: Column): Column =
+    transform(e, x => floor(x * pqGrid + lit(0.5)).cast("double"))
+
+  /** Embeddings on the fixed integer grid. */
   private def gridded(spark: SparkSession, dir: String): DataFrame =
     Registry.table(spark, dir, "embeddings")
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"),
-        transform(col("embedding").cast("array<double>"),
-          x => floor(x * pqGrid + lit(0.5)).cast("double")).as("g"))
+        toGrid(col("embedding").cast("array<double>")).as("g"))
+
+  /** Fan a (vec_id, g) grid frame out to its subvector slices
+    * (vec_id, s, xs) — the 8-row subspace table is a fixed broadcast. */
+  private def subSlices(spark: SparkSession, gv: DataFrame): DataFrame = {
+    val subs = broadcast(
+      spark.range(pqSubspaces).select(col("id").cast("int").as("s")))
+    gv.crossJoin(subs)
+      .select(col("vec_id"), col("s"),
+        slice(col("g"), col("s") * pqSubDim + 1, lit(pqSubDim)).as("xs"))
+  }
+
+  /** The PQ codebook (s, cid, cs): subvector slices of the first
+    * [[pqCentroids]] corpus vectors — the deterministic seed shared
+    * with the IVF coarse quantizer. 128 rows, always broadcast.
+    * Shared with StreamingOps (s46): the streamed encoder must code
+    * against exactly this table. */
+  private[queries] def pqCodebook(spark: SparkSession, dir: String): DataFrame =
+    subSlices(spark, gridded(spark, dir).filter(col("vec_id") < pqCentroids))
+      .select(col("s").as("cb_s"), col("vec_id").as("cid"),
+        col("xs").as("cs"))
+
+  /** d2 = ‖xs‖² − 2·xs·cs + ‖cs‖², exact integer arithmetic on the
+    * grid in both engines. */
+  private def pqD2(xs: Column, cs: Column): Column =
+    VectorFunctions.dot(xs, xs) - lit(2d) * VectorFunctions.dot(xs, cs) +
+      VectorFunctions.dot(cs, cs)
 
   /** (vec_id, s, cid, d2) — the full per-subspace distance matrix of
-    * the corpus against the PQ codebook (the subvector slices of the
-    * first [[pqCentroids]] vectors). d2 = ‖xs‖² − 2·xs·cs + ‖cs‖²,
-    * exact integer arithmetic on the grid. Materialized ONCE per
-    * query: the code assignment AND the query distance table are both
+    * the corpus against the PQ codebook. Materialized ONCE per query:
+    * the code assignment AND the query distance table are both
     * projections of it (the ivfCandidates diamond lesson). The
     * subspace fan-out and the codebook are fixed-size broadcasts
     * (8 rows / 128 rows) — never data. */
-  private def pqDist(spark: SparkSession, dir: String): DataFrame = {
-    val subs = broadcast(
-      spark.range(pqSubspaces).select(col("id").cast("int").as("s")))
-    val xs = gridded(spark, dir).crossJoin(subs)
-      .select(col("vec_id"), col("s"),
-        slice(col("g"), col("s") * pqSubDim + 1, lit(pqSubDim)).as("xs"))
-    val cb = xs.filter(col("vec_id") < pqCentroids)
-      .select(col("s").as("cb_s"), col("vec_id").as("cid"),
-        col("xs").as("cs"))
-    xs.join(broadcast(cb), col("s") === col("cb_s"))
+  private def pqDist(spark: SparkSession, dir: String): DataFrame =
+    subSlices(spark, gridded(spark, dir))
+      .join(broadcast(pqCodebook(spark, dir)), col("s") === col("cb_s"))
       .select(col("vec_id"), col("s"), col("cid"),
-        (VectorFunctions.dot(col("xs"), col("xs"))
-          - lit(2d) * VectorFunctions.dot(col("xs"), col("cs"))
-          + VectorFunctions.dot(col("cs"), col("cs"))).as("d2"))
+        pqD2(col("xs"), col("cs")).as("d2"))
       .localCheckpoint()
-  }
 
   /** PQ encoding: per (vector, subspace) the argmin-d2 centroid id,
     * ties to the lower cid (matches the oracle's ORDER BY d2, cid).
@@ -1171,13 +1177,25 @@ object VectorOps {
       .agg(max_by(col("cid"), struct(-col("d2"), -col("cid")))
         .as("code"))
 
-  /** ADC scoring tail shared by the all-pairs and the IVF-candidate
-    * variants: join codes to the broadcast query distance table on
-    * (s, code) and sum the 8 lookups — integer-exact, so the BIGINT
-    * cast loses nothing. */
-  private def pqAdcRanked(dist: DataFrame, pairsFilter: DataFrame => DataFrame,
+  /** Encode arbitrary (vec_id, e) vector rows against a supplied
+    * codebook → (vec_id, s, code). Shared with StreamingOps (s46):
+    * the per-microbatch incremental encoder — identical arithmetic
+    * and tie-break to the batch index build. */
+  private[queries] def pqEncode(spark: SparkSession, vecs: DataFrame,
+                                cb: DataFrame): DataFrame =
+    pqCodes(
+      subSlices(spark, vecs.select(col("vec_id"), toGrid(col("e")).as("g")))
+        .join(broadcast(cb), col("s") === col("cb_s"))
+        .select(col("vec_id"), col("s"), col("cid"),
+          pqD2(col("xs"), col("cs")).as("d2")))
+
+  /** ADC scoring tail shared by the all-pairs, IVF-candidate and
+    * streamed-serving variants: join the SUPPLIED codes to the
+    * broadcast query distance table on (s, code) and sum the 8
+    * lookups — integer-exact, so the BIGINT cast loses nothing. */
+  private def pqAdcRanked(dist: DataFrame, codes: DataFrame,
+                          pairsFilter: DataFrame => DataFrame,
                           topK: Int): DataFrame = {
-    val codes = pqCodes(dist)
     val dt = dist.filter(col("vec_id") < queryCount)
       .select(col("vec_id").as("query_id"), col("s").as("dt_s"),
         col("cid"), col("d2"))
@@ -1197,15 +1215,26 @@ object VectorOps {
   }
 
   /** PQ-ADC top-5 of the query panel against the whole coded corpus. */
-  private def pqAdcTopk(spark: SparkSession, dir: String): DataFrame =
-    pqAdcRanked(pqDist(spark, dir), identity, 5)
+  private def pqAdcTopk(spark: SparkSession, dir: String): DataFrame = {
+    val dist = pqDist(spark, dir)
+    pqAdcRanked(dist, pqCodes(dist), identity, 5)
+  }
 
   /** PQ-ADC top-k restricted to supplied (query_id, neighbor_id)
     * candidates — the IVF+PQ serving tail. */
   private def pqAdcScoredTopk(spark: SparkSession, dir: String,
-                              cand: DataFrame): DataFrame =
-    pqAdcRanked(pqDist(spark, dir),
+                              cand: DataFrame): DataFrame = {
+    val dist = pqDist(spark, dir)
+    pqAdcRanked(dist, pqCodes(dist),
       _.join(cand, Seq("query_id", "neighbor_id"), "leftsemi"), ivfTopK)
+  }
+
+  /** PQ-ADC top-5 served from a SUPPLIED codes table — the streamed
+    * serving tail (s46): the live streamed code state answers the
+    * standing query panel through the exact batch read path. */
+  private[queries] def pqAdcServe(spark: SparkSession, dir: String,
+                                  codes: DataFrame): DataFrame =
+    pqAdcRanked(pqDist(spark, dir), codes, identity, 5)
 
   /** Exact grid-L2 top-5 for the query panel (the ground truth ADC
     * approximates) — the same allow-listed tiny-broadcast BNLJ shape
@@ -1258,6 +1287,23 @@ object VectorOps {
   private def pqCteSql: String =
     s"""v AS ($embSql),
        |$pqTailCteSql""".stripMargin
+
+  /** The PQ-ADC top-5 oracle — shared by ann_pq_topk and its streamed
+    * serving twin s46 (whose converged code state must answer the
+    * same queries identically). */
+  private[queries] def pqTopkOracleSql: String =
+    s"""WITH $pqCteSql,
+       |adc AS (SELECT dt.vec_id AS query_id, co.vec_id AS neighbor_id,
+       |    CAST(sum(dt.d2) AS BIGINT) AS adc
+       |  FROM pqc co JOIN pqd dt ON dt.s = co.s AND dt.cid = co.code
+       |  WHERE dt.vec_id < $queryCount AND dt.vec_id <> co.vec_id
+       |  GROUP BY dt.vec_id, co.vec_id)
+       |SELECT query_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc, neighbor_id) AS INT) AS rank,
+       |  neighbor_id, adc
+       |FROM adc QUALIFY rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
 
   /** Cosine with a zero-norm guard, rounded to 6: an all-zero
     * embedding quantizes/projects to the zero vector, and 0/0 is NaN
