@@ -140,6 +140,75 @@ object WavCodec {
     new GenericInternalRow(Array[Any](
       channels, sampleRate, bits, n.toLong, sumL, sumR, peak))
   }
+
+  /** REAL decimation: chunk-walk + validate exactly like [[decode]],
+    * keep every `factor`-th frame, and re-encode a minimal
+    * spec-complete RIFF/WAVE (fmt + data only — unknown chunks are
+    * dropped, as a normalizing transcoder does) with the sample rate
+    * divided by `factor` — the integer downsample an audio lake runs
+    * to normalize rates before feature extraction. Null on malformed
+    * input or a non-positive factor. */
+  def resample(b: Array[Byte], factor: Int): Array[Byte] = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def le32r(off: Int): Int =
+      u8(off) | (u8(off + 1) << 8) | (u8(off + 2) << 16) | (u8(off + 3) << 24)
+    def le16r(off: Int): Int = u8(off) | (u8(off + 1) << 8)
+    def tag(off: Int): String =
+      if (off + 4 > b.length) ""
+      else new String(b, off, 4, "US-ASCII")
+    if (factor <= 0) return null
+    if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return null
+    val riffEnd = math.min(b.length.toLong, 8L + le32r(4))
+    var off = 12L
+    var fmtOff = -1L; var dataOff = -1L; var dataLen = -1
+    while (off + 8 <= riffEnd && (fmtOff < 0 || dataOff < 0)) {
+      val id = tag(off.toInt)
+      val size = le32r(off.toInt + 4)
+      if (size < 0 || off + 8 + size > riffEnd) return null
+      if (id == "fmt ") fmtOff = off + 8
+      else if (id == "data") { dataOff = off + 8; dataLen = size }
+      off += 8 + size + (size & 1)
+    }
+    if (fmtOff < 0 || dataOff < 0 || dataLen < 0) return null
+    val audioFormat = le16r(fmtOff.toInt)
+    val channels = le16r(fmtOff.toInt + 2)
+    val sampleRate = le32r(fmtOff.toInt + 4)
+    val bits = le16r(fmtOff.toInt + 14)
+    if (audioFormat != 1 || bits != 16 || channels < 1 || channels > 2)
+      return null
+    val bytesPerFrame = channels * 2
+    if (dataLen % bytesPerFrame != 0) return null
+    val n = dataLen / bytesPerFrame
+    val kept = (n + factor - 1) / factor
+    val outDataLen = kept * bytesPerFrame
+    val riffLen = 4 + 24 + 8 + outDataLen
+    val out = new Array[Byte](8 + riffLen)
+    var o = 0
+    def ascii(s: String): Unit = { s.foreach { ch => out(o) = ch.toByte; o += 1 } }
+    def le32(v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte
+      out(o + 2) = ((v >> 16) & 0xFF).toByte; out(o + 3) = ((v >> 24) & 0xFF).toByte
+      o += 4
+    }
+    def le16(v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte; o += 2
+    }
+    ascii("RIFF"); le32(riffLen); ascii("WAVE")
+    ascii("fmt "); le32(16)
+    le16(1); le16(channels)
+    le32(sampleRate / factor)
+    le32((sampleRate / factor) * channels * 2)
+    le16(channels * 2); le16(16)
+    ascii("data"); le32(outDataLen)
+    var j = 0
+    while (j < kept) {
+      System.arraycopy(b, dataOff.toInt + j * factor * bytesPerFrame,
+        out, o, bytesPerFrame)
+      o += bytesPerFrame
+      j += 1
+    }
+    out
+  }
 }
 
 /** `bigint doc_id` → binary WAV payload (see [[WavCodec.encode]]). */
@@ -192,4 +261,40 @@ case class WavDecodeExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "graft_wav_decode"
+}
+
+/** binary WAV payload → every-`factor`-th-frame decimated binary WAV
+  * at rate/`factor`; null for non-WAV input (see
+  * [[WavCodec.resample]]). The factor is a plan-time constant, so
+  * codegen emits one static call per row. */
+case class WavResampleExpr(child: Expression, factor: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (factor <= 0)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName factor must be positive, got $factor")
+    else child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a binary argument, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = BinaryType
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    WavCodec.resample(v.asInstanceOf[Array[Byte]], factor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.WavCodec.resample($c, $factor);
+      |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): WavResampleExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_wav_resample"
 }

@@ -73,6 +73,18 @@ object MultimodalPipeline {
       graft.functions.WavEncodeExpr(
         org.apache.spark.sql.graft.Bridge.expression(docId)))
 
+  /** REAL decimation: binary 16-bit PCM WAV → every-`factor`-th-frame
+    * WAV at rate/`factor`, null on malformed input — the
+    * rate-normalizing downsample of an audio-lake pipeline,
+    * scan-local and codegen'd (see
+    * [[graft.functions.WavResampleExpr]]). The output is itself a
+    * spec-complete container, so it feeds straight back into
+    * [[decodeWav]]. */
+  def resampleWav(payload: Column, factor: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.WavResampleExpr(
+        org.apache.spark.sql.graft.Bridge.expression(payload), factor))
+
   /** Sample up to `maxFrames` fixed-size frames from the payload —
     * the video-frame-extraction shape: one output row per frame with
     * a content hash. Pure Column expressions (sequence + posexplode),

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{BmpDecodeExpr, BmpEncodeExpr, BmpResizeExpr, DotProductExpr, KmvSketchAgg, PrioritySampleAgg, RollingHashExpr, WavDecodeExpr, WavEncodeExpr}
+import graft.functions.{BmpDecodeExpr, BmpEncodeExpr, BmpResizeExpr, DotProductExpr, KmvSketchAgg, PrioritySampleAgg, RollingHashExpr, WavDecodeExpr, WavEncodeExpr, WavResampleExpr}
 
 /** Session-extension wiring for the library's native expressions —
   * the `SparkSessionExtensions` integration point, so a cluster deploy
@@ -114,6 +114,17 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_wav_decode(payload) takes one argument")
         WavDecodeExpr(args.head)
+      }), (
+      FunctionIdentifier("graft_wav_resample"),
+      new ExpressionInfo(classOf[WavResampleExpr].getName, "graft_wav_resample"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_wav_resample(payload, factor) takes two arguments")
+        args(1) match {
+          case Literal(f: Int, IntegerType) => WavResampleExpr(args.head, f)
+          case other => throw new IllegalArgumentException(
+            s"graft_wav_resample factor must be an integer literal, got $other")
+        }
       }))
 
   /** Runtime registration on a live session (the notebook/REPL path —

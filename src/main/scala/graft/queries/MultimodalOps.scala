@@ -318,6 +318,54 @@ object MultimodalOps {
         |  sum_l, sum_r, peak
         |FROM sm ORDER BY doc_id""".stripMargin)),
 
+    // REAL audio RESAMPLE — the audio twin of m_image_resize: each
+    // document's WAV is decimated 2× by WavResampleExpr, which
+    // chunk-walks and validates the actual container (the junk LIST
+    // chunk is dropped like a normalizing transcoder would), keeps
+    // every second frame, and re-encodes a spec-complete RIFF/WAVE at
+    // half the sample rate — which the REAL decoder then re-parses
+    // for the emitted stats, so encode→resample→decode runs on
+    // genuine containers end-to-end. Scan-local native codegen; at
+    // 100 TB this is the rate-normalization pass before feature
+    // extraction, an embarrassingly parallel per-row transform that
+    // halves the bytes. Closed-form signal → the oracle re-derives
+    // the kept-frame sums/peak and exact output container size
+    // analytically, hash-checking the decimation index math.
+    Entry("m_audio_resample",
+      (spark, dir) => {
+        val d = Registry.table(spark, dir, "documents").select(col("doc_id"))
+        d.withColumn("payload", MultimodalPipeline.encodeWav(col("doc_id")))
+          .withColumn("half",
+            MultimodalPipeline.resampleWav(col("payload"), 2))
+          .withColumn("a", MultimodalPipeline.decodeWav(col("half")))
+          .select(col("doc_id"),
+            col("a.channels").as("channels"),
+            col("a.sample_rate").as("sample_rate"),
+            col("a.n_frames").as("n_frames"),
+            octet_length(col("half")).cast("long").as("n_bytes"),
+            col("a.sum_l").as("sum_l"),
+            col("a.sum_r").as("sum_r"),
+            col("a.peak").as("peak"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH g AS (SELECT doc_id,
+        |    (64 + (doc_id % 5) * 16)::BIGINT AS n FROM documents),
+        |k AS (SELECT doc_id, n // 2 AS kept FROM g),
+        |sm AS (SELECT doc_id, kept,
+        |    CAST(sum(((doc_id*31 + 2*j*17) % 2003) - 1001) AS BIGINT)
+        |      AS sum_l,
+        |    CAST(sum(((doc_id*31 + 2*j*17 + 7) % 2003) - 1001) AS BIGINT)
+        |      AS sum_r,
+        |    CAST(max(GREATEST(abs(((doc_id*31 + 2*j*17) % 2003) - 1001),
+        |      abs(((doc_id*31 + 2*j*17 + 7) % 2003) - 1001))) AS INT)
+        |      AS peak
+        |  FROM k, unnest(generate_series(0, kept - 1)) t(j)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, 2 AS channels, 4000 AS sample_rate,
+        |  kept AS n_frames, (44 + 4 * kept)::BIGINT AS n_bytes,
+        |  sum_l, sum_r, peak
+        |FROM sm ORDER BY doc_id""".stripMargin)),
+
     // Deterministic stub "feature extraction" from raw bytes — the
     // embedding-from-media shape with a fake feature vector.
     // The feature vector is serialized to a comma-joined string in the

@@ -238,6 +238,67 @@ class MultimodalSpec extends SparkTestBase {
     assert(row.getLong(4) == 0L && row.getLong(5) == 0L && row.getInt(6) == 1000)
   }
 
+  test("WAV resample: 2x decimation keeps every second frame at half rate, " +
+    "output is a decodable spec-complete container") {
+    import graft.functions.WavCodec
+    for (id <- Seq(0L, 3L, 17L, 123L); f <- Seq(2, 3)) {
+      val half = WavCodec.resample(WavCodec.encode(id), f)
+      assert(half != null)
+      val row = WavCodec.decode(half)
+      val n = WavCodec.frames(id)
+      val kept = (n + f - 1) / f
+      assert(row != null && row.getInt(0) == 2 &&
+        row.getInt(1) == WavCodec.SampleRate / f &&
+        row.getLong(3) == kept.toLong, s"doc $id factor $f")
+      // junk chunk dropped: minimal 44-byte header + data
+      assert(half.length == 44 + kept * 4, "normalized container size")
+      for (c <- 0 until 2) {
+        val want = (0 until kept).map(j =>
+          WavCodec.sample(id, j * f, c).toLong).sum
+        assert(row.getLong(4 + c) == want, s"channel $c of doc $id /$f")
+      }
+      val wantPeak = (0 until kept).flatMap(j => Seq(
+        math.abs(WavCodec.sample(id, j * f, 0)),
+        math.abs(WavCodec.sample(id, j * f, 1)))).max
+      assert(row.getInt(6) == wantPeak)
+    }
+  }
+
+  test("WAV resample handles odd frame counts (mono) and rejects malformed input") {
+    import graft.functions.WavCodec
+    // hand-assemble a mono file with 3 samples; factor 2 keeps 0 and 2
+    val samples = Seq(100, -700, 300)
+    val dataLen = samples.size * 2
+    val riffLen = 4 + 24 + 8 + dataLen
+    val b = new Array[Byte](8 + riffLen)
+    var o = 0
+    def ascii(s: String): Unit = s.foreach { ch => b(o) = ch.toByte; o += 1 }
+    def le32(v: Int): Unit = { (0 until 4).foreach(k => { b(o) = ((v >> (8 * k)) & 0xFF).toByte; o += 1 }) }
+    def le16(v: Int): Unit = { (0 until 2).foreach(k => { b(o) = ((v >> (8 * k)) & 0xFF).toByte; o += 1 }) }
+    ascii("RIFF"); le32(riffLen); ascii("WAVE")
+    ascii("fmt "); le32(16); le16(1); le16(1); le32(8000); le32(16000); le16(2); le16(16)
+    ascii("data"); le32(dataLen); samples.foreach(s => le16(s & 0xFFFF))
+    val row = WavCodec.decode(WavCodec.resample(b, 2))
+    assert(row != null && row.getInt(0) == 1 && row.getLong(3) == 2L)
+    assert(row.getLong(4) == 400L && row.getInt(6) == 300)
+    assert(WavCodec.resample(Array[Byte](1, 2, 3), 2) == null, "garbage")
+    assert(WavCodec.resample(WavCodec.encode(1L), 0) == null, "bad factor")
+  }
+
+  test("WAV resample runs inside codegen as a SQL function") {
+    graft.plans.GraftExtensions.register(spark)
+    val out = spark.range(0, 20).toDF("doc_id")
+      .selectExpr(
+        "graft_wav_decode(graft_wav_resample(graft_wav_encode(doc_id), 2)) AS a")
+      .selectExpr("sum(a.n_frames) AS nf", "count(a.sample_rate) AS n",
+        "min(a.sample_rate) AS sr")
+      .head()
+    val want = (0L until 20L)
+      .map(id => (graft.functions.WavCodec.frames(id) + 1) / 2).sum
+    assert(out.getLong(0) == want && out.getLong(1) == 20 &&
+      out.getInt(2) == 4000)
+  }
+
   test("WAV codec runs inside codegen as SQL functions") {
     graft.plans.GraftExtensions.register(spark)
     val out = spark.range(0, 20).toDF("doc_id")
