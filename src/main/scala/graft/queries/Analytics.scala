@@ -709,6 +709,43 @@ object Analytics {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, ts, event_id""".stripMargin)),
 
+    // SCD TYPE-2 INTERVAL BUILD — the warehouse-side twin of this
+    // library's versioned-join core: each user's event stream, ordered
+    // by (ts, event_id), becomes the validity-interval history a
+    // slowly-changing dimension table stores (valid_from = the
+    // version's ts, valid_to = the NEXT version's ts or NULL for the
+    // current row, is_current flag) — the as-of join's storage-side
+    // counterpart, and what a batch backfill of the streaming upsert
+    // state materializes. One window pass over one hash exchange on
+    // the dimension key (row_number + lead share the same sort); at
+    // 100 TB the SCD2 build is exactly this shape — no self-join, no
+    // correlated subquery.
+    Entry("q_scd2_intervals",
+      (spark, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Registry.table(spark, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .withColumn("version_seq", row_number().over(w))
+          .withColumn("valid_to", lead(col("ts"), 1).over(w))
+          .select(col("user_id"), col("version_seq"),
+            col("event_id"), col("value"),
+            col("ts").as("valid_from"), col("valid_to"),
+            when(col("valid_to").isNull, 1).otherwise(0)
+              .cast("int").as("is_current"))
+          .orderBy(col("user_id"), col("version_seq"))
+      },
+      Some("""SELECT user_id,
+        |  CAST(row_number() OVER w AS INT) AS version_seq,
+        |  event_id, value,
+        |  ts AS valid_from,
+        |  lead(ts, 1) OVER w AS valid_to,
+        |  CAST(CASE WHEN lead(ts, 1) OVER w IS NULL THEN 1 ELSE 0 END
+        |    AS INT) AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version_seq""".stripMargin)),
+
     // RANGE-frame rolling window: trailing-24h event count and value
     // sum per user at every event — the rolling-rate feature (and the
     // abuse/velocity check) computed with an event-time RANGE frame,

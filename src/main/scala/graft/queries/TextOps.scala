@@ -599,6 +599,62 @@ object TextOps {
         |  round(ds.wsum / (ds.n_tokens * tot.total), 6) AS avg_prob
         |FROM ds CROSS JOIN tot ORDER BY ds.doc_id""".stripMargin)),
 
+    // BIGRAM CONDITIONAL-PROBABILITY LM SCORE — the quality rung above
+    // t_unigram_lm (the CCNet-style LM filter, now with CONTEXT): per
+    // document the mean of p(w_i | w_{i-1}) = c(w_{i-1} w_i) /
+    // c(w_{i-1} ·), both counts corpus-trained. Unlike the unigram row
+    // there is no common denominator keeping the mean rational, so
+    // each conditional probability is fixed-point-quantized
+    // scan-locally — micro = floor(p·10⁶ + 0.5), the established
+    // half-up idiom — and the per-doc aggregation sums exact INTEGERS
+    // (order-independent, no float-accumulation hazard in either
+    // engine); the mean divides once at the end. Shuffle structure is
+    // the unigram row's plus one join: a slim (doc, w1, w2) explode,
+    // token-keyed count aggs, joins back on the bigram/context key.
+    Entry("t_bigram_lm",
+      (spark, dir) => {
+        val d = Registry.table(spark, dir, "documents")
+        val bi = d.select(col("doc_id"),
+            TextFunctions.tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(slice(t, 1, size(t) - 1), " +
+              "(x, i) -> struct(x AS w1, t[i + 1] AS w2))")).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val bc = bi.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("bcnt"))
+        val cc = bi.groupBy(col("w1"))
+          .agg(count(lit(1)).as("ccnt"))
+        bi.join(bc, Seq("w1", "w2")).join(cc, Seq("w1"))
+          .withColumn("micro",
+            floor(col("bcnt") / col("ccnt") * lit(1000000d) + lit(0.5)))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("micro")).as("micro_sum"))
+          // the mean stays in exact micro-units (half-up floor, never
+          // round(): a mean landing exactly on a 6th-decimal tie
+          // rounds HALF_UP in Spark but half-to-even in DuckDB — one
+          // corpus row hit that tie); the /1e6 rescale of an
+          // identical integer is the identical double in both engines
+          .select(col("doc_id"), col("n_bigrams"), col("micro_sum"),
+            (floor(col("micro_sum") / col("n_bigrams") + lit(0.5)) /
+              lit(1000000d)).as("avg_cond_prob"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+        |b AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM t, unnest(generate_series(1, len(toks) - 1)) g(i)),
+        |bc AS (SELECT w1, w2, count(*) AS bcnt FROM b GROUP BY 1, 2),
+        |cc AS (SELECT w1, count(*) AS ccnt FROM b GROUP BY 1),
+        |ds AS (SELECT b.doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(floor(bc.bcnt / cc.ccnt * 1000000 + 0.5)) AS BIGINT)
+        |      AS micro_sum
+        |  FROM b JOIN bc USING (w1, w2) JOIN cc USING (w1)
+        |  GROUP BY b.doc_id)
+        |SELECT doc_id, n_bigrams, micro_sum,
+        |  floor(micro_sum / n_bigrams + 0.5) / 1000000 AS avg_cond_prob
+        |FROM ds ORDER BY doc_id""".stripMargin)),
+
     // PER-LANGUAGE VOCABULARY CARDINALITY via the KMV mergeable sketch
     // ([[graft.functions.KmvSketchAgg]]) — the corpus-monitoring
     // counterpart to q_approx_distinct, with the property HLL++ cannot
