@@ -866,7 +866,82 @@ object VectorOps {
         |    ORDER BY adc, neighbor_id) AS INT) AS rank,
         |  neighbor_id, adc
         |FROM adcc QUALIFY rank <= $ivfTopK
-        |ORDER BY query_id, rank""".stripMargin))
+        |ORDER BY query_id, rank""".stripMargin)),
+
+    // TRAINED PQ CODEBOOKS — the step that makes PQ real in FAISS:
+    // one k-means M-step per subspace refines the seeded codebook to
+    // the element-wise mean of each code's assigned subvectors (the
+    // v_kmeans_lloyd3 machinery applied per subspace; FAISS iterates
+    // this 25×, one round demonstrates the full distributed shape:
+    // slim (s, code, pos) partial aggs, nothing driver-side). Means
+    // over integer-grid components are exact rationals S/n — centroids
+    // need NO rounding; refined distances leave the integer grid, so
+    // they are micro-quantized scan-locally (floor(d2·10⁶ + 0.5))
+    // to restore order-independent exact ADC sums and tie-stable
+    // argmin cross-engine.
+    Entry("ann_pq_trained_topk",
+      (spark, dir) => {
+        val dist = pqTrainedDist(spark, dir)
+        pqAdcRanked(dist, pqCodes(dist), identity, 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(pqTrainedTopkOracleSql)),
+
+    // The measured payoff of training: recall@5 of trained-codebook
+    // ADC vs the exact grid-L2 top-5, directly comparable to
+    // ann_pq_recall's seeded-codebook number. On this corpus one
+    // round moves ≈0.20 → ≈0.21: near-orthogonal random vectors have
+    // tightly-bunched distances, so 4-byte codes cannot separate a
+    // top-5 regardless of codebook quality — the same measured lesson
+    // as ann_rp_recall (0.07) vs int8 (0.98): PQ codes at this corpus
+    // geometry are a candidate-generation/coarse-ranking device, and
+    // the final list needs an int8 or float re-rank. On real
+    // embedding corpora (clustered, anisotropic) trained codebooks
+    // are what closes most of that gap, which is why FAISS iterates
+    // this exact M-step 25×.
+    Entry("ann_pq_trained_recall",
+      (spark, dir) => {
+        val exact = gridL2TopkPairs(spark, dir)
+          .select(col("query_id"), col("neighbor_id"))
+        val dist = pqTrainedDist(spark, dir)
+        val approx = pqAdcRanked(dist, pqCodes(dist), identity, 5)
+          .select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1))
+        exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_exact"),
+            count(col("hit")).as("n_hit"))
+          .withColumn("recall",
+            round(col("n_hit") / col("n_exact"), 6))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH $pqCteSql,
+        |$pqTrainedTailCteSql,
+        |adct AS (SELECT dt.vec_id AS query_id, co.vec_id AS neighbor_id,
+        |    CAST(sum(dt.dm) AS BIGINT) AS adc
+        |  FROM pqct co JOIN pqdt dt ON dt.s = co.s AND dt.cid = co.code
+        |  WHERE dt.vec_id < $queryCount AND dt.vec_id <> co.vec_id
+        |  GROUP BY dt.vec_id, co.vec_id),
+        |pt AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+        |  FROM adct) WHERE rank <= 5),
+        |exg AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_inner_product(q.g, q.g)
+        |        - 2 * list_inner_product(q.g, n.g)
+        |        + list_inner_product(n.g, n.g),
+        |      n.vec_id) AS rank
+        |  FROM gv q JOIN gv n
+        |    ON q.vec_id < $queryCount AND q.vec_id <> n.vec_id)
+        |  WHERE rank <= 5)
+        |SELECT exg.query_id, count(*) AS n_exact,
+        |  count(pt.neighbor_id) AS n_hit,
+        |  round(count(pt.neighbor_id) / count(*), 6) AS recall
+        |FROM exg LEFT JOIN pt ON pt.query_id = exg.query_id
+        |  AND pt.neighbor_id = exg.neighbor_id
+        |GROUP BY exg.query_id ORDER BY exg.query_id""".stripMargin))
   )
 
   /** Shared with StreamingOps (s30): the incremental semantic-dedup
@@ -1287,6 +1362,89 @@ object VectorOps {
   private def pqCteSql: String =
     s"""v AS ($embSql),
        |$pqTailCteSql""".stripMargin
+
+  /** The TRAINED-codebook CTE chain (assumes the [[pqTailCteSql]]
+    * names in scope): M-step means as exact integer ratios, refined
+    * distances micro-quantized, re-encoded codes — mirrors
+    * [[pqTrainedCodebook]]/[[pqTrainedDist]] op for op. */
+  private def pqTrainedTailCteSql: String =
+    s"""cbk AS (SELECT s, vec_id AS cid, xs AS cs FROM sv
+       |  WHERE vec_id < $pqCentroids),
+       |mv AS (SELECT sv.s, a.code, i AS pos, sv.xs[i] AS v
+       |  FROM sv JOIN pqc a ON a.vec_id = sv.vec_id AND a.s = sv.s,
+       |  unnest(generate_series(1, $pqSubDim)) g(i)),
+       |mn AS (SELECT s, code, pos,
+       |    CAST(sum(v) AS BIGINT) / count(*) AS c
+       |  FROM mv GROUP BY s, code, pos),
+       |cb1 AS (SELECT s, code AS cid, list(c ORDER BY pos) AS cs1
+       |  FROM mn GROUP BY s, code),
+       |cbt AS (SELECT cbk.s, cbk.cid, coalesce(cb1.cs1, cbk.cs) AS cs
+       |  FROM cbk LEFT JOIN cb1 ON cb1.s = cbk.s AND cb1.cid = cbk.cid),
+       |pqdt AS (SELECT sv.vec_id, sv.s, cbt.cid,
+       |    floor((list_inner_product(sv.xs, sv.xs)
+       |      - 2 * list_inner_product(sv.xs, cbt.cs)
+       |      + list_inner_product(cbt.cs, cbt.cs)) * 1000000 + 0.5) AS dm
+       |  FROM sv JOIN cbt ON sv.s = cbt.s),
+       |pqct AS (SELECT vec_id, s, cid AS code FROM (
+       |  SELECT vec_id, s, cid, row_number() OVER (
+       |    PARTITION BY vec_id, s ORDER BY dm, cid) AS r
+       |  FROM pqdt) WHERE r = 1)""".stripMargin
+
+  /** The trained-PQ ADC top-5 oracle. */
+  private def pqTrainedTopkOracleSql: String =
+    s"""WITH $pqCteSql,
+       |$pqTrainedTailCteSql,
+       |adct AS (SELECT dt.vec_id AS query_id, co.vec_id AS neighbor_id,
+       |    CAST(sum(dt.dm) AS BIGINT) AS adc
+       |  FROM pqct co JOIN pqdt dt ON dt.s = co.s AND dt.cid = co.code
+       |  WHERE dt.vec_id < $queryCount AND dt.vec_id <> co.vec_id
+       |  GROUP BY dt.vec_id, co.vec_id)
+       |SELECT query_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc, neighbor_id) AS INT) AS rank,
+       |  neighbor_id, adc
+       |FROM adct QUALIFY rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** One Lloyd refinement of the PQ codebook: per (subspace, code)
+    * the element-wise mean of the assigned subvectors — k-means'
+    * M-step run once per subspace, which is exactly how FAISS trains
+    * PQ codebooks (iterated). Grid components are exact integers, so
+    * each mean is the exact rational S/n computed identically in both
+    * engines — NO rounding needed on centroids at all. A code that
+    * captured no members keeps its seed subvector (can't happen here
+    * — every seed centroid IS a corpus subvector and assigns to
+    * itself at d2 = 0 — but the coalesce keeps the operator total). */
+  private def pqTrainedCodebook(spark: SparkSession, dir: String): DataFrame = {
+    val dist = pqDist(spark, dir)
+    val xs = subSlices(spark, gridded(spark, dir))
+    val means = xs.join(pqCodes(dist), Seq("vec_id", "s"))
+      .select(col("s"), col("code"), posexplode(col("xs")).as(Seq("pos", "v")))
+      .groupBy(col("s"), col("code"), col("pos"))
+      .agg((sum(col("v")).cast("long") / count(lit(1))).as("c"))
+      .groupBy(col("s"), col("code"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("s").as("m_s"), col("code"),
+        expr("transform(pc, x -> x.c)").as("cs1"))
+    pqCodebook(spark, dir)
+      .join(means, col("cb_s") === col("m_s") && col("cid") === col("code"),
+        "left")
+      .select(col("cb_s"), col("cid"),
+        coalesce(col("cs1"), col("cs")).as("cs"))
+  }
+
+  /** Distances to the TRAINED codebook, micro-quantized scan-locally
+    * (floor(d2·10⁶ + 0.5) — trained centroids are rationals, so the
+    * raw d2 is no longer integer; the fixed-point grid restores
+    * order-independent exact ADC sums and a tie-stable argmin). */
+  private def pqTrainedDist(spark: SparkSession, dir: String): DataFrame =
+    subSlices(spark, gridded(spark, dir))
+      .join(broadcast(pqTrainedCodebook(spark, dir)),
+        col("s") === col("cb_s"))
+      .select(col("vec_id"), col("s"), col("cid"),
+        floor(pqD2(col("xs"), col("cs")) * lit(1000000d) + lit(0.5))
+          .as("d2"))
+      .localCheckpoint()
 
   /** The PQ-ADC top-5 oracle — shared by ann_pq_topk and its streamed
     * serving twin s46 (whose converged code state must answer the

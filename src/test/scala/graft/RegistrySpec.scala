@@ -49,7 +49,8 @@ class RegistrySpec extends SparkTestBase {
       // per-query distance table are all fixed-size broadcasts (m, k
       // and the query panel — never data); ann_pq_recall additionally
       // carries the 20-query exact grid-L2 ground-truth BNLJ
-      "ann_pq_topk", "ann_pq_recall", "ann_ivf_pq_topk")
+      "ann_pq_topk", "ann_pq_recall", "ann_ivf_pq_topk",
+      "ann_pq_trained_topk", "ann_pq_trained_recall")
     val offenders = Registry.all.flatMap { e =>
       val df = e.fn(spark, sfDir)
       val nested = df.schema.fields.collect {
