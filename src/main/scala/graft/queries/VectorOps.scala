@@ -258,6 +258,29 @@ object VectorOps {
       (spark, dir) => lloydQuery(spark, dir, rounds = 3),
       Some(lloydOracleSql(3))),
 
+    // DISTRIBUTED PCA VIA POWER ITERATION — the other training
+    // primitive an embedding pipeline runs besides k-means: the top
+    // principal direction of the corpus (whitening / anisotropy
+    // removal / the OPQ rotation's first column). Built to be exact
+    // cross-engine by construction: (1) the uncentered second-moment
+    // matrix M = Σ x·xᵀ is accumulated over the INTEGER-GRID corpus
+    // (the PQ grid), so every M entry is an exact integer — the one
+    // genuinely data-sized aggregation, one (i, j) partial-agg
+    // shuffle of 64² slim rows per partition; (2) each power step
+    // y ← M·y is 64 SEQUENTIAL dots (M held as 64 array rows, y a
+    // 1-row broadcast) — never a groupBy float sum, so there is no
+    // accumulation-order hazard anywhere; (3) normalization divides
+    // by the sequential norm; (4) only the FINAL components are
+    // fixed-point-quantized (half-up micro), never round(). Three
+    // unrolled iterations from the all-ones seed, like
+    // v_kmeans_lloyd3; the Rayleigh quotient yᵀMy/yᵀy rides along as
+    // the dominant-eigenvalue estimate. At 100 TB: M is 64×64 — the
+    // corpus is touched ONCE, every iteration is driver-free
+    // broadcast arithmetic on a 32 KB matrix.
+    Entry("v_pca_power3",
+      (spark, dir) => pcaPowerQuery(spark, dir, 3),
+      Some(pcaPowerOracleSql(3))),
+
     // Per-label centroids as (label, pos, mean) rows — the k-means
     // M-step / IVF-training primitive, distributed the only way that
     // scales: posexplode to element rows, partial-agg on (label, pos),
@@ -1445,6 +1468,99 @@ object VectorOps {
         floor(pqD2(col("xs"), col("cs")) * lit(1000000d) + lit(0.5))
           .as("d2"))
       .localCheckpoint()
+
+  /** M = Σ x·xᵀ over the grid corpus, held as 64 array rows (i, mi)
+    * with exact-integer entries (xi·xj ≤ 10⁶, summed over the corpus
+    * — far inside double-exact integer range). The ONE data-sized
+    * aggregation of the PCA pipeline: a slim (i, j) partial-agg
+    * shuffle; everything after runs on this 64×64 broadcast. */
+  private def momentMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val gv = gridded(spark, dir)
+    val el = gv.select(col("vec_id"), posexplode(col("g")).as(Seq("i", "xi")))
+    val er = gv.select(col("vec_id").as("v2"),
+      posexplode(col("g")).as(Seq("j", "xj")))
+    el.join(er, col("vec_id") === col("v2"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("xi") * col("xj")).cast("long").as("m"))
+      .groupBy(col("i"))
+      .agg(array_sort(collect_list(struct(col("j"), col("m")))).as("jm"))
+      .select(col("i"), expr("transform(jm, x -> CAST(x.m AS DOUBLE))")
+        .as("mi"))
+  }
+
+  /** `iters` power-iteration rounds y ← normalize(M·y) from the
+    * all-ones seed, each step 64 SEQUENTIAL dots against the 1-row
+    * broadcast y (no groupBy float sum anywhere — the whole
+    * cross-engine hazard surface is avoided by construction); final
+    * components micro-quantized half-up, Rayleigh quotient yᵀMy as
+    * the dominant-eigenvalue estimate. */
+  private def pcaPowerQuery(spark: SparkSession, dir: String,
+                            iters: Int): DataFrame = {
+    val m = momentMatrix(spark, dir).localCheckpoint()
+    var y = spark.range(1)
+      .select(expr(s"transform(sequence(1, $dims), p -> CAST(1.0 AS DOUBLE))")
+        .as("y"))
+    for (_ <- 1 to iters) {
+      val comps = m.crossJoin(broadcast(y))
+        .select(col("i"), VectorFunctions.dot(col("mi"), col("y")).as("c"))
+      y = comps.groupBy()
+        .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("ic"))
+        .select(expr("transform(ic, x -> x.c)").as("raw"))
+        .withColumn("n", VectorFunctions.norm(col("raw")))
+        .select(transform(col("raw"), v => v / col("n")).as("y"))
+        .localCheckpoint()
+    }
+    val mya = m.crossJoin(broadcast(y))
+      .select(col("i"), VectorFunctions.dot(col("mi"), col("y")).as("c"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("ic"))
+      .select(expr("transform(ic, x -> x.c)").as("myv"))
+    y.crossJoin(broadcast(mya))
+      .select(col("y"), col("myv"), posexplode(col("y")).as(Seq("p0", "cr")))
+      .select((col("p0") + 1).cast("int").as("pos"),
+        (floor(col("cr") * lit(1000000d) + lit(0.5)) / lit(1000000d))
+          .as("comp"),
+        floor(VectorFunctions.dot(col("y"), col("myv")) + lit(0.5))
+          .cast("long").as("rayleigh"))
+      .orderBy(col("pos"))
+  }
+
+  /** DuckDB oracle unrolling `iters` identical power steps (ordered
+    * list rebuilds, sequential inner products, the same final
+    * micro-quantization) — the v_kmeans_lloyd3 unrolled-oracle trick
+    * applied to eigen-iteration. */
+  private def pcaPowerOracleSql(iters: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH v AS ($embSql),
+         |gv AS (SELECT vec_id,
+         |    list_transform(e, x -> CAST(floor(x * $pqGrid + 0.5) AS DOUBLE))
+         |      AS g FROM v),
+         |el AS (SELECT vec_id, i, g[i] AS xi
+         |  FROM gv, unnest(generate_series(1, $dims)) t(i)),
+         |mm AS (SELECT a.i, b.i AS j, CAST(sum(a.xi * b.xi) AS BIGINT) AS m
+         |  FROM el a JOIN el b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |mr AS (SELECT i, list(CAST(m AS DOUBLE) ORDER BY j) AS mi
+         |  FROM mm GROUP BY i),
+         |y0 AS (SELECT list_transform(generate_series(1, $dims), p -> 1.0)
+         |  AS y)""".stripMargin)
+    for (r <- 1 to iters) sb.append(s""",
+      |r$r AS (SELECT mr.i, list_inner_product(mr.mi, y${r - 1}.y) AS c
+      |  FROM mr, y${r - 1}),
+      |a$r AS (SELECT list(c ORDER BY i) AS raw FROM r$r),
+      |y$r AS (SELECT list_transform(raw,
+      |    v -> v / sqrt(list_inner_product(raw, raw))) AS y FROM a$r)""".stripMargin)
+    sb.append(s""",
+      |my AS (SELECT mr.i, list_inner_product(mr.mi, y$iters.y) AS c
+      |  FROM mr, y$iters),
+      |mya AS (SELECT list(c ORDER BY i) AS myv FROM my)
+      |SELECT CAST(p AS INT) AS pos,
+      |  floor(y$iters.y[p] * 1000000 + 0.5) / 1000000 AS comp,
+      |  CAST(floor(list_inner_product(y$iters.y, mya.myv) + 0.5) AS BIGINT)
+      |    AS rayleigh
+      |FROM y$iters, mya, unnest(generate_series(1, $dims)) t(p)
+      |ORDER BY pos""".stripMargin)
+    sb.toString
+  }
 
   /** The PQ-ADC top-5 oracle — shared by ann_pq_topk and its streamed
     * serving twin s46 (whose converged code state must answer the

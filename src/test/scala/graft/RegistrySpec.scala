@@ -50,7 +50,11 @@ class RegistrySpec extends SparkTestBase {
       // and the query panel — never data); ann_pq_recall additionally
       // carries the 20-query exact grid-L2 ground-truth BNLJ
       "ann_pq_topk", "ann_pq_recall", "ann_ivf_pq_topk",
-      "ann_pq_trained_topk", "ann_pq_trained_recall")
+      "ann_pq_trained_topk", "ann_pq_trained_recall",
+      // power iteration: every cross is a 1-row y / 64-row M
+      // broadcast — the corpus is touched once, in the moment-matrix
+      // equi-join, never by a BNLJ
+      "v_pca_power3")
     val offenders = Registry.all.flatMap { e =>
       val df = e.fn(spark, sfDir)
       val nested = df.schema.fields.collect {
