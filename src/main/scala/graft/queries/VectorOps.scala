@@ -281,6 +281,43 @@ object VectorOps {
       (spark, dir) => pcaPowerQuery(spark, dir, 3),
       Some(pcaPowerOracleSql(3))),
 
+    // PCA APPLIED — the training→application close for PCA (as
+    // t_bpe_encode is to t_bpe_train, s44/s46 to their indexes): the
+    // "all-but-the-top" embedding post-process (arXiv:1702.01417, the
+    // standard anisotropy fix) removes the learned dominant direction
+    // from every vector. With y unit-norm the residual norm needs no
+    // second pass: ‖x − (x·y)y‖² = ‖x‖² − (x·y)², so per vector the
+    // whole application is ONE sequential dot against the broadcast
+    // direction plus scalar arithmetic — scan-local, the corpus is
+    // touched once and nothing shuffles but the output sort. Both the
+    // projection coefficient and the residual norm are emitted
+    // micro-quantized.
+    Entry("v_pca_remove_top",
+      (spark, dir) => {
+        val y = pcaDirection(spark, dir, 3)
+        gridded(spark, dir).crossJoin(broadcast(y))
+          .withColumn("coef", VectorFunctions.dot(col("g"), col("y")))
+          .select(col("vec_id"),
+            (floor(col("coef") * lit(1000d) + lit(0.5)) / lit(1000d))
+              .as("coef_milli"),
+            (floor(sqrt(VectorFunctions.dot(col("g"), col("g"))
+              - col("coef") * col("coef")) * lit(1000d) + lit(0.5)) /
+              lit(1000d)).as("resid_norm_milli"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        val chain = pcaChainCteSql(3)
+        s"""$chain
+           |SELECT gv.vec_id,
+           |  floor(list_inner_product(gv.g, y3.y) * 1000 + 0.5) / 1000
+           |    AS coef_milli,
+           |  floor(sqrt(list_inner_product(gv.g, gv.g)
+           |      - list_inner_product(gv.g, y3.y)
+           |        * list_inner_product(gv.g, y3.y)) * 1000 + 0.5) / 1000
+           |    AS resid_norm_milli
+           |FROM gv, y3 ORDER BY gv.vec_id""".stripMargin
+      }),
+
     // Per-label centroids as (label, pos, mean) rows — the k-means
     // M-step / IVF-training primitive, distributed the only way that
     // scales: posexplode to element rows, partial-agg on (label, pos),
@@ -1494,8 +1531,11 @@ object VectorOps {
     * cross-engine hazard surface is avoided by construction); final
     * components micro-quantized half-up, Rayleigh quotient yᵀMy as
     * the dominant-eigenvalue estimate. */
-  private def pcaPowerQuery(spark: SparkSession, dir: String,
-                            iters: Int): DataFrame = {
+  /** The power loop itself: (M, final unit direction y) — shared by
+    * the training row (which adds the Rayleigh tail) and the
+    * application row (which only needs y). */
+  private def pcaIterate(spark: SparkSession, dir: String,
+                         iters: Int): (DataFrame, DataFrame) = {
     val m = momentMatrix(spark, dir).localCheckpoint()
     var y = spark.range(1)
       .select(expr(s"transform(sequence(1, $dims), p -> CAST(1.0 AS DOUBLE))")
@@ -1510,6 +1550,17 @@ object VectorOps {
         .select(transform(col("raw"), v => v / col("n")).as("y"))
         .localCheckpoint()
     }
+    (m, y)
+  }
+
+  /** The learned unit direction alone (the application rows' input). */
+  private def pcaDirection(spark: SparkSession, dir: String,
+                           iters: Int): DataFrame =
+    pcaIterate(spark, dir, iters)._2
+
+  private def pcaPowerQuery(spark: SparkSession, dir: String,
+                            iters: Int): DataFrame = {
+    val (m, y) = pcaIterate(spark, dir, iters)
     val mya = m.crossJoin(broadcast(y))
       .select(col("i"), VectorFunctions.dot(col("mi"), col("y")).as("c"))
       .groupBy()
@@ -1529,7 +1580,9 @@ object VectorOps {
     * list rebuilds, sequential inner products, the same final
     * micro-quantization) — the v_kmeans_lloyd3 unrolled-oracle trick
     * applied to eigen-iteration. */
-  private def pcaPowerOracleSql(iters: Int): String = {
+  /** The WITH chain through the final unit direction y{iters} —
+    * shared by the training and application oracles. */
+  private def pcaChainCteSql(iters: Int): String = {
     val sb = new StringBuilder(
       s"""WITH v AS ($embSql),
          |gv AS (SELECT vec_id,
@@ -1549,6 +1602,11 @@ object VectorOps {
       |a$r AS (SELECT list(c ORDER BY i) AS raw FROM r$r),
       |y$r AS (SELECT list_transform(raw,
       |    v -> v / sqrt(list_inner_product(raw, raw))) AS y FROM a$r)""".stripMargin)
+    sb.toString
+  }
+
+  private def pcaPowerOracleSql(iters: Int): String = {
+    val sb = new StringBuilder(pcaChainCteSql(iters))
     sb.append(s""",
       |my AS (SELECT mr.i, list_inner_product(mr.mi, y$iters.y) AS c
       |  FROM mr, y$iters),

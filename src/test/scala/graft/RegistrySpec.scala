@@ -51,10 +51,10 @@ class RegistrySpec extends SparkTestBase {
       // carries the 20-query exact grid-L2 ground-truth BNLJ
       "ann_pq_topk", "ann_pq_recall", "ann_ivf_pq_topk",
       "ann_pq_trained_topk", "ann_pq_trained_recall",
-      // power iteration: every cross is a 1-row y / 64-row M
-      // broadcast — the corpus is touched once, in the moment-matrix
-      // equi-join, never by a BNLJ
-      "v_pca_power3")
+      // power iteration + its application: every cross is a 1-row y /
+      // 64-row M broadcast — the corpus is touched once, in the
+      // moment-matrix equi-join, never by a BNLJ
+      "v_pca_power3", "v_pca_remove_top")
     val offenders = Registry.all.flatMap { e =>
       val df = e.fn(spark, sfDir)
       val nested = df.schema.fields.collect {
