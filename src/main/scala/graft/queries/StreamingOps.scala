@@ -2806,6 +2806,68 @@ object StreamingOps {
       },
       Some(VectorOps.pqTopkOracleSql)),
 
+    // STREAMING PCA TRAINING — the moment matrix M = Σ x·xᵀ is a pure
+    // SUM, so Spark's native streaming aggregation maintains it with
+    // no custom state code at all (the mergeable-sketch argument,
+    // applied to a training statistic): arriving vectors grid and
+    // fan out scan-locally to their (i, j, xi·xj) outer-product
+    // cells, a groupBy(i, j) sum in update mode accumulates them —
+    // state is exactly the 64×64 matrix, independent of corpus size —
+    // and the CONVERGED matrix runs the identical power-iteration
+    // tail, hash-matching the batch v_pca_power3 oracle bit-for-bit.
+    // The third training primitive with a streamed twin (IVF index:
+    // s25/s44, PQ codes: s46, now the PCA direction); at 100 TB the
+    // training statistic updates incrementally while the corpus
+    // streams in, and the eigenvector re-derives from 32 KB whenever
+    // wanted.
+    Entry("s47_stream_pca_moment",
+      (spark, dir) => {
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_pcam_")
+          val log = tmp.resolve("log")
+          val ckpt = tmp.resolve("ckpt")
+          try {
+            val in = sharedChunkDir(dir, "embvec", "embeddings") { p =>
+              VectorOps.embSlim(spark, dir)
+                .repartitionByRange(chunks, col("vec_id"))
+                .write.parquet(p.toString)
+            }
+            val src = spark.readStream
+              .schema("vec_id BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+            val cells = src
+              .select(col("vec_id"), VectorOps.gridOf(col("e")).as("g"))
+              .select(col("vec_id"), col("g"),
+                posexplode(col("g")).as(Seq("i", "xi")))
+              .select(col("i"), col("xi"),
+                posexplode(col("g")).as(Seq("j", "xj")))
+              .groupBy(col("i"), col("j"))
+              .agg(sum(col("xi") * col("xj")).cast("long").as("m"))
+            val q = cells.writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: DataFrame, bid: Long) =>
+                df.withColumn("bid", lit(bid))
+                  .repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            // converged matrix = each cell's LAST emitted running sum
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("i"), col("j"))
+            val entries = raw
+              .withColumn("max_bid", max(col("bid")).over(wMax))
+              .filter(col("bid") === col("max_bid"))
+              .select(col("i"), col("j"), col("m"))
+            VectorOps.pcaPowerFromMoment(spark,
+                VectorOps.momentArrays(entries).localCheckpoint(), 3)
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(VectorOps.pcaPowerOracleSql(3))),
+
     // EVENT-TIME TTL TIMERS, ACTUALLY FIRING — the one TTL behavior no
     // other driver row exercises end-to-end (s14/s17/s18/s22 size the
     // TTL beyond the replay horizon, so their timers arm but never

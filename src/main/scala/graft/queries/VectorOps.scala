@@ -1511,18 +1511,29 @@ object VectorOps {
     * — far inside double-exact integer range). The ONE data-sized
     * aggregation of the PCA pipeline: a slim (i, j) partial-agg
     * shuffle; everything after runs on this 64×64 broadcast. */
+  /** (i, j, m) moment entries → 64 ordered array rows (i, mi) —
+    * shared by the batch build and the streamed-state readback
+    * (s47), whose converged entries must produce the same arrays. */
+  private[queries] def momentArrays(entries: DataFrame): DataFrame =
+    entries
+      .groupBy(col("i"))
+      .agg(array_sort(collect_list(struct(col("j"), col("m")))).as("jm"))
+      .select(col("i"), expr("transform(jm, x -> CAST(x.m AS DOUBLE))")
+        .as("mi"))
+
+  /** The grid transform surfaced for the streaming twin (s47): the
+    * incremental moment accumulation must grid identically. */
+  private[queries] def gridOf(e: Column): Column = toGrid(e)
+
   private def momentMatrix(spark: SparkSession, dir: String): DataFrame = {
     val gv = gridded(spark, dir)
     val el = gv.select(col("vec_id"), posexplode(col("g")).as(Seq("i", "xi")))
     val er = gv.select(col("vec_id").as("v2"),
       posexplode(col("g")).as(Seq("j", "xj")))
-    el.join(er, col("vec_id") === col("v2"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("xi") * col("xj")).cast("long").as("m"))
-      .groupBy(col("i"))
-      .agg(array_sort(collect_list(struct(col("j"), col("m")))).as("jm"))
-      .select(col("i"), expr("transform(jm, x -> CAST(x.m AS DOUBLE))")
-        .as("mi"))
+    momentArrays(
+      el.join(er, col("vec_id") === col("v2"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("xi") * col("xj")).cast("long").as("m")))
   }
 
   /** `iters` power-iteration rounds y ← normalize(M·y) from the
@@ -1531,12 +1542,11 @@ object VectorOps {
     * cross-engine hazard surface is avoided by construction); final
     * components micro-quantized half-up, Rayleigh quotient yᵀMy as
     * the dominant-eigenvalue estimate. */
-  /** The power loop itself: (M, final unit direction y) — shared by
-    * the training row (which adds the Rayleigh tail) and the
-    * application row (which only needs y). */
-  private def pcaIterate(spark: SparkSession, dir: String,
-                         iters: Int): (DataFrame, DataFrame) = {
-    val m = momentMatrix(spark, dir).localCheckpoint()
+  /** The power loop from a SUPPLIED (already checkpointed) moment
+    * matrix: (M, final unit direction y) — shared by the batch
+    * training/application rows and the streamed-moment twin s47. */
+  private[queries] def pcaIterateFrom(spark: SparkSession, m: DataFrame,
+                                      iters: Int): (DataFrame, DataFrame) = {
     var y = spark.range(1)
       .select(expr(s"transform(sequence(1, $dims), p -> CAST(1.0 AS DOUBLE))")
         .as("y"))
@@ -1556,11 +1566,15 @@ object VectorOps {
   /** The learned unit direction alone (the application rows' input). */
   private def pcaDirection(spark: SparkSession, dir: String,
                            iters: Int): DataFrame =
-    pcaIterate(spark, dir, iters)._2
+    pcaIterateFrom(spark, momentMatrix(spark, dir).localCheckpoint(),
+      iters)._2
 
-  private def pcaPowerQuery(spark: SparkSession, dir: String,
-                            iters: Int): DataFrame = {
-    val (m, y) = pcaIterate(spark, dir, iters)
+  /** Power training output (pos, comp, rayleigh) from a SUPPLIED
+    * moment matrix — the tail shared by v_pca_power3 and s47 (the
+    * streamed moment state must answer identically). */
+  private[queries] def pcaPowerFromMoment(spark: SparkSession, m0: DataFrame,
+                                          iters: Int): DataFrame = {
+    val (m, y) = pcaIterateFrom(spark, m0, iters)
     val mya = m.crossJoin(broadcast(y))
       .select(col("i"), VectorFunctions.dot(col("mi"), col("y")).as("c"))
       .groupBy()
@@ -1576,12 +1590,16 @@ object VectorOps {
       .orderBy(col("pos"))
   }
 
-  /** DuckDB oracle unrolling `iters` identical power steps (ordered
-    * list rebuilds, sequential inner products, the same final
-    * micro-quantization) — the v_kmeans_lloyd3 unrolled-oracle trick
-    * applied to eigen-iteration. */
+  private def pcaPowerQuery(spark: SparkSession, dir: String,
+                            iters: Int): DataFrame =
+    pcaPowerFromMoment(spark, momentMatrix(spark, dir).localCheckpoint(),
+      iters)
+
   /** The WITH chain through the final unit direction y{iters} —
-    * shared by the training and application oracles. */
+    * shared by the training and application oracles (the
+    * v_kmeans_lloyd3 unrolled-oracle trick applied to
+    * eigen-iteration: ordered list rebuilds, sequential inner
+    * products, the same final micro-quantization). */
   private def pcaChainCteSql(iters: Int): String = {
     val sb = new StringBuilder(
       s"""WITH v AS ($embSql),
@@ -1605,7 +1623,9 @@ object VectorOps {
     sb.toString
   }
 
-  private def pcaPowerOracleSql(iters: Int): String = {
+  /** Shared with StreamingOps (s47): the streamed moment state's
+    * power output must hash-match exactly this. */
+  private[queries] def pcaPowerOracleSql(iters: Int): String = {
     val sb = new StringBuilder(pcaChainCteSql(iters))
     sb.append(s""",
       |my AS (SELECT mr.i, list_inner_product(mr.mi, y$iters.y) AS c
