@@ -1297,7 +1297,7 @@ object VectorOps {
     * projections of it (the ivfCandidates diamond lesson). The
     * subspace fan-out and the codebook are fixed-size broadcasts
     * (8 rows / 128 rows) — never data. */
-  private def pqDist(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def pqDist(spark: SparkSession, dir: String): DataFrame =
     subSlices(spark, gridded(spark, dir))
       .join(broadcast(pqCodebook(spark, dir)), col("s") === col("cb_s"))
       .select(col("vec_id"), col("s"), col("cid"),
@@ -1307,7 +1307,7 @@ object VectorOps {
   /** PQ encoding: per (vector, subspace) the argmin-d2 centroid id,
     * ties to the lower cid (matches the oracle's ORDER BY d2, cid).
     * These 4-bit codes ARE the stored corpus at 100 TB. */
-  private def pqCodes(dist: DataFrame): DataFrame =
+  private[queries] def pqCodes(dist: DataFrame): DataFrame =
     dist.groupBy(col("vec_id"), col("s"))
       .agg(max_by(col("cid"), struct(-col("d2"), -col("cid")))
         .as("code"))
@@ -1497,7 +1497,7 @@ object VectorOps {
     * (floor(d2·10⁶ + 0.5) — trained centroids are rationals, so the
     * raw d2 is no longer integer; the fixed-point grid restores
     * order-independent exact ADC sums and a tie-stable argmin). */
-  private def pqTrainedDist(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def pqTrainedDist(spark: SparkSession, dir: String): DataFrame =
     subSlices(spark, gridded(spark, dir))
       .join(broadcast(pqTrainedCodebook(spark, dir)),
         col("s") === col("cb_s"))
@@ -1525,7 +1525,7 @@ object VectorOps {
     * incremental moment accumulation must grid identically. */
   private[queries] def gridOf(e: Column): Column = toGrid(e)
 
-  private def momentMatrix(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def momentMatrix(spark: SparkSession, dir: String): DataFrame = {
     val gv = gridded(spark, dir)
     val el = gv.select(col("vec_id"), posexplode(col("g")).as(Seq("i", "xi")))
     val er = gv.select(col("vec_id").as("v2"),
