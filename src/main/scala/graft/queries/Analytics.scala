@@ -709,6 +709,54 @@ object Analytics {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, ts, event_id""".stripMargin)),
 
+    // EVENT FUNNEL (the ClickHouse windowFunnel shape): per user the
+    // earliest view → the earliest LATER click → the earliest
+    // still-later purchase, all within 7 days of the first view, and
+    // the max step reached. Each step is one conditional min-agg on
+    // the user key plus an equi-join back — never a per-user sort or
+    // a collected event array, so the plan is three small
+    // user-keyed aggregations at any scale. Pure timestamp
+    // comparisons throughout: no float anywhere, so cross-engine
+    // equality is structural.
+    Entry("q_window_funnel",
+      (spark, dir) => {
+        val ev = Registry.table(spark, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id")
+          .filter(col("ts") > col("t1") &&
+            col("ts") <= col("t1") + expr("INTERVAL 7 DAYS"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(v, "user_id").join(c, "user_id")
+          .filter(col("ts") > col("t2") &&
+            col("ts") <= col("t1") + expr("INTERVAL 7 DAYS"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+            when(col("t3").isNotNull, 3)
+              .when(col("t2").isNotNull, 2)
+              .otherwise(1).cast("int").as("max_step"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1
+        |    AND e.ts <= v.t1 + INTERVAL 7 DAY GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN v USING (user_id) JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |    AND e.ts <= v.t1 + INTERVAL 7 DAY GROUP BY 1)
+        |SELECT v.user_id, v.t1, c.t2, p.t3,
+        |  CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+        |    WHEN c.t2 IS NOT NULL THEN 2 ELSE 1 END AS INT) AS max_step
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin)),
+
     // SCD TYPE-2 INTERVAL BUILD — the warehouse-side twin of this
     // library's versioned-join core: each user's event stream, ordered
     // by (ts, event_id), becomes the validity-interval history a
