@@ -709,6 +709,43 @@ object Analytics {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, ts, event_id""".stripMargin)),
 
+    // COHORT RETENTION — the other staple of event analytics next to
+    // the funnel: users grouped by signup week (both engines truncate
+    // weeks to Monday), and for each cohort the count of users active
+    // in each week offset from signup. Two user-keyed aggregations +
+    // one distinct on slim (user, cohort, offset) rows — per-cohort
+    // matrices never materialize anywhere; pure date arithmetic
+    // (Monday-aligned week starts make the day-diff an exact multiple
+    // of 7), so cross-engine equality is structural.
+    Entry("q_retention_cohorts",
+      (spark, dir) => {
+        val ev = Registry.table(spark, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("sts"))
+          .select(col("user_id"), col("sts"),
+            to_date(date_trunc("week", col("sts"))).as("cohort_week"))
+        val act = ev.join(su, "user_id")
+          .filter(col("ts") >= col("sts"))
+          .select(col("user_id"), col("cohort_week"),
+            (datediff(to_date(date_trunc("week", col("ts"))),
+              col("cohort_week")) / 7).cast("int").as("week_offset"))
+          .distinct()
+        act.groupBy(col("cohort_week"), col("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""WITH su AS (SELECT user_id, min(ts) AS sts FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |sc AS (SELECT user_id, sts,
+        |    date_trunc('week', sts) AS cohort_week FROM su),
+        |act AS (SELECT DISTINCT e.user_id, sc.cohort_week,
+        |    CAST(date_diff('day', sc.cohort_week,
+        |      date_trunc('week', e.ts)) // 7 AS INT) AS week_offset
+        |  FROM events e JOIN sc USING (user_id) WHERE e.ts >= sc.sts)
+        |SELECT cohort_week, week_offset, count(*) AS n_users
+        |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // EVENT FUNNEL (the ClickHouse windowFunnel shape): per user the
     // earliest view → the earliest LATER click → the earliest
     // still-later purchase, all within 7 days of the first view, and
