@@ -34,12 +34,24 @@ object BmpCodec {
   final val PixelMod = 251
   final val HeaderLen = 54
 
-  def width(docId: Long): Int = (4 + (docId % 5)).toInt
-  def height(docId: Long): Int = (5 + (docId % 4)).toInt
+  // floorMod keeps the derived dimensions/values in range for ANY
+  // doc_id (a negative id through the registered SQL function must
+  // yield a well-formed container, not a degenerate one); identical
+  // to % for the non-negative ids the oracles enumerate.
+  def width(docId: Long): Int = (4 + Math.floorMod(docId, 5L)).toInt
+  def height(docId: Long): Int = (5 + Math.floorMod(docId, 4L)).toInt
   /** c: 0=R, 1=G, 2=B; (x, y) with y=0 the TOP image row. */
   def pixel(docId: Long, x: Int, y: Int, c: Int): Int =
-    ((docId * 7 + y * 31 + x * 13 + c * 5) % PixelMod).toInt
+    Math.floorMod(docId * 7 + y * 31 + x * 13 + c * 5, PixelMod.toLong).toInt
+  /** Callers must bound w first ([[maxWidth]]): stride overflows Int
+    * beyond it. */
   def stride(w: Int): Int = ((w * 3 + 3) / 4) * 4
+  /** Largest header width for which stride() cannot overflow Int. A
+    * crafted header beyond it must be REJECTED before stride is
+    * computed — the negative stride would otherwise pass the Long
+    * bounds check and crash the pixel loop instead of returning the
+    * documented null. */
+  final val maxWidth: Int = (Int.MaxValue - 3) / 3
 
   /** Emit a spec-complete BITMAPFILEHEADER + BITMAPINFOHEADER + padded
     * bottom-up BGR pixel array (biSizeImage left 0, legal for BI_RGB). */
@@ -98,8 +110,9 @@ object BmpCodec {
     val hRaw = le32(22) // negative = top-down storage
     val bpp = le16(28)
     val compression = le32(30)
-    val h = math.abs(hRaw)
-    if (bpp != 24 || compression != 0 || w <= 0 || h == 0) return null
+    val h = math.abs(hRaw) // Int.MinValue stays negative -> h <= 0 rejects
+    if (bpp != 24 || compression != 0 || w <= 0 || w > maxWidth || h <= 0)
+      return null
     val st = stride(w)
     if (pixOff < HeaderLen || pixOff.toLong + st.toLong * h > b.length) return null
     var sumR = 0L; var sumG = 0L; var sumB = 0L
@@ -137,8 +150,9 @@ object BmpCodec {
     val hRaw = le32r(22)
     val bpp = le16r(28)
     val compression = le32r(30)
-    val h = math.abs(hRaw)
-    if (bpp != 24 || compression != 0 || w <= 0 || h == 0) return null
+    val h = math.abs(hRaw) // Int.MinValue stays negative -> h <= 0 rejects
+    if (bpp != 24 || compression != 0 || w <= 0 || w > maxWidth || h <= 0)
+      return null
     val srcSt = stride(w)
     if (pixOff < HeaderLen || pixOff.toLong + srcSt.toLong * h > b.length) return null
     val st = stride(outW)

@@ -37,10 +37,16 @@ object WavCodec {
     * [-1001, +1001] and sign-extension bugs cannot hide. */
   final val SampleMod = 2003
 
-  def frames(docId: Long): Int = (64 + (docId % 5) * 16).toInt
+  // floorMod keeps frame counts/samples well-defined for ANY doc_id —
+  // a negative id through the registered SQL function must yield a
+  // well-formed container (plain % would give negative frames() and a
+  // NegativeArraySizeException); identical to % for the non-negative
+  // ids the oracles enumerate.
+  def frames(docId: Long): Int = (64 + Math.floorMod(docId, 5L) * 16).toInt
   /** Sample for frame i, channel c (0 = left, 1 = right) ∈ [-1001, 1001]. */
   def sample(docId: Long, i: Int, c: Int): Int =
-    (((docId * 31 + i.toLong * 17 + c.toLong * 7) % SampleMod) - 1001).toInt
+    (Math.floorMod(docId * 31 + i.toLong * 17 + c.toLong * 7,
+      SampleMod.toLong) - 1001).toInt
 
   private val junk = "graft junk chunk".getBytes("US-ASCII") // even length
 
@@ -104,16 +110,23 @@ object WavCodec {
     val riffEnd = math.min(b.length.toLong, 8L + le32(4))
     // walk chunks: [id:4][size:4][payload:size][pad to even]
     var off = 12L
-    var fmtOff = -1L; var dataOff = -1L; var dataLen = -1
+    var fmtOff = -1L; var fmtLen = -1; var dataOff = -1L; var dataLen = -1
     while (off + 8 <= riffEnd && (fmtOff < 0 || dataOff < 0)) {
       val id = tag(off.toInt)
       val size = le32(off.toInt + 4)
       if (size < 0 || off + 8 + size > riffEnd) return null
-      if (id == "fmt ") fmtOff = off + 8
+      if (id == "fmt ") { fmtOff = off + 8; fmtLen = size }
       else if (id == "data") { dataOff = off + 8; dataLen = size }
       off += 8 + size + (size & 1) // chunks are word-aligned
     }
     if (fmtOff < 0 || dataOff < 0 || dataLen < 0) return null
+    // the fmt fields read below span 16 bytes: a truncated fmt chunk
+    // (declared size < 16, legal as the last chunk in the file) must
+    // be rejected, not read past — null-on-malformed, never a throw
+    if (fmtLen < 16) return null
+    // implied by the walk's riffEnd bound (riffEnd <= b.length), made
+    // explicit: the sample scan below must stay inside the buffer
+    if (dataOff + dataLen > b.length) return null
     val audioFormat = le16(fmtOff.toInt)
     val channels = le16(fmtOff.toInt + 2)
     val sampleRate = le32(fmtOff.toInt + 4)
@@ -160,16 +173,18 @@ object WavCodec {
     if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return null
     val riffEnd = math.min(b.length.toLong, 8L + le32r(4))
     var off = 12L
-    var fmtOff = -1L; var dataOff = -1L; var dataLen = -1
+    var fmtOff = -1L; var fmtLen = -1; var dataOff = -1L; var dataLen = -1
     while (off + 8 <= riffEnd && (fmtOff < 0 || dataOff < 0)) {
       val id = tag(off.toInt)
       val size = le32r(off.toInt + 4)
       if (size < 0 || off + 8 + size > riffEnd) return null
-      if (id == "fmt ") fmtOff = off + 8
+      if (id == "fmt ") { fmtOff = off + 8; fmtLen = size }
       else if (id == "data") { dataOff = off + 8; dataLen = size }
       off += 8 + size + (size & 1)
     }
     if (fmtOff < 0 || dataOff < 0 || dataLen < 0) return null
+    if (fmtLen < 16) return null // truncated fmt chunk: reject, don't overread
+    if (dataOff + dataLen > b.length) return null
     val audioFormat = le16r(fmtOff.toInt)
     val channels = le16r(fmtOff.toInt + 2)
     val sampleRate = le32r(fmtOff.toInt + 4)

@@ -119,6 +119,18 @@ object Registry {
       cte("events", Seq("CAST(ts AS TIMESTAMP) AS ts"))).mkString(",\n")
     val t = sql.dropWhile(_.isWhitespace)
     val up = t.toUpperCase
+    // `documents`/`embeddings`/`events` are RESERVED CTE names in
+    // oracle SQL (part of the Entry contract): this splice prepends
+    // them, so an oracle defining its own CTE with one of those names
+    // would produce a duplicate-CTE error in DuckDB. Fail loudly at
+    // dump time (sbt-guarded via RegistrySpec running every oracle
+    // through this) instead of handing DuckDB a broken statement.
+    for (name <- Seq("documents", "embeddings", "events")) {
+      val clash = s"(?is).*[,(\\s]$name\\s+AS\\s*\\(.*".r
+      require(!clash.matches(" " + t), // pad so a leading match still hits
+        s"oracle SQL defines a CTE named '$name', which mirrorCanonicalSql " +
+          s"reserves for the canonical-cast table CTEs — rename the CTE")
+    }
     if (up.startsWith("WITH RECURSIVE"))
       "WITH RECURSIVE " + ctes + ",\n" +
         t.substring("WITH RECURSIVE".length).dropWhile(_.isWhitespace)

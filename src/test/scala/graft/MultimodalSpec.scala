@@ -308,4 +308,42 @@ class MultimodalSpec extends SparkTestBase {
     val want = (0L until 20L).map(id => graft.functions.WavCodec.frames(id).toLong).sum
     assert(out.getLong(0) == want && out.getLong(1) == 20)
   }
+
+  test("codec hardening: crafted headers return null and negative ids " +
+      "encode well-formed containers (never throw)") {
+    import graft.functions.{BmpCodec, WavCodec}
+    def patch32(b: Array[Byte], off: Int, v: Int): Array[Byte] = {
+      val c = b.clone()
+      (0 until 4).foreach(k => c(off + k) = ((v >> (8 * k)) & 0xFF).toByte)
+      c
+    }
+    // BMP width whose stride overflows Int: the negative stride would
+    // pass the Long bounds check and crash the pixel loop — must be
+    // rejected up front as null
+    val wide = patch32(BmpCodec.encode(0L), 18, 800000000)
+    assert(BmpCodec.decode(wide) == null, "overflow width decode")
+    assert(BmpCodec.resize(wide, 4, 4) == null, "overflow width resize")
+    // height Int.MinValue: abs() stays negative — must reject
+    val deep = patch32(BmpCodec.encode(0L), 22, Int.MinValue)
+    assert(BmpCodec.decode(deep) == null, "MinValue height")
+    // WAV with a TRUNCATED fmt chunk as the last chunk in the file:
+    // the 16 declared fmt fields would read past the buffer
+    val dataLen = 0
+    val riffLen = 4 + (8 + dataLen) + (8 + 4) // data first, short fmt last
+    val t = new Array[Byte](8 + riffLen)
+    var o = 0
+    def ascii(s: String): Unit = s.foreach { ch => t(o) = ch.toByte; o += 1 }
+    def le32(v: Int): Unit = { (0 until 4).foreach(k => { t(o) = ((v >> (8 * k)) & 0xFF).toByte; o += 1 }) }
+    ascii("RIFF"); le32(riffLen); ascii("WAVE")
+    ascii("data"); le32(dataLen)
+    ascii("fmt "); le32(4); le32(1) // only 4 of the 16 fmt bytes exist
+    assert(WavCodec.decode(t) == null, "truncated fmt chunk decode")
+    assert(WavCodec.resample(t, 2) == null, "truncated fmt chunk resample")
+    // negative ids: encoders must emit well-formed containers that
+    // round-trip (floorMod-derived dimensions), not throw
+    val bmp = BmpCodec.decode(BmpCodec.encode(-7L))
+    assert(bmp != null && bmp.getInt(0) == BmpCodec.width(-7L))
+    val wav = WavCodec.decode(WavCodec.encode(-7L))
+    assert(wav != null && wav.getLong(3) == WavCodec.frames(-7L).toLong)
+  }
 }

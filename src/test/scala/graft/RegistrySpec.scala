@@ -135,6 +135,28 @@ class RegistrySpec extends SparkTestBase {
         s"CAST(... AS BIGINT): $offenders")
   }
 
+  // mirrorCanonicalSql prepends CTEs named documents/embeddings/events
+  // to every dumped oracle, so those names are RESERVED: an oracle
+  // defining its own CTE with one of them would hand DuckDB a
+  // duplicate-CTE statement. The splice now rejects such oracles with
+  // a loud require(); this runs every registered oracle through it so
+  // a future collision fails in sbt, not in the driver's dump.
+  test("every oracle survives the canonical-cast CTE splice (reserved names)") {
+    Registry.all.foreach { e =>
+      e.oracle.foreach { sql =>
+        val mirrored = Registry.mirrorCanonicalSql(sql, "/dev/null")
+        assert(mirrored.contains("documents AS (SELECT"),
+          s"${e.name}: splice did not inject the canonical CTEs")
+      }
+    }
+    // and the guard itself fires on a clashing oracle
+    val clash = intercept[IllegalArgumentException] {
+      Registry.mirrorCanonicalSql(
+        "WITH events AS (SELECT 1 AS x) SELECT * FROM events", "/dev/null")
+    }
+    assert(clash.getMessage.contains("reserve"))
+  }
+
   test("every query has a DuckDB oracle (or is explicitly exempt)") {
     val exempt = Set.empty[String] // rows-only checks allowed, but list them
     val missing = Registry.all.filter(e => e.oracle.isEmpty &&
