@@ -1525,16 +1525,23 @@ object VectorOps {
     * incremental moment accumulation must grid identically. */
   private[queries] def gridOf(e: Column): Column = toGrid(e)
 
-  private[queries] def momentMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val gv = gridded(spark, dir)
-    val el = gv.select(col("vec_id"), posexplode(col("g")).as(Seq("i", "xi")))
-    val er = gv.select(col("vec_id").as("v2"),
-      posexplode(col("g")).as(Seq("j", "xj")))
+  /** The 64×64 moment matrix Σ x·xᵀ, built SCAN-LOCALLY: each gridded
+    * vector fans out to its (i, j, xi·xj) outer-product cells inside
+    * the scan (two chained posexplodes — no join, so no data-sized
+    * shuffle anywhere in the PCA pipeline), and the only exchange is
+    * the partial-aggregated 4,096 fixed (i, j) groups. This is
+    * exactly the fan-out s47's streaming twin runs per microbatch, so
+    * batch and streamed moments accumulate through the identical
+    * arithmetic. (The previous shape self-joined two posexploded
+    * copies on vec_id — linear too, but it shuffled 2×(n·64) slim
+    * rows first; PqPcaSpec pins the join-free plan.) */
+  private[queries] def momentMatrix(spark: SparkSession, dir: String): DataFrame =
     momentArrays(
-      el.join(er, col("vec_id") === col("v2"))
+      gridded(spark, dir)
+        .select(col("g"), posexplode(col("g")).as(Seq("i", "xi")))
+        .select(col("i"), col("xi"), posexplode(col("g")).as(Seq("j", "xj")))
         .groupBy(col("i"), col("j"))
         .agg(sum(col("xi") * col("xj")).cast("long").as("m")))
-  }
 
   /** `iters` power-iteration rounds y ← normalize(M·y) from the
     * all-ones seed, each step 64 SEQUENTIAL dots against the 1-row

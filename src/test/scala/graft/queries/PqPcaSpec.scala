@@ -24,6 +24,20 @@ class PqPcaSpec extends graft.SparkTestBase {
     assert(dup == 0, "duplicate code for a (vector, subspace)")
   }
 
+  // The moment stage must stay JOIN-FREE: each vector fans out to its
+  // (i, j, xi·xj) cells inside the scan and only the 4,096-group
+  // partial agg exchanges. The join shape it replaces (posexploded
+  // self-join on vec_id) was linear too but shuffled 2×(n·64) slim
+  // rows before the agg — this pins the better plan so a refactor
+  // cannot silently reintroduce the data-sized shuffle.
+  test("PCA moment matrix plan is join-free (scan-local outer product)") {
+    val m = VectorOps.momentMatrix(spark, sfDir)
+    val plan = m.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"moment stage gained a join:\n$plan")
+    // and it still carries the full fixed-size matrix
+    assert(m.count() == 64L)
+  }
+
   test("k-means monotonicity: one M-step does not increase total " +
     "PQ quantization distortion") {
     def assignedDistortion(dist: org.apache.spark.sql.DataFrame): Double =
