@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
 /** A REAL image decode rung for the multimodal pipeline (replacing the
@@ -128,6 +129,66 @@ object BmpCodec {
     }
     new GenericInternalRow(Array[Any](
       w, h, bpp, w.toLong * h, sumR, sumG, sumB))
+  }
+
+  /** REAL feature extraction: parse the container (same validation as
+    * [[decode]]) and MEAN-POOL the pixels over a `gw`×`gh` cell grid —
+    * source pixel (x, y) (top-row coordinates) contributes to cell
+    * (⌊x·gw/w⌋, ⌊y·gh/h⌋), the standard pooling assignment — into a
+    * fixed `gw·gh·3`-dim integer feature vector: feature index
+    * (cy·gw + cx)·3 + c, value ⌊cellSum·1000 / cellCount⌋ (the
+    * per-channel cell mean on a fixed 1e-3 integer grid, so the value
+    * is EXACT cross-engine — no float accumulation anywhere). Handles
+    * both row orders; null on malformed input or when the image is
+    * smaller than the grid (an empty cell has no mean). */
+  def pool(b: Array[Byte], gw: Int, gh: Int): GenericArrayData = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def le32(off: Int): Int =
+      u8(off) | (u8(off + 1) << 8) | (u8(off + 2) << 16) | (u8(off + 3) << 24)
+    def le16(off: Int): Int = u8(off) | (u8(off + 1) << 8)
+    if (gw <= 0 || gh <= 0) return null
+    if (b.length < HeaderLen || b(0) != 'B' || b(1) != 'M') return null
+    val pixOff = le32(10)
+    val w = le32(18)
+    val hRaw = le32(22)
+    val bpp = le16(28)
+    val compression = le32(30)
+    val h = math.abs(hRaw)
+    if (bpp != 24 || compression != 0 || w <= 0 || w > maxWidth || h <= 0)
+      return null
+    if (w < gw || h < gh) return null // a grid cell would be empty
+    val st = stride(w)
+    if (pixOff < HeaderLen || pixOff.toLong + st.toLong * h > b.length) return null
+    val cells = gw * gh
+    val sums = new Array[Long](cells * 3)
+    val counts = new Array[Long](cells)
+    var sy = 0
+    while (sy < h) {
+      val y = if (hRaw > 0) h - 1 - sy else sy // top-row coordinate
+      val cy = y * gh / h
+      var x = 0
+      while (x < w) {
+        val cell = cy * gw + x * gw / w
+        val o = pixOff + sy * st + x * 3
+        sums(cell * 3 + 2) += u8(o)     // B
+        sums(cell * 3 + 1) += u8(o + 1) // G
+        sums(cell * 3) += u8(o + 2)     // R
+        counts(cell) += 1
+        x += 1
+      }
+      sy += 1
+    }
+    val feats = new Array[Long](cells * 3)
+    var ci = 0
+    while (ci < cells) {
+      var c = 0
+      while (c < 3) {
+        feats(ci * 3 + c) = sums(ci * 3 + c) * 1000L / counts(ci)
+        c += 1
+      }
+      ci += 1
+    }
+    new GenericArrayData(feats)
   }
 
   /** REAL resize: parse the container (same validation as [[decode]]),
@@ -274,4 +335,42 @@ case class BmpResizeExpr(child: Expression, outW: Int, outH: Int)
     copy(child = newChild)
 
   override def prettyName: String = "graft_bmp_resize"
+}
+
+/** binary BMP payload → `gw·gh·3`-dim bigint feature vector (the
+  * per-cell per-channel fixed-point means — see [[BmpCodec.pool]]);
+  * null for non-BMP input or an image smaller than the grid. The grid
+  * shape is a plan-time constant (a feature extractor's output
+  * dimensionality is part of the model contract), so codegen emits
+  * one static call per row. */
+case class BmpPoolExpr(child: Expression, gridW: Int, gridH: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (gridW <= 0 || gridH <= 0)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName grid shape must be positive, got ${gridW}x$gridH")
+    else child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a binary argument, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    BmpCodec.pool(v.asInstanceOf[Array[Byte]], gridW, gridH)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.BmpCodec.pool($c, $gridW, $gridH);
+      |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): BmpPoolExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_bmp_pool"
 }

@@ -196,18 +196,15 @@ object MultimodalPipeline {
     (staged, chunks)
   }
 
-  /** STUB feature extraction: a real pipeline would run a model over
-    * decoded media; here a deterministic 4-dim count vector from the
-    * raw bytes keeps the (id, array<bigint>) feature shape real. The
-    * decoded-pixel inputs such a model would consume exist for real in
-    * the BMP rung ([[decodeBmp]] / m_image_decode) — a model stage
-    * slots between that decode and this feature shape. */
-  def featureStub(df: DataFrame, src: Column): DataFrame =
-    df.select(col("doc_id"),
-      array(
-        length(src).cast("long"),
-        size(split(src, " ")).cast("long"),
-        (length(src) - length(regexp_replace(src, "[aeiou]", ""))).cast("long"),
-        (length(src) - length(regexp_replace(src, "[0-9]", ""))).cast("long")
-      ).as("features"))
+  /** REAL feature extraction: binary 24bpp BMP → `gw·gh·3`-dim bigint
+    * feature vector (per-cell per-channel mean-pooled pixels on a
+    * fixed 1e-3 integer grid — the classic pooled-statistics image
+    * descriptor a pretrained model's embedding replaces 1:1), null on
+    * malformed input. Scan-local native codegen expression (see
+    * [[graft.functions.BmpPoolExpr]]); the output feeds the ANN /
+    * vector-index family directly (ann_media_topk). */
+  def poolBmp(payload: Column, gridW: Int, gridH: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.BmpPoolExpr(
+        org.apache.spark.sql.graft.Bridge.expression(payload), gridW, gridH))
 }

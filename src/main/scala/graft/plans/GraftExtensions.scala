@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{BmpDecodeExpr, BmpEncodeExpr, BmpResizeExpr, DotProductExpr, KmvSketchAgg, PrioritySampleAgg, RollingHashExpr, WavDecodeExpr, WavEncodeExpr, WavResampleExpr}
+import graft.functions.{BmpDecodeExpr, BmpEncodeExpr, BmpPoolExpr, BmpResizeExpr, DotProductExpr, KmvSketchAgg, PrioritySampleAgg, RollingHashExpr, WavDecodeExpr, WavEncodeExpr, WavResampleExpr}
 
 /** Session-extension wiring for the library's native expressions —
   * the `SparkSessionExtensions` integration point, so a cluster deploy
@@ -101,6 +101,18 @@ object GraftExtensions {
             BmpResizeExpr(args.head, w, h)
           case other => throw new IllegalArgumentException(
             s"graft_bmp_resize target shape must be integer literals, got $other")
+        }
+      }), (
+      FunctionIdentifier("graft_bmp_pool"),
+      new ExpressionInfo(classOf[BmpPoolExpr].getName, "graft_bmp_pool"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_bmp_pool(payload, grid_w, grid_h) takes three arguments")
+        (args(1), args(2)) match {
+          case (Literal(w: Int, IntegerType), Literal(h: Int, IntegerType)) =>
+            BmpPoolExpr(args.head, w, h)
+          case other => throw new IllegalArgumentException(
+            s"graft_bmp_pool grid shape must be integer literals, got $other")
         }
       }), (
       FunctionIdentifier("graft_wav_encode"),

@@ -366,26 +366,107 @@ object MultimodalOps {
         |  sum_l, sum_r, peak
         |FROM sm ORDER BY doc_id""".stripMargin)),
 
-    // Deterministic stub "feature extraction" from raw bytes — the
-    // embedding-from-media shape with a fake feature vector.
-    // The feature vector is serialized to a comma-joined string in the
-    // final projection (fixed order, so lossless): the driver's
-    // comparator cannot sort/hash array cells.
-    Entry("m_feature_stub",
+    // REAL feature extraction over the REAL decode — the
+    // embedding-from-media stage made genuine end to end: each
+    // document's BMP payload is mean-pooled over a 4×4 cell grid into
+    // a 48-dim integer feature vector (per-cell per-channel pixel
+    // means on a fixed 1e-3 grid — the pooled-statistics descriptor a
+    // pretrained model's embedding replaces 1:1) by BmpPoolExpr, which
+    // PARSES the actual container; the closed-form pixel pattern makes
+    // every cell mean analytic, so the whole encode→decode→pool chain
+    // is hash-checked. Scan-local native codegen (no shuffle, no UDF);
+    // at 100 TB this is the embarrassingly parallel featurize stage
+    // between decode and vector indexing, and ann_media_topk below
+    // consumes exactly these vectors. The feature vector is serialized
+    // to a comma-joined string in the final projection (fixed order,
+    // so lossless): the driver's comparator cannot sort/hash array
+    // cells.
+    Entry("m_feature_pool",
       (spark, dir) => {
-        val d = Registry.table(spark, dir, "documents")
-        MultimodalPipeline.featureStub(d, col("text"))
+        val d = Registry.table(spark, dir, "documents").select(col("doc_id"))
+        d.withColumn("payload", MultimodalPipeline.encodeBmp(col("doc_id")))
+          .withColumn("f", MultimodalPipeline.poolBmp(col("payload"), 4, 4))
           .select(col("doc_id"),
-            concat_ws(",", col("features").cast("array<string>"))
-              .as("features"))
+            size(col("f")).cast("long").as("n_dims"),
+            concat_ws(",", col("f").cast("array<string>")).as("features"))
           .orderBy(col("doc_id"))
       },
-      Some("""SELECT doc_id,
-        |  array_to_string([length(text),
-        |   len(string_split(text, ' ')),
-        |   length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')),
-        |   length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
-        |  ]::BIGINT[], ',') AS features
-        |FROM documents ORDER BY doc_id""".stripMargin))
+      Some(featurePoolCtes + "\n" +
+        """SELECT doc_id, 48::BIGINT AS n_dims,
+        |  string_agg(f::VARCHAR, ',' ORDER BY cell*3 + c) AS features
+        |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ANN OVER MEDIA-DERIVED FEATURES — closes the decode → featurize
+    // → index loop: brute-force cosine top-5 for an 8-image query
+    // panel against the corpus, over the m_feature_pool vectors (not
+    // the embeddings table — these features came out of real decoded
+    // pixels). Same exactness-baseline shape as ann_topk_bruteforce
+    // (the broadcast side is the fixed query panel, never the data);
+    // the documented scale path is identical too: bucket the pooled
+    // vectors with the existing LSH/IVF rungs — they consume any
+    // (id, array) input, this query just derives that input from
+    // media. All arithmetic is exact cross-engine: integer features,
+    // integer dot products, and IEEE sqrt/division are exactly
+    // rounded.
+    Entry("ann_media_topk",
+      (spark, dir) => {
+        val d = Registry.table(spark, dir, "documents").select(col("doc_id"))
+        val feats = d
+          .withColumn("payload", MultimodalPipeline.encodeBmp(col("doc_id")))
+          .withColumn("f", MultimodalPipeline.poolBmp(col("payload"), 4, 4))
+          .select(col("doc_id"), col("f").cast("array<double>").as("e"))
+          .withColumn("nrm",
+            sqrt(graft.functions.VectorFunctions.dot(col("e"), col("e"))))
+        val q = feats.filter(col("doc_id") < 8)
+          .select(col("doc_id").as("query_id"), col("e").as("qe"),
+            col("nrm").as("qn"))
+        val n = feats.select(col("doc_id").as("neighbor_id"),
+          col("e").as("ne"), col("nrm").as("nn"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        q.join(n, col("query_id") =!= col("neighbor_id"))
+          .withColumn("sim",
+            round(graft.functions.VectorFunctions.dot(col("qe"), col("ne")) /
+              (col("qn") * col("nn")), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(featurePoolCtes + ",\n" +
+        """v AS (SELECT doc_id, list(f::DOUBLE ORDER BY cell*3 + c) AS e
+        |  FROM pc GROUP BY doc_id)
+        |SELECT q.doc_id AS query_id,
+        |  CAST(row_number() OVER (PARTITION BY q.doc_id
+        |    ORDER BY round(list_inner_product(q.e, n.e) /
+        |      (sqrt(list_inner_product(q.e, q.e)) *
+        |       sqrt(list_inner_product(n.e, n.e))), 6) DESC, n.doc_id)
+        |    AS INT) AS rank,
+        |  n.doc_id AS neighbor_id,
+        |  round(list_inner_product(q.e, n.e) /
+        |    (sqrt(list_inner_product(q.e, q.e)) *
+        |     sqrt(list_inner_product(n.e, n.e))), 6) AS sim
+        |FROM v q JOIN v n ON q.doc_id < 8 AND q.doc_id <> n.doc_id
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin))
   )
+
+  /** Shared analytic replay of the encode→pool chain (4×4 grid, 48
+    * dims): per (doc, cell, channel) the fixed-point mean of the
+    * closed-form pixel pattern — the oracle-side twin of
+    * [[graft.functions.BmpCodec.pool]] over
+    * [[graft.functions.BmpCodec.encode]]. Callers append their final
+    * SELECT (`"\n"`) or a further CTE (`",\n"`). */
+  private val featurePoolCtes: String =
+    """WITH g AS (SELECT doc_id, (4 + doc_id % 5)::INT AS w,
+    |    (5 + doc_id % 4)::INT AS h
+    |  FROM documents),
+    |pc AS (SELECT doc_id, ((y*4)//h)*4 + (x*4)//w AS cell, c,
+    |    CAST(sum((doc_id*7 + y*31 + x*13 + c*5) % 251) * 1000
+    |      // count(*) AS BIGINT) AS f
+    |  FROM g, unnest(generate_series(0, w - 1)) gx(x),
+    |    unnest(generate_series(0, h - 1)) gy(y),
+    |    unnest(generate_series(0, 2)) gc(c)
+    |  GROUP BY doc_id, cell, c)""".stripMargin
 }

@@ -189,6 +189,53 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.getLong(0) == 20L * 16 && out.getLong(1) == 20)
   }
 
+  test("BMP pool: cell means match the closed-form pattern, both row " +
+      "orders; malformed and too-small inputs are null") {
+    import graft.functions.BmpCodec
+    def wantFeats(id: Long): Seq[Long] = {
+      val w = BmpCodec.width(id); val h = BmpCodec.height(id)
+      val sums = Array.fill(48)(0L); val counts = Array.fill(16)(0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val cell = (y * 4 / h) * 4 + (x * 4 / w)
+        counts(cell) += 1
+        for (c <- 0 until 3)
+          sums(cell * 3 + c) += BmpCodec.pixel(id, x, y, c)
+      }
+      (0 until 48).map(i => sums(i) * 1000L / counts(i / 3))
+    }
+    for (id <- 0L until 20L) {
+      val arr = BmpCodec.pool(BmpCodec.encode(id), 4, 4)
+      assert(arr != null, s"doc $id")
+      assert(arr.toLongArray().toSeq == wantFeats(id), s"doc $id features")
+    }
+    // top-down storage pools to the identical features
+    val id = 5L
+    val b = BmpCodec.encode(id)
+    val h = BmpCodec.height(id); val w = BmpCodec.width(id)
+    val st = BmpCodec.stride(w)
+    val neg = -h
+    val flipped = b.clone()
+    flipped(22) = (neg & 0xFF).toByte; flipped(23) = ((neg >> 8) & 0xFF).toByte
+    flipped(24) = ((neg >> 16) & 0xFF).toByte
+    flipped(25) = ((neg >> 24) & 0xFF).toByte
+    for (r <- 0 until h)
+      System.arraycopy(b, 54 + (h - 1 - r) * st, flipped, 54 + r * st, st)
+    assert(BmpCodec.pool(flipped, 4, 4).toLongArray().toSeq == wantFeats(id))
+    assert(BmpCodec.pool(Array[Byte](1, 2, 3), 4, 4) == null, "garbage")
+    assert(BmpCodec.pool(BmpCodec.encode(0L), 16, 16) == null,
+      "grid larger than the image (min width 4): a cell would be empty")
+    assert(BmpCodec.pool(BmpCodec.encode(0L), 0, 4) == null, "bad grid")
+  }
+
+  test("BMP pool runs inside codegen as a SQL function") {
+    graft.plans.GraftExtensions.register(spark)
+    val out = spark.range(0, 20).toDF("doc_id")
+      .selectExpr("graft_bmp_pool(graft_bmp_encode(doc_id), 4, 4) AS f")
+      .selectExpr("sum(size(f)) AS dims", "count(*) AS n")
+      .head()
+    assert(out.getLong(0) == 20L * 48 && out.getLong(1) == 20)
+  }
+
   test("WAV codec round trip: chunk-walked decode recovers the closed-form stats") {
     import graft.functions.WavCodec
     for (id <- Seq(0L, 1L, 2L, 3L, 4L, 9L, 250L)) {

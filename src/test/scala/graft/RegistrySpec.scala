@@ -51,6 +51,9 @@ class RegistrySpec extends SparkTestBase {
       // carries the 20-query exact grid-L2 ground-truth BNLJ
       "ann_pq_topk", "ann_pq_recall", "ann_ivf_pq_topk",
       "ann_pq_trained_topk", "ann_pq_trained_recall",
+      // media-feature twin of the brute-force exactness baseline: the
+      // 8-query pooled-feature panel broadcast against the corpus
+      "ann_media_topk",
       // power iteration + its application: every cross is a 1-row y /
       // 64-row M broadcast — the corpus is touched once, in the
       // moment-matrix equi-join, never by a BNLJ
