@@ -1071,6 +1071,28 @@ object StreamingOps {
       },
       Some(ReferenceJoins.j4OracleSql)),
 
+    // C5/J5 (inner, the reference's defined-but-never-wired cogroup
+    // body promoted first-class) on transformWithState — completing
+    // the J1–J5 matrix on BOTH state-API generations as driver rows
+    // (s10 proved it on flatMapGroupsWithState). Same RocksDB +
+    // beyond-horizon TTL config as s20; converges to the one batch J5
+    // oracle through s10's verbatim projection.
+    Entry("s49_stream_tws_inner",
+      (spark, dir) => { import spark.implicits._
+        VersionedStreamJoin.withStateStoreProvider(spark) {
+          runFileStream(spark, dir) { src =>
+            graft.streaming.TwsVersionedJoin.inner[Ev, Ev](
+              src().filter(isX _), src().filter(isY _),
+              x => x.user_id.toString, y => y.user_id.toString,
+              x => x.event_type, y => y.event_type,
+              x => x.ts_us, y => y.ts_us,
+              ttlMs = Some(1000L * 365 * 86400 * 1000),
+              watermarkDelay = "36500 days").toDF()
+          }(convergedJ1)
+        }
+      },
+      Some(ReferenceJoins.j5OracleSql)),
+
     // Spark's NATIVE watermarked stream-stream join (the built-in
     // operator family, distinct from the custom versioned-join core):
     // the same bounded range join as q_range_join, run append-mode with

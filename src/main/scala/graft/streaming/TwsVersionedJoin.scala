@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode,
   StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
-/** The J1–J4 versioned joins on Spark 4's `transformWithState` — the
+/** The J1–J5 versioned joins on Spark 4's `transformWithState` — the
   * typed-state/typed-timer successor to `flatMapGroupsWithState`
   * (SURVEY.md §7.3 named it as the alternative implementation).
   * Semantics are identical to the [[VersionedStreamJoin]] twins
@@ -120,6 +120,28 @@ object TwsVersionedJoin {
       if (xs.isEmpty) ys.iterator.map(y => Emitted(key, seq, None, Some(y)))
       else if (ys.isEmpty) xs.iterator.map(x => Emitted(key, seq, Some(x), None))
       else for (x <- xs.iterator; y <- ys)
+        yield Emitted(key, seq, Some(x), Some(y))
+    }
+
+  /** C5/J5 inner via transformWithState — emits only when both sides
+    * are populated (the reference defined-but-never-wired cogroup
+    * body, promoted first-class; cogroupFunctions.scala:75-87). Twin
+    * of [[VersionedStreamJoin.inner]]: with this the Spark 4 state
+    * API covers the full J1–J5 matrix, same as the
+    * flatMapGroupsWithState generation. */
+  def inner[X, Y](
+      dsx: Dataset[X], dsy: Dataset[Y],
+      keyFromX: X => String, keyFromY: Y => String,
+      idFromX: X => String, idFromY: Y => String,
+      tsFromX: X => Long, tsFromY: Y => Long,
+      ttlMs: Option[Long] = None,
+      watermarkDelay: String = "10 seconds")(
+      implicit ex: Encoder[X], ey: Encoder[Y],
+      et: Encoder[Tagged[X, Y]], es: Encoder[String],
+      ee: Encoder[Emitted[X, Y]]): Dataset[Emitted[X, Y]] =
+    run(dsx, dsy, keyFromX, keyFromY, idFromX, idFromY, tsFromX, tsFromY,
+      ttlMs, watermarkDelay) { (key, seq, xs, ys) =>
+      for (x <- xs.iterator; y <- ys)
         yield Emitted(key, seq, Some(x), Some(y))
     }
 

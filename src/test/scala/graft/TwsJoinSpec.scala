@@ -67,7 +67,7 @@ class TwsJoinSpec extends SparkTestBase {
     }
   }
 
-  test("tws J2/J3/J4 variants converge to the fMGWS twins' answers") {
+  test("tws J2/J3/J4/J5 variants converge to the fMGWS twins' answers") {
     VersionedStreamJoin.withStateStoreProvider(spark) {
       val truth = sampleExactlyN(genABNonempty(leftOptional = true,
         fanoutMax = 3), seed = 321L, numSamples)
@@ -155,6 +155,25 @@ class TwsJoinSpec extends SparkTestBase {
       val j4exp = j4keys.map(k =>
         (latestA.get(k).toSeq, ysSorted(k))).toSet
       assert(j4conv == j4exp)
+
+      // J5 (inner, the promoted C5): only both-sides-populated keys
+      // emit — the full latest-versions cross product per key
+      val j5raw = replay("tws_j5") { (dx, dy) =>
+        TwsVersionedJoin.inner[A, B](dx, dy,
+          _.id.toString, _.ida.toString, _.id.toString, _.id.toString,
+          _.ts, _.ts).map(e => (e.key, e.seq, e.x, e.y))
+      }
+      val j5conv = j5raw.groupBy(_._1).values
+        .flatMap(g => { val m = g.map(_._2).max; g.filter(_._2 == m) })
+        .map(t => (t._3, t._4)).toSet
+      // the A generator keys by id, so the per-key latest-versions set
+      // is the single latestA — inner = latestA × latest Bs, skipping
+      // keys missing either side
+      val j5exp: Set[(Option[A], Option[B])] = latestA.toSeq.flatMap {
+        case (k, a) => bByKey.getOrElse(k, Seq.empty)
+          .map(b => (Some(a): Option[A], Some(b): Option[B]))
+      }.toSet
+      assert(j5conv == j5exp)
     }
   }
 
