@@ -78,6 +78,23 @@ object Analytics {
 
   /** Shared with StreamingOps: the append-mode streaming window agg
     * (s13) must flush exactly this batch answer. */
+  /** Shared by the batch q_asof_join and its streaming twin
+    * (s48_stream_asof_join): DuckDB's native ASOF JOIN is a genuinely
+    * independent implementation of the point-in-time semantics, and
+    * (user_id, ts) is unique in the driver data at every SF, so it is
+    * an exact oracle for both engines' results. */
+  private[queries] val asofOracleSql: String =
+    """SELECT x.user_id, x.event_id AS x_event_id,
+    |  x.event_type AS x_type, x.ts AS x_ts,
+    |  y.event_id AS y_event_id, y.event_type AS y_type,
+    |  y.ts AS y_ts, y.value AS y_value
+    |FROM (SELECT * FROM events
+    |      WHERE event_type IN ('signup','error')) x
+    |ASOF LEFT JOIN (SELECT * FROM events
+    |      WHERE event_type IN ('click','purchase','view')) y
+    |  ON x.user_id = y.user_id AND x.ts >= y.ts
+    |ORDER BY x.user_id, x_ts, x_event_id""".stripMargin
+
   private[queries] val timeWindowOracleSql: String =
     """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
       |  count(*) AS n, round(sum(value), 4) AS sum_value
@@ -635,16 +652,7 @@ object Analytics {
             col("last_y.value").as("y_value"))
           .orderBy(col("user_id"), col("x_ts"), col("x_event_id"))
       },
-      Some("""SELECT x.user_id, x.event_id AS x_event_id,
-        |  x.event_type AS x_type, x.ts AS x_ts,
-        |  y.event_id AS y_event_id, y.event_type AS y_type,
-        |  y.ts AS y_ts, y.value AS y_value
-        |FROM (SELECT * FROM events
-        |      WHERE event_type IN ('signup','error')) x
-        |ASOF LEFT JOIN (SELECT * FROM events
-        |      WHERE event_type IN ('click','purchase','view')) y
-        |  ON x.user_id = y.user_id AND x.ts >= y.ts
-        |ORDER BY x.user_id, x_ts, x_event_id""".stripMargin)),
+      Some(asofOracleSql)),
 
     // Time-series resampling: densify each user's activity onto a
     // regular daily grid (missing days zero-filled) between their

@@ -1093,6 +1093,50 @@ object StreamingOps {
       },
       Some(ReferenceJoins.j5OracleSql)),
 
+    // STREAMING AS-OF JOIN — q_asof_join's streaming twin, and the
+    // versioned-join thesis at its most production-shaped: every
+    // signup/error event is enriched with the click/purchase/view IN
+    // EFFECT at its own event time (latest y at-or-before x.ts), i.e.
+    // leakage-free point-in-time feature attachment over a live
+    // stream. Per trigger each touched user re-emits its xs with
+    // their in-effect y resolved by binary search over the key's
+    // sorted y timeline, so late or out-of-order arrivals on EITHER
+    // side retroactively correct exactly the rows they should —
+    // the converged view (max seq per key) is arrival-order-free and
+    // hash-matches the batch oracle (DuckDB's native ASOF JOIN, a
+    // genuinely independent implementation of the semantics). State
+    // is latest-per-event_id on both sides, never the stream; the
+    // replay's file chunking guarantees xs and ys interleave across
+    // microbatches, so the retroactive-correction path actually runs.
+    Entry("s48_stream_asof_join",
+      (spark, dir) => { import spark.implicits._
+        runFileStream(spark, dir) { src =>
+          VersionedStreamJoin.asOf[Ev, Ev](
+            src().filter((e: Ev) =>
+              e.event_type == "signup" || e.event_type == "error"),
+            src().filter((e: Ev) => e.event_type == "click" ||
+              e.event_type == "purchase" || e.event_type == "view"),
+            x => x.user_id.toString, y => y.user_id.toString,
+            x => x.event_id.toString, y => y.event_id.toString,
+            x => x.ts_us, y => y.ts_us).toDF()
+        } { raw =>
+          val wMax = Window.partitionBy(col("key"))
+          raw.withColumn("max_seq", max(col("seq")).over(wMax))
+            .filter(col("seq") === col("max_seq"))
+            .select(
+              col("key").cast("long").as("user_id"),
+              col("x.event_id").as("x_event_id"),
+              col("x.event_type").as("x_type"),
+              expr("timestamp_micros(x.ts_us)").as("x_ts"),
+              col("y.event_id").as("y_event_id"),
+              col("y.event_type").as("y_type"),
+              expr("timestamp_micros(y.ts_us)").as("y_ts"),
+              col("y.value").as("y_value"))
+            .orderBy(col("user_id"), col("x_ts"), col("x_event_id"))
+        }
+      },
+      Some(Analytics.asofOracleSql)),
+
     // Spark's NATIVE watermarked stream-stream join (the built-in
     // operator family, distinct from the custom versioned-join core):
     // the same bounded range join as q_range_join, run append-mode with

@@ -213,6 +213,50 @@ object VersionedStreamJoin {
           yield Emitted(key, seq, Some(x), Some(y))
     }
 
+  /** Streaming AS-OF (point-in-time) join — the production variant the
+    * versioned-join state machinery was built for: every x row is
+    * enriched with the y version IN EFFECT at x's own event time (the
+    * latest y with ts(y) <= ts(x); ties count as "before", matching
+    * the batch q_asof_join / DuckDB `ASOF JOIN ... ON x.ts >= y.ts`),
+    * or None when no y existed yet — leakage-free feature attachment
+    * over a live stream. Per trigger each touched key re-emits all its
+    * xs with their in-effect y, so a LATE y (or a newer version of an
+    * old y id) retroactively corrects every x it should have served:
+    * the converged result (max seq per key) is arrival-order-free and
+    * equals the batch as-of by construction. The per-key y timeline is
+    * sorted once per trigger and each x resolves by binary search —
+    * O((|xs|+|ys|)·log|ys|), never a rescan of y per x (the re-scan
+    * shape is what makes naive range joins die at 100 TB). State holds
+    * latest-per-id on both sides, exactly like the other variants; at
+    * scale, y versions strictly SHADOWED below the watermark (a newer
+    * y also at-or-below it) can be evicted — compose [[withEventTimeTtl]]
+    * for whole-key retirement, the same knob the other variants use. */
+  def asOf[X, Y](
+      dsx: Dataset[X], dsy: Dataset[Y],
+      keyFromX: X => String, keyFromY: Y => String,
+      idFromX: X => String, idFromY: Y => String,
+      tsFromX: X => Long, tsFromY: Y => Long)(
+      implicit ex: Encoder[X], ey: Encoder[Y],
+      et: Encoder[Tagged[X, Y]], es: Encoder[String],
+      ej: Encoder[JoinState[X, Y]],
+      ee: Encoder[Emitted[X, Y]]): Dataset[Emitted[X, Y]] =
+    joined(dsx, dsy, keyFromX, keyFromY, idFromX, idFromY, tsFromX, tsFromY) {
+      (key, seq, xs, ys) =>
+        val timeline = ys.valuesIterator.toIndexedSeq
+          .sortBy(y => (tsFromY(y), idFromY(y)))
+        xs.toSeq.sortBy(_._1).iterator.map { case (_, x) =>
+          val xt = tsFromX(x)
+          var lo = 0; var hi = timeline.length - 1; var best = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (tsFromY(timeline(mid)) <= xt) { best = mid; lo = mid + 1 }
+            else hi = mid - 1
+          }
+          Emitted(key, seq, Some(x),
+            if (best >= 0) Some(timeline(best)) else None)
+        }
+    }
+
   /** J3: left-outer nested — per trigger, the key's single latest x
     * (per-key dedup quirk) with all latest ys as a Seq (empty allowed);
     * keys with no x emit nothing (reference joins.scala:39-54, C3). */

@@ -99,6 +99,50 @@ class StreamJoinSpec extends SparkTestBase {
     assert(monitor.snapshot.exists(_.stateRows > 0))
   }
 
+  test("streaming as-of join: late ys retroactively correct exactly the xs " +
+      "they should serve; converged view equals the batch as-of") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sx = MemoryStream[A] // facts: (id = key here, ts = event time)
+    val sy = MemoryStream[B] // versions: ida = key, id = version id
+    val joined = VersionedStreamJoin.asOf[A, B](
+      sx.toDS(), sy.toDS(),
+      _.id.toString, _.ida.toString,
+      a => s"x${a.ts}", b => b.id.toString, // each fact is its own id
+      _.ts, _.ts)
+    val q = joined.toDF().writeStream.outputMode("update")
+      .format("memory").queryName("stream_asof").start()
+    def emittedNow(): Map[Long, Option[Long]] = {
+      val raw = spark.table("stream_asof").as[Emitted[A, B]].collect()
+      val maxSeq = raw.groupBy(_.key).map { case (k, g) => k -> g.map(_.seq).max }
+      raw.filter(e => e.seq == maxSeq(e.key))
+        .map(e => e.x.get.ts -> e.y.map(_.ts)).toMap
+    }
+    try {
+      // batch 1: facts at t=10 and t=20, one version at t=15
+      sx.addData(A(1, 10L), A(1, 20L))
+      sy.addData(B(100, 15L, 1))
+      q.processAllAvailable()
+      assert(emittedNow() == Map(10L -> None, 20L -> Some(15L)),
+        "before the late version: t=10 has nothing in effect")
+      // batch 2: a LATE version at t=5 — must correct ONLY the t=10
+      // fact (t=20 keeps the closer t=15 version)
+      sy.addData(B(101, 5L, 1))
+      q.processAllAvailable()
+      assert(emittedNow() == Map(10L -> Some(5L), 20L -> Some(15L)),
+        "late y corrected exactly the fact it should serve")
+      // batch 3: a late FACT at t=16 resolves against the full timeline
+      sx.addData(A(1, 16L))
+      q.processAllAvailable()
+      assert(emittedNow() ==
+        Map(10L -> Some(5L), 16L -> Some(15L), 20L -> Some(15L)))
+      // batch 4: tie — a fact exactly at a version's ts counts as AFTER
+      // it (x.ts >= y.ts, the batch/DuckDB ASOF contract)
+      sx.addData(A(1, 15L))
+      q.processAllAvailable()
+      assert(emittedNow()(15L) == Some(15L), "tie counts as in-effect")
+    } finally q.stop()
+  }
+
   test("reference contract verbatim: noseq fanout<=1, join-key version-sum dedup equals expected") {
     // The reference's primary AB test shape (JoinSpec.scala:135-155):
     // at most one B per A, dedup key = the join key, version = sum of
