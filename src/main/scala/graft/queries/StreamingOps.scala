@@ -2583,31 +2583,41 @@ object StreamingOps {
               .option("pathGlobFilter", "part-*")
               .parquet(in.toString)
             val k = DedupOps.substringGramLen
-            // window fingerprints materialized as an attribute before
-            // the position-extraction HOF reads it twice (the
-            // shingles3FromTokens perf note). Per-distinct-gram
-            // position lists are scan-local, but NOT linear: the
-            // extraction rescans the full gs array once per distinct
-            // gram — O(|windows| × |distinct grams|), quadratic in
-            // document length. Fine at this corpus's ≤ ~200-token
-            // docs; a long-document ingest should restructure to one
-            // posexplode + groupBy(doc_id, g) collect_list pass (the
-            // batch row's shape), trading the quadratic scan for one
-            // extra linear shuffle per microbatch.
+            // Per-distinct-gram position lists in ONE O(n log n) pass
+            // over the SORTED (gram, pos) pairs (the cdcChunkCountRows
+            // run-detection shape): run starts are where the gram
+            // changes, a run's positions slice out contiguously and
+            // ascending. Scan-local and LINEAR in document length —
+            // replaces the filter-per-distinct-gram extraction that
+            // rescanned the full window array once per distinct gram
+            // (O(|windows| × |distinct grams|), quadratic on a
+            // long-document ingest). Each staged array is a
+            // materialized column consumed by reference (the
+            // shingles3FromTokens inlining note).
             val gramRows = src
               .select(col("doc_id"),
                 TextFunctions.tokens(col("text")).as("t"))
               .filter(size(col("t")) >= k)
               .select(col("doc_id"),
                 transform(sequence(lit(1), size(col("t")) - (k - 1)),
-                  i => md5(concat_ws(" ", slice(col("t"), i, lit(k)))))
-                  .as("gs"))
-              .select(col("doc_id"),
-                explode(transform(array_distinct(col("gs")), g =>
-                  struct(g.as("g"),
-                    filter(transform(col("gs"), (x, i) =>
-                      when(x === g, i.cast("long") + 1L).otherwise(-1L)),
-                      p => p =!= -1L).as("ps")))).as("gp"))
+                  i => struct(
+                    md5(concat_ws(" ", slice(col("t"), i, lit(k)))).as("g"),
+                    i.cast("long").as("p"))).as("gp"))
+              .withColumn("sorted", array_sort(col("gp")))
+              .withColumn("starts",
+                filter(sequence(lit(1), size(col("sorted"))), i =>
+                  (i === 1) ||
+                    element_at(col("sorted"), i).getField("g") =!=
+                      element_at(col("sorted"), i - 1).getField("g")))
+              .select(col("doc_id"), explode(zip_with(
+                col("starts"),
+                concat(slice(col("starts"), lit(2), size(col("starts"))),
+                  array(size(col("sorted")) + 1)),
+                (s, nxt) => struct(
+                  element_at(col("sorted"), s).getField("g").as("g"),
+                  transform(sequence(s, nxt - 1), j =>
+                    element_at(col("sorted"), j).getField("p"))
+                    .as("ps")))).as("gp"))
               .select(col("gp.g").as("g"), col("doc_id"),
                 col("gp.ps").as("ps"))
               .as[GramPosRow]
