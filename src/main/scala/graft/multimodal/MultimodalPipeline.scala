@@ -196,6 +196,25 @@ object MultimodalPipeline {
     (staged, chunks)
   }
 
+  /** REAL COMPRESSED decode: binary 8-bit truecolor PNG →
+    * struct(width, height, bit_depth, n_pixels, sum_r, sum_g, sum_b),
+    * null on malformed/corrupt input — a genuine zlib inflate +
+    * scanline unfilter (all five PNG filter types), not a raw-byte
+    * walk (see [[graft.functions.PngDecodeExpr]]). */
+  def decodePng(payload: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.PngDecodeExpr(
+        org.apache.spark.sql.graft.Bridge.expression(payload)))
+
+  /** Deterministic per-id PNG payload — the SAME closed-form pixel
+    * pattern as [[encodeBmp]] (cross-checkable pixel-for-pixel), with
+    * per-row filter types cycling through all five and the IDAT split
+    * in two (see [[graft.functions.PngEncodeExpr]]). */
+  def encodePng(docId: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.PngEncodeExpr(
+        org.apache.spark.sql.graft.Bridge.expression(docId)))
+
   /** REAL feature extraction: binary 24bpp BMP → `gw·gh·3`-dim bigint
     * feature vector (per-cell per-channel mean-pooled pixels on a
     * fixed 1e-3 integer grid — the classic pooled-statistics image

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{BmpDecodeExpr, BmpEncodeExpr, BmpPoolExpr, BmpResizeExpr, DotProductExpr, KmvSketchAgg, PrioritySampleAgg, RollingHashExpr, WavDecodeExpr, WavEncodeExpr, WavResampleExpr}
+import graft.functions.{BmpDecodeExpr, BmpEncodeExpr, BmpPoolExpr, BmpResizeExpr, DotProductExpr, KmvSketchAgg, PngDecodeExpr, PngEncodeExpr, PrioritySampleAgg, RollingHashExpr, WavDecodeExpr, WavEncodeExpr, WavResampleExpr}
 
 /** Session-extension wiring for the library's native expressions —
   * the `SparkSessionExtensions` integration point, so a cluster deploy
@@ -114,6 +114,18 @@ object GraftExtensions {
           case other => throw new IllegalArgumentException(
             s"graft_bmp_pool grid shape must be integer literals, got $other")
         }
+      }), (
+      FunctionIdentifier("graft_png_encode"),
+      new ExpressionInfo(classOf[PngEncodeExpr].getName, "graft_png_encode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_png_encode(doc_id) takes one argument")
+        PngEncodeExpr(args.head)
+      }), (
+      FunctionIdentifier("graft_png_decode"),
+      new ExpressionInfo(classOf[PngDecodeExpr].getName, "graft_png_decode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_png_decode(payload) takes one argument")
+        PngDecodeExpr(args.head)
       }), (
       FunctionIdentifier("graft_wav_encode"),
       new ExpressionInfo(classOf[WavEncodeExpr].getName, "graft_wav_encode"),

@@ -231,6 +231,54 @@ object MultimodalOps {
         |  102::BIGINT AS n_bytes, sum_r, sum_g, sum_b
         |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // REAL COMPRESSED image decode — PNG, the first multimodal rung
+    // whose pixels are NOT raw bytes in the container: the payload is
+    // a spec-complete 8-bit truecolor PNG (zlib-deflated scanlines,
+    // per-row filter types cycling through all five, IDAT split in
+    // two, CRC-32 per chunk) and PngDecodeExpr decodes it the way a
+    // real reader must — chunk walk with CRC verification, multi-IDAT
+    // concatenation, JDK-zlib inflate, then unfiltering every row
+    // (Sub/Up/Average/Paeth predictors included) into per-channel
+    // sums. The pixel pattern is the SAME closed form as the BMP rung,
+    // so the oracle reproduces the stats analytically and the whole
+    // deflate→inflate→unfilter round trip is hash-checked; the only
+    // container property deliberately NOT emitted is the compressed
+    // byte size (deflate output is a zlib implementation detail, not
+    // part of the decode contract — PngCodecSpec asserts the
+    // round-trip identity instead). Scan-local native codegen like
+    // every decode rung: the 100 TB shape is unchanged.
+    Entry("m_png_decode",
+      (spark, dir) => {
+        val d = Registry.table(spark, dir, "documents").select(col("doc_id"))
+        d.withColumn("payload", MultimodalPipeline.encodePng(col("doc_id")))
+          .withColumn("img", MultimodalPipeline.decodePng(col("payload")))
+          .select(col("doc_id"),
+            col("img.width").as("width"),
+            col("img.height").as("height"),
+            col("img.bit_depth").as("bit_depth"),
+            col("img.n_pixels").as("n_pixels"),
+            round(col("img.sum_r") / col("img.n_pixels"), 6).as("mean_r"),
+            round(col("img.sum_g") / col("img.n_pixels"), 6).as("mean_g"),
+            round(col("img.sum_b") / col("img.n_pixels"), 6).as("mean_b"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH g AS (SELECT doc_id,
+        |    (4 + doc_id % 5)::INT AS w, (5 + doc_id % 4)::INT AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h,
+        |    CAST(sum((doc_id*7 + y*31 + x*13) % 251) AS BIGINT) AS sum_r,
+        |    CAST(sum((doc_id*7 + y*31 + x*13 + 5) % 251) AS BIGINT) AS sum_g,
+        |    CAST(sum((doc_id*7 + y*31 + x*13 + 10) % 251) AS BIGINT) AS sum_b
+        |  FROM g, unnest(generate_series(0, w - 1)) gx(x),
+        |    unnest(generate_series(0, h - 1)) gy(y)
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, w AS width, h AS height, 8 AS bit_depth,
+        |  (w * h)::BIGINT AS n_pixels,
+        |  round(sum_r::DOUBLE / (w * h), 6) AS mean_r,
+        |  round(sum_g::DOUBLE / (w * h), 6) AS mean_g,
+        |  round(sum_b::DOUBLE / (w * h), 6) AS mean_b
+        |FROM px ORDER BY doc_id""".stripMargin)),
+
     // VIDEO = CONTAINER OF FRAMES, with REAL per-frame decode: the
     // composition that closes the third modality. Each document's
     // "video" payload is four equal-size 24bpp BMP frames
