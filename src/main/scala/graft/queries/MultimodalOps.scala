@@ -459,46 +459,63 @@ object MultimodalOps {
     Entry("ann_media_topk",
       (spark, dir) => {
         val d = Registry.table(spark, dir, "documents").select(col("doc_id"))
-        val feats = d
+        mediaTopkFrom(d
           .withColumn("payload", MultimodalPipeline.encodeBmp(col("doc_id")))
-          .withColumn("f", MultimodalPipeline.poolBmp(col("payload"), 4, 4))
-          .select(col("doc_id"), col("f").cast("array<double>").as("e"))
-          .withColumn("nrm",
-            sqrt(graft.functions.VectorFunctions.dot(col("e"), col("e"))))
-        val q = feats.filter(col("doc_id") < 8)
-          .select(col("doc_id").as("query_id"), col("e").as("qe"),
-            col("nrm").as("qn"))
-        val n = feats.select(col("doc_id").as("neighbor_id"),
-          col("e").as("ne"), col("nrm").as("nn"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id"))
-          .orderBy(col("sim").desc, col("neighbor_id"))
-        q.join(n, col("query_id") =!= col("neighbor_id"))
-          .withColumn("sim",
-            round(graft.functions.VectorFunctions.dot(col("qe"), col("ne")) /
-              (col("qn") * col("nn")), 6))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-          .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+          .select(col("doc_id"),
+            MultimodalPipeline.poolBmp(col("payload"), 4, 4).as("f")))
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(featurePoolCtes + ",\n" +
-        """v AS (SELECT doc_id, list(f::DOUBLE ORDER BY cell*3 + c) AS e
-        |  FROM pc GROUP BY doc_id)
-        |SELECT q.doc_id AS query_id,
-        |  CAST(row_number() OVER (PARTITION BY q.doc_id
-        |    ORDER BY round(list_inner_product(q.e, n.e) /
-        |      (sqrt(list_inner_product(q.e, q.e)) *
-        |       sqrt(list_inner_product(n.e, n.e))), 6) DESC, n.doc_id)
-        |    AS INT) AS rank,
-        |  n.doc_id AS neighbor_id,
-        |  round(list_inner_product(q.e, n.e) /
-        |    (sqrt(list_inner_product(q.e, q.e)) *
-        |     sqrt(list_inner_product(n.e, n.e))), 6) AS sim
-        |FROM v q JOIN v n ON q.doc_id < 8 AND q.doc_id <> n.doc_id
-        |QUALIFY rank <= 5
-        |ORDER BY query_id, rank""".stripMargin))
+      Some(mediaTopkOracleSql))
   )
+
+  /** Brute-force cosine top-5 of the 8-image query panel over a
+    * supplied `(doc_id, f array<bigint>)` pooled-feature table —
+    * shared by the batch ann_media_topk and its streaming twin
+    * (s50, which serves the SAME oracle from incrementally-built
+    * feature state). Exact cross-engine: integer features, integer
+    * dot products, exactly-rounded IEEE sqrt/division. */
+  private[queries] def mediaTopkFrom(featTable: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val feats = featTable
+      .select(col("doc_id"), col("f").cast("array<double>").as("e"))
+      .withColumn("nrm",
+        sqrt(graft.functions.VectorFunctions.dot(col("e"), col("e"))))
+    val q = feats.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"))
+    val n = feats.select(col("doc_id").as("neighbor_id"),
+      col("e").as("ne"), col("nrm").as("nn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(n, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        round(graft.functions.VectorFunctions.dot(col("qe"), col("ne")) /
+          (col("qn") * col("nn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Oracle for [[mediaTopkFrom]] over the analytic feature replay —
+    * shared by ann_media_topk and s50. */
+  private[queries] val mediaTopkOracleSql: String =
+    featurePoolCtes + ",\n" +
+      """v AS (SELECT doc_id, list(f::DOUBLE ORDER BY cell*3 + c) AS e
+      |  FROM pc GROUP BY doc_id)
+      |SELECT q.doc_id AS query_id,
+      |  CAST(row_number() OVER (PARTITION BY q.doc_id
+      |    ORDER BY round(list_inner_product(q.e, n.e) /
+      |      (sqrt(list_inner_product(q.e, q.e)) *
+      |       sqrt(list_inner_product(n.e, n.e))), 6) DESC, n.doc_id)
+      |    AS INT) AS rank,
+      |  n.doc_id AS neighbor_id,
+      |  round(list_inner_product(q.e, n.e) /
+      |    (sqrt(list_inner_product(q.e, q.e)) *
+      |     sqrt(list_inner_product(n.e, n.e))), 6) AS sim
+      |FROM v q JOIN v n ON q.doc_id < 8 AND q.doc_id <> n.doc_id
+      |QUALIFY rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
 
   /** Shared analytic replay of the encode→pool chain (4×4 grid, 48
     * dims): per (doc, cell, channel) the fixed-point mean of the
@@ -506,7 +523,9 @@ object MultimodalOps {
     * [[graft.functions.BmpCodec.pool]] over
     * [[graft.functions.BmpCodec.encode]]. Callers append their final
     * SELECT (`"\n"`) or a further CTE (`",\n"`). */
-  private val featurePoolCtes: String =
+  // lazy: referenced by mediaTopkOracleSql, a val declared ABOVE this
+  // definition — laziness makes the initialization order-independent
+  private lazy val featurePoolCtes: String =
     """WITH g AS (SELECT doc_id, (4 + doc_id % 5)::INT AS w,
     |    (5 + doc_id % 4)::INT AS h
     |  FROM documents),

@@ -67,6 +67,12 @@ final case class GramRow(g: String, doc_id: Long, cnt: Long)
   * storage-dedup state; the payload bytes never enter state. */
 final case class ChunkRow(chunk_md5: String, doc_id: Long, cnt: Long)
 
+/** One media-derived feature row (s50): the 48-dim pooled-pixel
+  * vector per document — the unit of the streaming media index; the
+  * payload bytes never enter state (at 100 TB the state holds 48
+  * longs per asset, not the media lake). */
+final case class MediaFeatRow(doc_id: Long, f: Seq[Long])
+
 /** One k-token-window fingerprint POSITION row (s42): gram md5, doc
   * id, and the 1-based window-start positions of that gram within the
   * doc — [[GramRow]] widened just enough that the converged state can
@@ -2881,6 +2887,68 @@ object StreamingOps {
         }
       },
       Some(VectorOps.pqTopkOracleSql)),
+
+    // STREAMING MEDIA FEATURIZATION — the decode→featurize→index loop
+    // run incrementally, completing the media family's streaming
+    // symmetry (fingerprints s19, minhash s21, LSH s24, IVF s25, PQ
+    // codes s46 — now pooled media features): each arriving asset is
+    // decoded and mean-pooled SCAN-LOCALLY in the microbatch (the
+    // same native BmpPoolExpr the batch row runs — no shuffle touches
+    // pixels), and only the 48-long feature vector is upserted into
+    // doc-keyed state. The converged feature table then serves the
+    // EXACT batch scoring tail (MultimodalOps.mediaTopkFrom), so the
+    // streamed index answers the query panel bit-for-bit like
+    // ann_media_topk — the s46 serve-the-batch-oracle contract,
+    // applied to media. At 100 TB this is the live-ingest media
+    // index: features extract where the bytes land, state holds 48
+    // longs per asset, and the ANN family queries it while assets
+    // stream in.
+    Entry("s50_stream_media_features",
+      (spark, dir) => { import spark.implicits._
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_mfeat_")
+          val log = tmp.resolve("log")
+          val ckpt = tmp.resolve("ckpt")
+          try {
+            val in = sharedChunkDir(dir, "docid", "documents") { p =>
+              Registry.table(spark, dir, "documents").select(col("doc_id"))
+                .repartitionByRange(chunks, col("doc_id"))
+                .write.parquet(p.toString)
+            }
+            val src = spark.readStream.schema("doc_id BIGINT")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+            val featRows = src
+              .withColumn("payload",
+                graft.multimodal.MultimodalPipeline.encodeBmp(col("doc_id")))
+              .select(col("doc_id"),
+                graft.multimodal.MultimodalPipeline
+                  .poolBmp(col("payload"), 4, 4).as("f"))
+              .as[MediaFeatRow]
+            val dd = VersionedStreamDedup.latestPerKeyId[MediaFeatRow](
+              featRows, _.doc_id.toString, _ => "f", _ => 0L)
+            val q = dd.toDF().writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("key"))
+            val feats = raw
+              .withColumn("max_seq", max(col("seq")).over(wMax))
+              .filter(col("seq") === col("max_seq"))
+              .select(explode(col("xs")).as("x"))
+              .select(col("x.doc_id").as("doc_id"), col("x.f").as("f"))
+            MultimodalOps.mediaTopkFrom(feats)
+              .orderBy(col("query_id"), col("rank"))
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(MultimodalOps.mediaTopkOracleSql)),
 
     // STREAMING PCA TRAINING — the moment matrix M = Σ x·xᵀ is a pure
     // SUM, so Spark's native streaming aggregation maintains it with
