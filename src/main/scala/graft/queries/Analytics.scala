@@ -654,6 +654,56 @@ object Analytics {
       },
       Some(asofOracleSql)),
 
+    // FORWARD as-of: each signup/error picks the EARLIEST
+    // click/purchase/view of the same user at-or-AFTER its own
+    // timestamp — the next-action attribution shape (time-to-convert
+    // labels, post-signup behavior windows). Same single-scan
+    // single-shuffle plan as q_asof_join with the timeline walked in
+    // DESCENDING ts order, so the carried "last seen y" at each x is
+    // the smallest qualifying y.ts; ties (x.ts == y.ts) count as
+    // "after" via the is_x sort key (y first at equal ts). DuckDB's
+    // native ASOF with the <= inequality is again an independent
+    // exact oracle.
+    Entry("q_asof_forward",
+      (spark, dir) => {
+        val ev = Registry.table(spark, dir, "events")
+        val ypay = struct(col("event_id").as("event_id"),
+          col("event_type").as("event_type"), col("ts").as("ts"),
+          col("value").as("value"))
+        val xs = ev.filter(col("event_type").isin("signup", "error"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), lit(1).as("is_x"),
+            lit(null).cast(
+              "struct<event_id:bigint,event_type:string,ts:timestamp,value:double>")
+              .as("y"))
+        val ys = ev.filter(col("event_type").isin("click", "purchase", "view"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), lit(0).as("is_x"), ypay.as("y"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("is_x"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        xs.unionByName(ys)
+          .withColumn("next_y", last(col("y"), ignoreNulls = true).over(w))
+          .filter(col("is_x") === 1)
+          .select(col("user_id"), col("event_id").as("x_event_id"),
+            col("event_type").as("x_type"), col("ts").as("x_ts"),
+            col("next_y.event_id").as("y_event_id"),
+            col("next_y.event_type").as("y_type"),
+            col("next_y.ts").as("y_ts"),
+            col("next_y.value").as("y_value"))
+          .orderBy(col("user_id"), col("x_ts"), col("x_event_id"))
+      },
+      Some("""SELECT x.user_id, x.event_id AS x_event_id,
+        |  x.event_type AS x_type, x.ts AS x_ts,
+        |  y.event_id AS y_event_id, y.event_type AS y_type,
+        |  y.ts AS y_ts, y.value AS y_value
+        |FROM (SELECT * FROM events
+        |      WHERE event_type IN ('signup','error')) x
+        |ASOF LEFT JOIN (SELECT * FROM events
+        |      WHERE event_type IN ('click','purchase','view')) y
+        |  ON x.user_id = y.user_id AND x.ts <= y.ts
+        |ORDER BY x.user_id, x_ts, x_event_id""".stripMargin)),
+
     // Time-series resampling: densify each user's activity onto a
     // regular daily grid (missing days zero-filled) between their
     // first and last event — the regular-grid preparation step
