@@ -95,6 +95,21 @@ object Analytics {
     |  ON x.user_id = y.user_id AND x.ts >= y.ts
     |ORDER BY x.user_id, x_ts, x_event_id""".stripMargin
 
+  /** Shared by the batch q_asof_forward and its streaming twin
+    * (s51_stream_asof_forward): same independent-oracle argument as
+    * [[asofOracleSql]] with the inequality flipped. */
+  private[queries] val asofForwardOracleSql: String =
+    """SELECT x.user_id, x.event_id AS x_event_id,
+    |  x.event_type AS x_type, x.ts AS x_ts,
+    |  y.event_id AS y_event_id, y.event_type AS y_type,
+    |  y.ts AS y_ts, y.value AS y_value
+    |FROM (SELECT * FROM events
+    |      WHERE event_type IN ('signup','error')) x
+    |ASOF LEFT JOIN (SELECT * FROM events
+    |      WHERE event_type IN ('click','purchase','view')) y
+    |  ON x.user_id = y.user_id AND x.ts <= y.ts
+    |ORDER BY x.user_id, x_ts, x_event_id""".stripMargin
+
   private[queries] val timeWindowOracleSql: String =
     """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
       |  count(*) AS n, round(sum(value), 4) AS sum_value
@@ -693,16 +708,7 @@ object Analytics {
             col("next_y.value").as("y_value"))
           .orderBy(col("user_id"), col("x_ts"), col("x_event_id"))
       },
-      Some("""SELECT x.user_id, x.event_id AS x_event_id,
-        |  x.event_type AS x_type, x.ts AS x_ts,
-        |  y.event_id AS y_event_id, y.event_type AS y_type,
-        |  y.ts AS y_ts, y.value AS y_value
-        |FROM (SELECT * FROM events
-        |      WHERE event_type IN ('signup','error')) x
-        |ASOF LEFT JOIN (SELECT * FROM events
-        |      WHERE event_type IN ('click','purchase','view')) y
-        |  ON x.user_id = y.user_id AND x.ts <= y.ts
-        |ORDER BY x.user_id, x_ts, x_event_id""".stripMargin)),
+      Some(asofForwardOracleSql)),
 
     // Time-series resampling: densify each user's activity onto a
     // regular daily grid (missing days zero-filled) between their

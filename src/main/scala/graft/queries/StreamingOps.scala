@@ -1143,6 +1143,46 @@ object StreamingOps {
       },
       Some(Analytics.asofOracleSql)),
 
+    // STREAMING FORWARD AS-OF — q_asof_forward's streaming twin,
+    // completing the as-of matrix (backward × forward, batch ×
+    // streaming). Each signup/error resolves to the user's EARLIEST
+    // click/purchase/view at-or-after its own event time
+    // (next-action attribution: time-to-convert labels, post-signup
+    // windows). Forward resolution is inherently retroactive in a
+    // stream — a late-arriving y with a smaller qualifying ts must
+    // CORRECT already-emitted xs — which is exactly what the
+    // per-trigger re-emit + converged (max seq per key) projection
+    // already provides; no watermark-delayed hold needed. Oracle is
+    // DuckDB's native ASOF with the flipped inequality.
+    Entry("s51_stream_asof_forward",
+      (spark, dir) => { import spark.implicits._
+        runFileStream(spark, dir) { src =>
+          VersionedStreamJoin.asOfForward[Ev, Ev](
+            src().filter((e: Ev) =>
+              e.event_type == "signup" || e.event_type == "error"),
+            src().filter((e: Ev) => e.event_type == "click" ||
+              e.event_type == "purchase" || e.event_type == "view"),
+            x => x.user_id.toString, y => y.user_id.toString,
+            x => x.event_id.toString, y => y.event_id.toString,
+            x => x.ts_us, y => y.ts_us).toDF()
+        } { raw =>
+          val wMax = Window.partitionBy(col("key"))
+          raw.withColumn("max_seq", max(col("seq")).over(wMax))
+            .filter(col("seq") === col("max_seq"))
+            .select(
+              col("key").cast("long").as("user_id"),
+              col("x.event_id").as("x_event_id"),
+              col("x.event_type").as("x_type"),
+              expr("timestamp_micros(x.ts_us)").as("x_ts"),
+              col("y.event_id").as("y_event_id"),
+              col("y.event_type").as("y_type"),
+              expr("timestamp_micros(y.ts_us)").as("y_ts"),
+              col("y.value").as("y_value"))
+            .orderBy(col("user_id"), col("x_ts"), col("x_event_id"))
+        }
+      },
+      Some(Analytics.asofForwardOracleSql)),
+
     // Spark's NATIVE watermarked stream-stream join (the built-in
     // operator family, distinct from the custom versioned-join core):
     // the same bounded range join as q_range_join, run append-mode with

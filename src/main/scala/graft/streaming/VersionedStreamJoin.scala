@@ -257,6 +257,44 @@ object VersionedStreamJoin {
         }
     }
 
+  /** FORWARD as-of: each x resolves to the key's EARLIEST y version
+    * at-or-AFTER its own timestamp (x.ts <= y.ts) — the streaming
+    * next-action attribution shape (time-to-convert labels,
+    * post-signup windows). Same state and convergence contract as
+    * [[asOf]]; only the binary search flips (first y with ts >= x.ts
+    * instead of last with ts <= x.ts). Forward resolution is
+    * inherently retroactive in a stream — the answer for an x can
+    * improve whenever an earlier-qualifying y arrives late — which is
+    * exactly what the per-trigger re-emit + converged (max seq per
+    * key) view already handles for the backward variant; no
+    * watermark-delayed hold is needed because emissions are
+    * corrections, not one-shot appends. */
+  def asOfForward[X, Y](
+      dsx: Dataset[X], dsy: Dataset[Y],
+      keyFromX: X => String, keyFromY: Y => String,
+      idFromX: X => String, idFromY: Y => String,
+      tsFromX: X => Long, tsFromY: Y => Long)(
+      implicit ex: Encoder[X], ey: Encoder[Y],
+      et: Encoder[Tagged[X, Y]], es: Encoder[String],
+      ej: Encoder[JoinState[X, Y]],
+      ee: Encoder[Emitted[X, Y]]): Dataset[Emitted[X, Y]] =
+    joined(dsx, dsy, keyFromX, keyFromY, idFromX, idFromY, tsFromX, tsFromY) {
+      (key, seq, xs, ys) =>
+        val timeline = ys.valuesIterator.toIndexedSeq
+          .sortBy(y => (tsFromY(y), idFromY(y)))
+        xs.toSeq.sortBy(_._1).iterator.map { case (_, x) =>
+          val xt = tsFromX(x)
+          var lo = 0; var hi = timeline.length - 1; var best = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (tsFromY(timeline(mid)) >= xt) { best = mid; hi = mid - 1 }
+            else lo = mid + 1
+          }
+          Emitted(key, seq, Some(x),
+            if (best >= 0) Some(timeline(best)) else None)
+        }
+    }
+
   /** J3: left-outer nested — per trigger, the key's single latest x
     * (per-key dedup quirk) with all latest ys as a Seq (empty allowed);
     * keys with no x emit nothing (reference joins.scala:39-54, C3). */

@@ -143,6 +143,50 @@ class StreamJoinSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming FORWARD as-of: late earlier-qualifying ys retroactively " +
+      "improve exactly the xs they should; ties count as after") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sx = MemoryStream[A]
+    val sy = MemoryStream[B]
+    val joined = VersionedStreamJoin.asOfForward[A, B](
+      sx.toDS(), sy.toDS(),
+      _.id.toString, _.ida.toString,
+      a => s"x${a.ts}", b => b.id.toString,
+      _.ts, _.ts)
+    val q = joined.toDF().writeStream.outputMode("update")
+      .format("memory").queryName("stream_asof_fwd").start()
+    def emittedNow(): Map[Long, Option[Long]] = {
+      val raw = spark.table("stream_asof_fwd").as[Emitted[A, B]].collect()
+      val maxSeq = raw.groupBy(_.key).map { case (k, g) => k -> g.map(_.seq).max }
+      raw.filter(e => e.seq == maxSeq(e.key))
+        .map(e => e.x.get.ts -> e.y.map(_.ts)).toMap
+    }
+    try {
+      // batch 1: facts at t=10 and t=20, one later action at t=25
+      sx.addData(A(1, 10L), A(1, 20L))
+      sy.addData(B(100, 25L, 1))
+      q.processAllAvailable()
+      assert(emittedNow() == Map(10L -> Some(25L), 20L -> Some(25L)),
+        "both facts see the only future action")
+      // batch 2: a late action at t=12 — must improve ONLY the t=10
+      // fact (t=20's earliest-after stays t=25)
+      sy.addData(B(101, 12L, 1))
+      q.processAllAvailable()
+      assert(emittedNow() == Map(10L -> Some(12L), 20L -> Some(25L)),
+        "late y improved exactly the fact it should serve")
+      // batch 3: a late FACT at t=30 has no qualifying action
+      sx.addData(A(1, 30L))
+      q.processAllAvailable()
+      assert(emittedNow() ==
+        Map(10L -> Some(12L), 20L -> Some(25L), 30L -> None))
+      // batch 4: tie — a fact exactly at an action's ts counts the
+      // action as AFTER it (x.ts <= y.ts, the batch/DuckDB contract)
+      sx.addData(A(1, 25L))
+      q.processAllAvailable()
+      assert(emittedNow()(25L) == Some(25L), "tie qualifies forward")
+    } finally q.stop()
+  }
+
   test("reference contract verbatim: noseq fanout<=1, join-key version-sum dedup equals expected") {
     // The reference's primary AB test shape (JoinSpec.scala:135-155):
     // at most one B per A, dedup key = the join key, version = sum of
