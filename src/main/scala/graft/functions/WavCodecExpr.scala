@@ -224,6 +224,74 @@ object WavCodec {
     }
     out
   }
+
+  /** REAL audio feature extraction over the chunk-walked decode — the
+    * audio twin of [[BmpCodec.pool]]: the PCM frames are split into
+    * `nBands` equal time bands (band of frame i = i·nBands/n, the
+    * same grid rule as the image pool) and each (band, channel) cell
+    * emits the fixed-point mean of ABSOLUTE sample values,
+    * sum(|s|)·1000/count — the energy-envelope descriptor a learned
+    * audio embedding replaces 1:1. Returns `array<bigint>` of length
+    * nBands·channels ordered band-major (band·channels + c); null on
+    * malformed input, non-positive nBands, or fewer frames than
+    * bands (an empty band would make the mean undefined). */
+  def pool(b: Array[Byte], nBands: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def le32(off: Int): Int =
+      u8(off) | (u8(off + 1) << 8) | (u8(off + 2) << 16) | (u8(off + 3) << 24)
+    def le16(off: Int): Int = u8(off) | (u8(off + 1) << 8)
+    def s16(off: Int): Int = le16(off).toShort.toInt
+    def tag(off: Int): String =
+      if (off + 4 > b.length) ""
+      else new String(b, off, 4, "US-ASCII")
+    if (nBands <= 0) return null
+    if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return null
+    val riffEnd = math.min(b.length.toLong, 8L + le32(4))
+    var off = 12L
+    var fmtOff = -1L; var fmtLen = -1; var dataOff = -1L; var dataLen = -1
+    while (off + 8 <= riffEnd && (fmtOff < 0 || dataOff < 0)) {
+      val id = tag(off.toInt)
+      val size = le32(off.toInt + 4)
+      if (size < 0 || off + 8 + size > riffEnd) return null
+      if (id == "fmt ") { fmtOff = off + 8; fmtLen = size }
+      else if (id == "data") { dataOff = off + 8; dataLen = size }
+      off += 8 + size + (size & 1)
+    }
+    if (fmtOff < 0 || dataOff < 0 || dataLen < 0) return null
+    if (fmtLen < 16) return null
+    if (dataOff + dataLen > b.length) return null
+    val audioFormat = le16(fmtOff.toInt)
+    val channels = le16(fmtOff.toInt + 2)
+    val bits = le16(fmtOff.toInt + 14)
+    if (audioFormat != 1 || bits != 16 || channels < 1 || channels > 2)
+      return null
+    val bytesPerFrame = channels * 2
+    if (dataLen % bytesPerFrame != 0) return null
+    val n = dataLen / bytesPerFrame
+    if (n < nBands) return null
+    val sums = new Array[Long](nBands * channels)
+    val counts = new Array[Long](nBands)
+    var i = 0
+    while (i < n) {
+      val band = (i.toLong * nBands / n).toInt
+      val base = dataOff.toInt + i * bytesPerFrame
+      sums(band * channels) += math.abs(s16(base))
+      if (channels == 2) sums(band * channels + 1) += math.abs(s16(base + 2))
+      counts(band) += 1
+      i += 1
+    }
+    val feats = new Array[Long](nBands * channels)
+    var bi = 0
+    while (bi < nBands) {
+      var c = 0
+      while (c < channels) {
+        feats(bi * channels + c) = sums(bi * channels + c) * 1000L / counts(bi)
+        c += 1
+      }
+      bi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(feats)
+  }
 }
 
 /** `bigint doc_id` → binary WAV payload (see [[WavCodec.encode]]). */
@@ -312,4 +380,40 @@ case class WavResampleExpr(child: Expression, factor: Int)
     copy(child = newChild)
 
   override def prettyName: String = "graft_wav_resample"
+}
+
+/** binary WAV payload → `nBands·channels`-dim bigint banded
+  * mean-|PCM| feature vector; null for non-WAV input (see
+  * [[WavCodec.pool]]). The band count is a plan-time constant, so
+  * codegen emits one static call per row. */
+case class WavPoolExpr(child: Expression, nBands: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (nBands <= 0)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName band count must be positive, got $nBands")
+    else child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a binary argument, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    WavCodec.pool(v.asInstanceOf[Array[Byte]], nBands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.WavCodec.pool($c, $nBands);
+      |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): WavPoolExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_wav_pool"
 }

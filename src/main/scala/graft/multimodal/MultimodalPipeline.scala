@@ -226,4 +226,17 @@ object MultimodalPipeline {
     org.apache.spark.sql.graft.Bridge.column(
       graft.functions.BmpPoolExpr(
         org.apache.spark.sql.graft.Bridge.expression(payload), gridW, gridH))
+
+  /** REAL audio feature extraction: binary 16-bit PCM WAV →
+    * `nBands·channels`-dim bigint banded mean-|PCM| feature vector
+    * (per-band per-channel energy envelope on a fixed 1e-3 integer
+    * grid — the pooled-statistics descriptor a learned audio
+    * embedding replaces 1:1), null on malformed input. Scan-local
+    * native codegen expression (see [[graft.functions.WavPoolExpr]]);
+    * the output feeds the ANN / vector-index family directly
+    * (ann_audio_topk). */
+  def poolWav(payload: Column, nBands: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.WavPoolExpr(
+        org.apache.spark.sql.graft.Bridge.expression(payload), nBands))
 }

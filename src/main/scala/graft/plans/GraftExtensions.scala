@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{BmpDecodeExpr, BmpEncodeExpr, BmpPoolExpr, BmpResizeExpr, DotProductExpr, KmvSketchAgg, PngDecodeExpr, PngEncodeExpr, PrioritySampleAgg, RollingHashExpr, WavDecodeExpr, WavEncodeExpr, WavResampleExpr}
+import graft.functions.{BmpDecodeExpr, BmpEncodeExpr, BmpPoolExpr, BmpResizeExpr, DotProductExpr, KmvSketchAgg, PngDecodeExpr, PngEncodeExpr, PrioritySampleAgg, RollingHashExpr, WavDecodeExpr, WavEncodeExpr, WavPoolExpr, WavResampleExpr}
 
 /** Session-extension wiring for the library's native expressions —
   * the `SparkSessionExtensions` integration point, so a cluster deploy
@@ -148,6 +148,17 @@ object GraftExtensions {
           case Literal(f: Int, IntegerType) => WavResampleExpr(args.head, f)
           case other => throw new IllegalArgumentException(
             s"graft_wav_resample factor must be an integer literal, got $other")
+        }
+      }), (
+      FunctionIdentifier("graft_wav_pool"),
+      new ExpressionInfo(classOf[WavPoolExpr].getName, "graft_wav_pool"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_wav_pool(payload, n_bands) takes two arguments")
+        args(1) match {
+          case Literal(n: Int, IntegerType) => WavPoolExpr(args.head, n)
+          case other => throw new IllegalArgumentException(
+            s"graft_wav_pool band count must be an integer literal, got $other")
         }
       }))
 

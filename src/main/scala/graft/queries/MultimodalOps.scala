@@ -465,7 +465,64 @@ object MultimodalOps {
             MultimodalPipeline.poolBmp(col("payload"), 4, 4).as("f")))
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(mediaTopkOracleSql))
+      Some(mediaTopkOracleSql)),
+
+    // REAL audio feature extraction over the REAL chunk-walked decode
+    // — the audio twin of m_feature_pool: each document's WAV is
+    // pooled by WavPoolExpr into a 32-dim integer feature vector (16
+    // time bands × 2 channels, per-cell fixed-point mean of |PCM| —
+    // the energy-envelope descriptor a learned audio embedding
+    // replaces 1:1). The closed-form signal makes every band mean
+    // analytic, so the whole encode→chunk-walk→pool chain is
+    // hash-checked. Scan-local native codegen (no shuffle, no UDF);
+    // ann_audio_topk below consumes exactly these vectors, closing
+    // the decode→featurize→index loop for the second modality.
+    Entry("m_audio_features",
+      (spark, dir) => {
+        val d = Registry.table(spark, dir, "documents").select(col("doc_id"))
+        d.withColumn("payload", MultimodalPipeline.encodeWav(col("doc_id")))
+          .withColumn("f", MultimodalPipeline.poolWav(col("payload"), 16))
+          .select(col("doc_id"),
+            size(col("f")).cast("long").as("n_dims"),
+            concat_ws(",", col("f").cast("array<string>")).as("features"))
+          .orderBy(col("doc_id"))
+      },
+      Some(audioPoolCtes + "\n" +
+        """SELECT doc_id, 32::BIGINT AS n_dims,
+        |  string_agg(f::VARCHAR, ',' ORDER BY band*2 + c) AS features
+        |FROM ab GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ANN OVER AUDIO-DERIVED FEATURES — the audio closure of the
+    // decode → featurize → index loop (ann_media_topk is the image
+    // one): brute-force cosine top-5 for the 8-clip query panel over
+    // the m_audio_features vectors. Same exactness-baseline shape and
+    // the same documented scale path (bucket the pooled vectors with
+    // the LSH/IVF rungs — they consume any (id, array) input).
+    Entry("ann_audio_topk",
+      (spark, dir) => {
+        val d = Registry.table(spark, dir, "documents").select(col("doc_id"))
+        mediaTopkFrom(d
+          .withColumn("payload", MultimodalPipeline.encodeWav(col("doc_id")))
+          .select(col("doc_id"),
+            MultimodalPipeline.poolWav(col("payload"), 16).as("f")))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(audioPoolCtes + ",\n" +
+        """v AS (SELECT doc_id, list(f::DOUBLE ORDER BY band*2 + c) AS e
+        |  FROM ab GROUP BY doc_id)
+        |SELECT q.doc_id AS query_id,
+        |  CAST(row_number() OVER (PARTITION BY q.doc_id
+        |    ORDER BY round(list_inner_product(q.e, n.e) /
+        |      (sqrt(list_inner_product(q.e, q.e)) *
+        |       sqrt(list_inner_product(n.e, n.e))), 6) DESC, n.doc_id)
+        |    AS INT) AS rank,
+        |  n.doc_id AS neighbor_id,
+        |  round(list_inner_product(q.e, n.e) /
+        |    (sqrt(list_inner_product(q.e, q.e)) *
+        |     sqrt(list_inner_product(n.e, n.e))), 6) AS sim
+        |FROM v q JOIN v n ON q.doc_id < 8 AND q.doc_id <> n.doc_id
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin))
   )
 
   /** Brute-force cosine top-5 of the 8-image query panel over a
@@ -525,6 +582,23 @@ object MultimodalOps {
     * SELECT (`"\n"`) or a further CTE (`",\n"`). */
   // lazy: referenced by mediaTopkOracleSql, a val declared ABOVE this
   // definition — laziness makes the initialization order-independent
+  /** Shared analytic replay of the audio encode→pool chain (16 bands
+    * × 2 channels, 32 dims): per (doc, band, channel) the fixed-point
+    * mean of |sample| over the closed-form PCM pattern — the
+    * oracle-side twin of [[graft.functions.WavCodec.pool]] over
+    * [[graft.functions.WavCodec.encode]]. Band of frame i is
+    * i·16/n, the same grid rule the pool expression applies. Callers
+    * append their final SELECT (`"\n"`) or a further CTE (`",\n"`). */
+  private lazy val audioPoolCtes: String =
+    """WITH g AS (SELECT doc_id,
+    |    (64 + (doc_id % 5) * 16)::BIGINT AS n FROM documents),
+    |ab AS (SELECT doc_id, (i * 16) // n AS band, c,
+    |    CAST(sum(abs(((doc_id*31 + i*17 + c*7) % 2003) - 1001)) * 1000
+    |      // count(*) AS BIGINT) AS f
+    |  FROM g, unnest(generate_series(0, n - 1)) t(i),
+    |    unnest(generate_series(0, 1)) tc(c)
+    |  GROUP BY doc_id, band, c)""".stripMargin
+
   private lazy val featurePoolCtes: String =
     """WITH g AS (SELECT doc_id, (4 + doc_id % 5)::INT AS w,
     |    (5 + doc_id % 4)::INT AS h

@@ -368,6 +368,63 @@ object TextOps {
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
 
+    // DOMAIN MIXING — downsample a skewed corpus to a target domain
+    // mixture (en 40 / de 15 / es 15 / fr 15 / zh 15 here), the
+    // data-mixture step every LLM pretraining pipeline runs. The
+    // capacity T is the largest output size every domain can fill at
+    // its target share (min over domains of count/share); each
+    // domain's quota is then taken by a DETERMINISTIC hash threshold:
+    // keep a doc iff md5(doc_id) mod 1e6 < quota·1e6/count. Selection
+    // is thus a scan-local filter against a ≤5-row broadcast — no
+    // per-domain sort/row_number (the exact-k shape that serializes
+    // each domain through one reducer at 100 TB) — at the cost of a
+    // Chernoff-bounded miss on the quota (|achieved−target| =
+    // O(1/√n) per domain), the trade production samplers make. All
+    // integer arithmetic; sum(doc_id) of the selected set makes the
+    // hash check sensitive to the exact membership, not just counts.
+    Entry("t_domain_mix",
+      (spark, dir) => {
+        val weights = Seq(("en", 40), ("de", 15), ("es", 15),
+          ("fr", 15), ("zh", 15))
+        val wdf = spark.createDataFrame(weights).toDF("lang", "w")
+        val d = Registry.table(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"))
+          .withColumn("u_ppm",
+            TextFunctions.tokenHash(col("doc_id").cast("string")) % 1000000)
+        val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+          .join(broadcast(wdf), "lang")
+        val cap = counts.select(min(expr("c * 100 div w")).as("t"))
+        val quota = counts.crossJoin(broadcast(cap))
+          .withColumn("thr_ppm",
+            expr("least(c, w * t div 100) * 1000000 div c"))
+          .select(col("lang"), col("c"), col("thr_ppm"))
+        d.join(broadcast(quota), "lang")
+          .filter(col("u_ppm") < col("thr_ppm"))
+          .groupBy(col("lang"), col("c").as("n_docs"), col("thr_ppm"))
+          .agg(count(lit(1)).as("n_selected"),
+            sum(col("doc_id")).as("sum_sel_ids"))
+          .select(col("lang"), col("n_docs"), col("thr_ppm"),
+            col("n_selected"), col("sum_sel_ids"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH w(lang, w) AS (VALUES ('en', 40), ('de', 15),
+        |  ('es', 15), ('fr', 15), ('zh', 15)),
+        |d AS (SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 1000000 AS u_ppm
+        |  FROM documents),
+        |c AS (SELECT lang, count(*) AS c FROM d GROUP BY 1),
+        |cap AS (SELECT min(c.c * 100 // w.w) AS t
+        |  FROM c JOIN w USING (lang)),
+        |q AS (SELECT c.lang, c.c,
+        |    LEAST(c.c, w.w * cap.t // 100) * 1000000 // c.c AS thr_ppm
+        |  FROM c JOIN w USING (lang), cap)
+        |SELECT d.lang, q.c AS n_docs, q.thr_ppm,
+        |  count(*) AS n_selected,
+        |  CAST(sum(d.doc_id) AS BIGINT) AS sum_sel_ids
+        |FROM d JOIN q ON d.lang = q.lang AND d.u_ppm < q.thr_ppm
+        |GROUP BY 1, 2, 3 ORDER BY d.lang""".stripMargin)),
+
     // Corpus vocabulary statistics: top-50 tokens by occurrence count
     // with document frequency — the heavy-hitter query every curation
     // pipeline runs (vocabulary pruning, stopword discovery, boilerplate
@@ -882,6 +939,46 @@ object TextOps {
         |  CAST(floor(tok_off / 512) AS BIGINT),
         |  CAST(floor((tok_off + n_tokens - 1) / 512) AS BIGINT))) g(bin)
         |ORDER BY lang, shard, bin, start_tok""".stripMargin)),
+
+    // OVERLAPPING CONTEXT-WINDOW CHUNKING — the retrieval/embedding
+    // prep twin of t_seq_packing: each document is cut into 128-token
+    // windows advancing by a 96-token stride (32-token overlap, the
+    // standard boundary-context hedge for RAG/embedding corpora). One
+    // scan, one explode — rows ∝ tokens/stride, no shuffle, no
+    // window function (chunk offsets are per-document arithmetic,
+    // unlike packing's cross-document running offset), so at 100 TB
+    // this is embarrassingly parallel and chunk TEXT never rides a
+    // shuffle: each chunk is reduced to its md5 fingerprint in the
+    // scan projection, which also hash-checks that both engines slice
+    // identical token ranges.
+    Entry("t_chunk_overlap",
+      (spark, dir) => {
+        val win = 128; val stride = 96
+        Registry.table(spark, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("n", size(col("toks")).cast("long"))
+          .withColumn("start_tok",
+            explode(expr(s"sequence(0L, n - 1, ${stride}L)")))
+          .withColumn("len",
+            least(lit(win.toLong), col("n") - col("start_tok")))
+          .select(col("doc_id"),
+            expr(s"start_tok div $stride").as("chunk_id"),
+            col("start_tok"), col("len"),
+            md5(concat_ws(" ",
+              expr("slice(toks, CAST(start_tok + 1 AS INT), CAST(len AS INT))")))
+              .as("fp"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $tokSql AS toks,
+        |  CAST(len($tokSql) AS BIGINT) AS n FROM documents),
+        |c AS (SELECT doc_id, n, toks,
+        |  unnest(generate_series(0, n - 1, 96)) AS start_tok FROM t)
+        |SELECT doc_id, start_tok // 96 AS chunk_id, start_tok,
+        |  LEAST(128, n - start_tok) AS len,
+        |  md5(array_to_string(
+        |    toks[(start_tok + 1):(start_tok + LEAST(128, n - start_tok))],
+        |    ' ')) AS fp
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
 
     // COUNT-MIN SKETCH HEAVY HITTERS — the frequency member of the
     // sketch family (KMV = cardinality, MinHash/LSH = similarity):

@@ -505,6 +505,46 @@ object VectorOps {
         |QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin)),
 
+    // HARD-NEGATIVE MINING — the contrastive-training data shape: for
+    // each query vector, the top-5 most-similar vectors with a
+    // DIFFERENT label (nearest wrong-class examples — the negatives
+    // that actually move a contrastive/triplet loss; random negatives
+    // are mostly trivial). Same 20-query-panel exactness baseline as
+    // ann_topk_bruteforce with the label-mismatch predicate fused into
+    // the candidate join (filters pairs BEFORE scoring, not after
+    // ranking); the 100 TB path is identical to ANN's — generate
+    // candidates from the LSH/IVF rungs and apply the same mismatch
+    // predicate at the candidate join.
+    Entry("v_hard_negatives",
+      (spark, dir) => {
+        val q = emb(spark, dir).filter(col("vec_id") < queryCount)
+          .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+            col("e").as("qe"), col("nrm").as("qn"))
+        val n = emb(spark, dir)
+          .select(col("vec_id").as("neighbor_id"), col("label").as("nlabel"),
+            col("e").as("ne"), col("nrm").as("nn"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        q.join(n, col("qlabel") =!= col("nlabel"))
+          .withColumn("sim",
+            round(VectorFunctions.dot(col("qe"), col("ne")) /
+              (col("qn") * col("nn")), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("qlabel"), col("rank"),
+            col("neighbor_id"), col("nlabel"), col("sim"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH v AS ($embSql)
+        |SELECT q.vec_id AS query_id, q.label AS qlabel,
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY round(${cosSql("q.e", "n.e")}, 6) DESC, n.vec_id) AS INT) AS rank,
+        |  n.vec_id AS neighbor_id, n.label AS nlabel,
+        |  round(${cosSql("q.e", "n.e")}, 6) AS sim
+        |FROM v q JOIN v n ON q.vec_id < $queryCount AND q.label <> n.label
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)),
+
     Entry("ann_lsh_topk",
       (spark, dir) => {
         val b = emb(spark, dir).withColumn("bucket",

@@ -285,6 +285,47 @@ class MultimodalSpec extends SparkTestBase {
     assert(row.getLong(4) == 0L && row.getLong(5) == 0L && row.getInt(6) == 1000)
   }
 
+  test("WAV pool: band means of |PCM| match the closed-form pattern; " +
+      "malformed and too-short inputs are null") {
+    import graft.functions.WavCodec
+    def wantFeats(id: Long, nBands: Int): Seq[Long] = {
+      val n = WavCodec.frames(id)
+      val sums = Array.fill(nBands * 2)(0L); val counts = Array.fill(nBands)(0L)
+      for (i <- 0 until n) {
+        val band = (i.toLong * nBands / n).toInt
+        counts(band) += 1
+        for (c <- 0 until 2)
+          sums(band * 2 + c) += math.abs(WavCodec.sample(id, i, c))
+      }
+      (0 until nBands * 2).map(k => sums(k) * 1000L / counts(k / 2))
+    }
+    for (id <- 0L until 20L) {
+      val arr = WavCodec.pool(WavCodec.encode(id), 16)
+      assert(arr != null, s"doc $id")
+      assert(arr.toLongArray().toSeq == wantFeats(id, 16), s"doc $id features")
+    }
+    // a band count that does NOT divide the frame count still
+    // partitions every frame exactly once (grid rule, not stride)
+    val arr7 = WavCodec.pool(WavCodec.encode(3L), 7)
+    assert(arr7 != null && arr7.numElements() == 14)
+    assert(arr7.toLongArray().toSeq == wantFeats(3L, 7))
+    assert(WavCodec.pool(Array[Byte](1, 2, 3), 16) == null, "garbage")
+    assert(WavCodec.pool(WavCodec.encode(0L), 0) == null, "bad band count")
+    assert(WavCodec.pool(WavCodec.encode(0L), 1000) == null,
+      "more bands than frames: a band would be empty")
+    val badFmt = WavCodec.encode(5L).clone(); badFmt(20) = 3
+    assert(WavCodec.pool(badFmt, 16) == null, "non-PCM rejected")
+  }
+
+  test("WAV pool runs inside codegen as a SQL function") {
+    graft.plans.GraftExtensions.register(spark)
+    val out = spark.range(0, 20).toDF("doc_id")
+      .selectExpr("graft_wav_pool(graft_wav_encode(doc_id), 16) AS f")
+      .selectExpr("sum(size(f)) AS dims", "count(*) AS n")
+      .head()
+    assert(out.getLong(0) == 20L * 32 && out.getLong(1) == 20)
+  }
+
   test("WAV resample: 2x decimation keeps every second frame at half rate, " +
     "output is a decodable spec-complete container") {
     import graft.functions.WavCodec

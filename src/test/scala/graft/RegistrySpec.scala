@@ -54,6 +54,15 @@ class RegistrySpec extends SparkTestBase {
       // media-feature twin of the brute-force exactness baseline: the
       // 8-query pooled-feature panel broadcast against the corpus
       "ann_media_topk",
+      // hard-negative mining: the same 20-query panel broadcast, with
+      // the label-mismatch predicate fused into the candidate join
+      "v_hard_negatives",
+      // audio twin of ann_media_topk: the 8-clip pooled-feature panel
+      // broadcast against the corpus
+      "ann_audio_topk",
+      // the 1-row capacity scalar crossed into the ≤5-row quota
+      // table; the corpus itself joins the quota on lang equi-keys
+      "t_domain_mix",
       // power iteration + its application: every cross is a 1-row y /
       // 64-row M broadcast — the corpus is touched once, in the
       // moment-matrix equi-join, never by a BNLJ
