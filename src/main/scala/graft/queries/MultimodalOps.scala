@@ -507,23 +507,30 @@ object MultimodalOps {
             MultimodalPipeline.poolWav(col("payload"), 16).as("f")))
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(audioPoolCtes + ",\n" +
-        """v AS (SELECT doc_id, list(f::DOUBLE ORDER BY band*2 + c) AS e
-        |  FROM ab GROUP BY doc_id)
-        |SELECT q.doc_id AS query_id,
-        |  CAST(row_number() OVER (PARTITION BY q.doc_id
-        |    ORDER BY round(list_inner_product(q.e, n.e) /
-        |      (sqrt(list_inner_product(q.e, q.e)) *
-        |       sqrt(list_inner_product(n.e, n.e))), 6) DESC, n.doc_id)
-        |    AS INT) AS rank,
-        |  n.doc_id AS neighbor_id,
-        |  round(list_inner_product(q.e, n.e) /
-        |    (sqrt(list_inner_product(q.e, q.e)) *
-        |     sqrt(list_inner_product(n.e, n.e))), 6) AS sim
-        |FROM v q JOIN v n ON q.doc_id < 8 AND q.doc_id <> n.doc_id
-        |QUALIFY rank <= 5
-        |ORDER BY query_id, rank""".stripMargin))
+      Some(audioTopkOracleSql))
   )
+
+  /** Oracle for [[mediaTopkFrom]] over the analytic AUDIO feature
+    * replay — shared by ann_audio_topk and its streaming twin (s52,
+    * which serves the SAME oracle from incrementally-built feature
+    * state). */
+  private[queries] lazy val audioTopkOracleSql: String =
+    audioPoolCtes + ",\n" +
+      """v AS (SELECT doc_id, list(f::DOUBLE ORDER BY band*2 + c) AS e
+      |  FROM ab GROUP BY doc_id)
+      |SELECT q.doc_id AS query_id,
+      |  CAST(row_number() OVER (PARTITION BY q.doc_id
+      |    ORDER BY round(list_inner_product(q.e, n.e) /
+      |      (sqrt(list_inner_product(q.e, q.e)) *
+      |       sqrt(list_inner_product(n.e, n.e))), 6) DESC, n.doc_id)
+      |    AS INT) AS rank,
+      |  n.doc_id AS neighbor_id,
+      |  round(list_inner_product(q.e, n.e) /
+      |    (sqrt(list_inner_product(q.e, q.e)) *
+      |     sqrt(list_inner_product(n.e, n.e))), 6) AS sim
+      |FROM v q JOIN v n ON q.doc_id < 8 AND q.doc_id <> n.doc_id
+      |QUALIFY rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
 
   /** Brute-force cosine top-5 of the 8-image query panel over a
     * supplied `(doc_id, f array<bigint>)` pooled-feature table —

@@ -111,6 +111,103 @@ object PipelineOps {
         |  ${TextFunctions.splitCaseSql("bucket")} AS split,
         |  quality, cell
         |FROM sv WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // THE TRAINING-CORPUS MATERIALIZATION RUN — the other end-to-end
+    // compose: where pipe_curation emits the curated-corpus manifest,
+    // this emits what the TRAINER actually ingests — per-chunk rows
+    // of the quality-gated, exact-deduped, mixture-rebalanced corpus:
+    //
+    //   quality gate (t_quality) → exact dedup (dedup_exact) →
+    //   domain mix (t_domain_mix) → overlapping chunking
+    //   (t_chunk_overlap)
+    //
+    // Plan shape, deliberately: everything per-document (quality, dup
+    // fingerprint, mix hash) computes in ONE documents scan; the only
+    // data-sized shuffle is the SLIM (fp, doc_id, lang, u_ppm) dedup
+    // window — text stays in the scan; the mix quotas are a ≤5-row
+    // broadcast derived from the survivor counts (so the mixture is
+    // computed over what dedup kept, not raw counts); the admitted id
+    // set then joins BACK to the documents scan by doc_id and
+    // chunking explodes scan-locally, with each chunk reduced to its
+    // md5 before the output sort. At 100 TB the join-back is the
+    // manifest⋈corpus join every materialization run performs — with
+    // the corpus bucketed by doc_id (BucketingSpec's layout) it is
+    // co-located and shuffle-free, so the whole run costs one slim
+    // shuffle + one co-located join over a single corpus scan.
+    Entry("pipe_training_mix",
+      (spark, dir) => {
+        val d = Registry.table(spark, dir, "documents")
+        val q = d.select(col("doc_id"), col("lang"),
+            TextFunctions.qualityScore(col("text")).as("quality"),
+            md5(col("text")).as("fp"),
+            (TextFunctions.tokenHash(col("doc_id").cast("string")) % 1000000)
+              .as("u_ppm"))
+          .filter(col("quality") >= qualityMin)
+        val wFp = Window.partitionBy(col("fp"))
+        val keep = q
+          .withColumn("mid", min(col("doc_id")).over(wFp))
+          .filter(col("doc_id") === col("mid"))
+        val weights = Seq(("en", 40), ("de", 15), ("es", 15),
+          ("fr", 15), ("zh", 15))
+        val wdf = spark.createDataFrame(weights).toDF("lang", "w")
+        val counts = keep.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+          .join(broadcast(wdf), "lang")
+        val cap = counts.select(min(expr("c * 100 div w")).as("t"))
+        val quota = counts.crossJoin(broadcast(cap))
+          .withColumn("thr_ppm",
+            expr("least(c, w * t div 100) * 1000000 div c"))
+          .select(col("lang"), col("thr_ppm"))
+        val sel = keep.join(broadcast(quota), "lang")
+          .filter(col("u_ppm") < col("thr_ppm"))
+          .select(col("doc_id"), col("lang"))
+        d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .join(sel, "doc_id")
+          .withColumn("n", size(col("toks")).cast("long"))
+          .withColumn("start_tok",
+            explode(expr("sequence(0L, n - 1, 96L)")))
+          .withColumn("len",
+            least(lit(128L), col("n") - col("start_tok")))
+          .select(col("doc_id"), col("lang"),
+            expr("start_tok div 96").as("chunk_id"),
+            col("start_tok"), col("len"),
+            md5(concat_ws(" ",
+              expr("slice(toks, CAST(start_tok + 1 AS INT), CAST(len AS INT))")))
+              .as("chunk_fp"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some(s"""WITH q AS (SELECT doc_id, lang,
+        |    round(0.5 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |        / len(string_split(text, ' '))::DOUBLE)
+        |      + 0.5 * least(1.0, length(text)::DOUBLE / 200.0), 6) AS quality,
+        |    md5(text) AS fp,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 1000000 AS u_ppm
+        |  FROM documents),
+        |g AS (SELECT * FROM q WHERE quality >= $qualityMin),
+        |e AS (SELECT * FROM (SELECT *,
+        |    min(doc_id) OVER (PARTITION BY fp) AS mid FROM g)
+        |  WHERE doc_id = mid),
+        |w(lang, w) AS (VALUES ('en', 40), ('de', 15), ('es', 15),
+        |  ('fr', 15), ('zh', 15)),
+        |c AS (SELECT lang, count(*) AS c FROM e GROUP BY 1),
+        |cap AS (SELECT min(c.c * 100 // w.w) AS t
+        |  FROM c JOIN w USING (lang)),
+        |qta AS (SELECT c.lang,
+        |    LEAST(c.c, w.w * cap.t // 100) * 1000000 // c.c AS thr_ppm
+        |  FROM c JOIN w USING (lang), cap),
+        |sel AS (SELECT e.doc_id, e.lang
+        |  FROM e JOIN qta ON e.lang = qta.lang AND e.u_ppm < qta.thr_ppm),
+        |t AS (SELECT d.doc_id, sel.lang, string_split(d.text, ' ') AS toks,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n
+        |  FROM documents d JOIN sel ON sel.doc_id = d.doc_id),
+        |ch AS (SELECT doc_id, lang, n, toks,
+        |  unnest(generate_series(0, n - 1, 96)) AS start_tok FROM t)
+        |SELECT doc_id, lang, start_tok // 96 AS chunk_id, start_tok,
+        |  LEAST(128, n - start_tok) AS len,
+        |  md5(array_to_string(
+        |    toks[(start_tok + 1):(start_tok + LEAST(128, n - start_tok))],
+        |    ' ')) AS chunk_fp
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin))
   )
 }

@@ -2990,6 +2990,63 @@ object StreamingOps {
       },
       Some(MultimodalOps.mediaTopkOracleSql)),
 
+    // STREAMING AUDIO FEATURIZATION — s50's loop run for the SECOND
+    // modality: arriving clips are chunk-walk decoded and pooled
+    // scan-locally per microbatch (WavPoolExpr — the identical batch
+    // featurizer), the (doc → 32-dim banded-energy vector) rows
+    // upsert into doc-keyed feature state, and the converged feature
+    // index answers the standing 8-clip query panel through the batch
+    // scoring tail — hash-matching the ann_audio_topk oracle. With
+    // s50 both media modalities have a live featurize→index→serve
+    // proof; at 100 TB features stream into the index as clips land,
+    // never a corpus-wide refeaturize.
+    Entry("s52_stream_audio_features",
+      (spark, dir) => { import spark.implicits._
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_afeat_")
+          val log = tmp.resolve("log")
+          val ckpt = tmp.resolve("ckpt")
+          try {
+            val in = sharedChunkDir(dir, "docid", "documents") { p =>
+              Registry.table(spark, dir, "documents").select(col("doc_id"))
+                .repartitionByRange(chunks, col("doc_id"))
+                .write.parquet(p.toString)
+            }
+            val src = spark.readStream.schema("doc_id BIGINT")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+            val featRows = src
+              .withColumn("payload",
+                graft.multimodal.MultimodalPipeline.encodeWav(col("doc_id")))
+              .select(col("doc_id"),
+                graft.multimodal.MultimodalPipeline
+                  .poolWav(col("payload"), 16).as("f"))
+              .as[MediaFeatRow]
+            val dd = VersionedStreamDedup.latestPerKeyId[MediaFeatRow](
+              featRows, _.doc_id.toString, _ => "f", _ => 0L)
+            val q = dd.toDF().writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("key"))
+            val feats = raw
+              .withColumn("max_seq", max(col("seq")).over(wMax))
+              .filter(col("seq") === col("max_seq"))
+              .select(explode(col("xs")).as("x"))
+              .select(col("x.doc_id").as("doc_id"), col("x.f").as("f"))
+            MultimodalOps.mediaTopkFrom(feats)
+              .orderBy(col("query_id"), col("rank"))
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(MultimodalOps.audioTopkOracleSql)),
+
     // STREAMING PCA TRAINING — the moment matrix M = Σ x·xᵀ is a pure
     // SUM, so Spark's native streaming aggregation maintains it with
     // no custom state code at all (the mergeable-sketch argument,

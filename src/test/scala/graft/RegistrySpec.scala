@@ -63,6 +63,9 @@ class RegistrySpec extends SparkTestBase {
       // the 1-row capacity scalar crossed into the ≤5-row quota
       // table; the corpus itself joins the quota on lang equi-keys
       "t_domain_mix",
+      // same 1-row capacity × ≤5-row quota cross inside the compose;
+      // the corpus joins on lang/doc_id equi-keys only
+      "pipe_training_mix",
       // power iteration + its application: every cross is a 1-row y /
       // 64-row M broadcast — the corpus is touched once, in the
       // moment-matrix equi-join, never by a BNLJ
