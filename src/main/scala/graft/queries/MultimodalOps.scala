@@ -552,7 +552,7 @@ object MultimodalOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    q.join(n, col("query_id") =!= col("neighbor_id"))
+    broadcast(q).join(n, col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
         round(graft.functions.VectorFunctions.dot(col("qe"), col("ne")) /
           (col("qn") * col("nn")), 6))

@@ -145,9 +145,16 @@ object PipelineOps {
               .as("u_ppm"))
           .filter(col("quality") >= qualityMin)
         val wFp = Window.partitionBy(col("fp"))
+        // materialize the SLIM survivor manifest once: three consumers
+        // (quota counts, capacity, selection) would otherwise re-run
+        // the documents scan + dedup window per reference (the
+        // dedup_shingle_jaccard diamond lesson; a manifest table
+        // between macro-stages at 100 TB)
         val keep = q
           .withColumn("mid", min(col("doc_id")).over(wFp))
           .filter(col("doc_id") === col("mid"))
+          .select(col("doc_id"), col("lang"), col("u_ppm"))
+          .localCheckpoint()
         val weights = Seq(("en", 40), ("de", 15), ("es", 15),
           ("fr", 15), ("zh", 15))
         val wdf = spark.createDataFrame(weights).toDF("lang", "w")

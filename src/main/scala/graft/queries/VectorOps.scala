@@ -525,7 +525,7 @@ object VectorOps {
             col("e").as("ne"), col("nrm").as("nn"))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("sim").desc, col("neighbor_id"))
-        q.join(n, col("qlabel") =!= col("nlabel"))
+        broadcast(q).join(n, col("qlabel") =!= col("nlabel"))
           .withColumn("sim",
             round(VectorFunctions.dot(col("qe"), col("ne")) /
               (col("qn") * col("nn")), 6))
@@ -1077,7 +1077,7 @@ object VectorOps {
         col("nrm").as("nn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    q.join(n, col("query_id") =!= col("neighbor_id"))
+    broadcast(q).join(n, col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
         round(VectorFunctions.dot(col("qe"), col("ne")) /
           (col("qn") * col("nn")), 6))
@@ -1263,7 +1263,7 @@ object VectorOps {
       col("qn").as("nqn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("qsim").desc, col("neighbor_id"))
-    q.join(n, col("query_id") =!= col("neighbor_id"))
+    broadcast(q).join(n, col("query_id") =!= col("neighbor_id"))
       .withColumn("qsim",
         safeCosine(VectorFunctions.dot(col("qe"), col("ne")),
           col("qqn"), col("nqn")))
@@ -1421,7 +1421,7 @@ object VectorOps {
     val n = gv.select(col("vec_id").as("neighbor_id"), col("g").as("ng"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("l2"), col("neighbor_id"))
-    q.join(n, col("query_id") =!= col("neighbor_id"))
+    broadcast(q).join(n, col("query_id") =!= col("neighbor_id"))
       .withColumn("l2",
         VectorFunctions.dot(col("qg"), col("qg"))
           - lit(2d) * VectorFunctions.dot(col("qg"), col("ng"))
@@ -1748,7 +1748,7 @@ object VectorOps {
       col("pn").as("npn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("psim").desc, col("neighbor_id"))
-    q.join(n, col("query_id") =!= col("neighbor_id"))
+    broadcast(q).join(n, col("query_id") =!= col("neighbor_id"))
       .withColumn("psim",
         safeCosine(VectorFunctions.dot(col("qp"), col("np")),
           col("qpn"), col("npn")))
