@@ -1126,6 +1126,132 @@ object TextOps {
         |  n_bloom_hits - n_contaminated AS bloom_false_pos
         |FROM bl JOIN ex ON ex.doc_id = bl.doc_id
         |ORDER BY bl.doc_id""".stripMargin
-      })
+      }),
+
+    // PERPLEXITY-BAND FILTERING (CCNet, Wenzek et al. 2020, public):
+    // score every document with the corpus-trained unigram LM
+    // (t_unigram_lm's model — same joins), then classify into
+    // head/middle/tail PER LANGUAGE against the language's mean score
+    // — CCNet trains per-language LMs and keeps the head/middle
+    // bands; the tail is the low-probability (high-perplexity) text a
+    // pretraining mix drops. Every comparison is INTEGER: the per-doc
+    // score is fixed-point-quantized scan-side (micro =
+    // floor(p·10⁶ + 0.5), the t_bigram_lm idiom), and the band test
+    // cross-multiplies instead of dividing (micro·2n < msum ⟺
+    // micro < mean/2), so band boundaries can never float-drift
+    // between engines. Shuffle structure = the unigram row's plus one
+    // ≤5-row per-language stat broadcast — the banding itself adds no
+    // data-sized exchange, and at 100 TB the decision column fuses
+    // into the same pass that writes the curation manifest.
+    Entry("t_perplexity_filter",
+      (spark, dir) => {
+        val d = Registry.table(spark, dir, "documents")
+        val toks = d.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        val vocab = toks.groupBy(col("tok"))
+          .agg(count(lit(1)).as("cnt"))
+        val total = toks.agg(count(lit(1)).as("total"))
+        val tf = toks.groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val scored = tf.join(vocab, Seq("tok"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("tf") * col("cnt")).as("wsum"),
+            sum(col("tf")).as("n_tokens"))
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"),
+            floor(col("wsum") * lit(1000000L) /
+              (col("n_tokens") * col("total")) + lit(0.5)).as("micro"))
+        val withLang = scored
+          .join(d.select(col("doc_id"), col("lang")), "doc_id")
+        val stats = withLang.groupBy(col("lang"))
+          .agg(sum(col("micro")).as("msum"), count(lit(1)).as("n"))
+        withLang.join(broadcast(stats), "lang")
+          .withColumn("bucket",
+            when(col("micro") * 2 * col("n") < col("msum"), lit("tail"))
+              .when(col("micro") * 2 * col("n") >= col("msum") * 3,
+                lit("head"))
+              .otherwise(lit("middle")))
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("sum_ids"),
+            min(col("micro")).as("min_micro"),
+            max(col("micro")).as("max_micro"))
+          .orderBy(col("lang"), col("bucket"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest($tokSql) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+        |tot AS (SELECT count(*) AS total FROM t),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+        |  GROUP BY doc_id, tok),
+        |ds AS (SELECT tf.doc_id,
+        |    CAST(floor(CAST(sum(tf.tf * vocab.cnt) AS BIGINT) * 1000000
+        |      / (CAST(sum(tf.tf) AS BIGINT) * tot.total) + 0.5) AS BIGINT)
+        |      AS micro
+        |  FROM tf JOIN vocab USING (tok), tot
+        |  GROUP BY tf.doc_id, tot.total),
+        |dl AS (SELECT ds.doc_id, d.lang, ds.micro
+        |  FROM ds JOIN documents d USING (doc_id)),
+        |st AS (SELECT lang, CAST(sum(micro) AS BIGINT) AS msum,
+        |    count(*) AS n FROM dl GROUP BY lang)
+        |SELECT dl.lang,
+        |  CASE WHEN dl.micro * 2 * st.n < st.msum THEN 'tail'
+        |       WHEN dl.micro * 2 * st.n >= st.msum * 3 THEN 'head'
+        |       ELSE 'middle' END AS bucket,
+        |  count(*) AS n_docs, CAST(sum(dl.doc_id) AS BIGINT) AS sum_ids,
+        |  min(dl.micro) AS min_micro, max(dl.micro) AS max_micro
+        |FROM dl JOIN st USING (lang)
+        |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin)),
+
+    // TEMPERATURE-SCALED DOMAIN MIXING (α = 0.5) — the multilingual
+    // rebalancing rule the public XLM-R/mT5 recipes sample with:
+    // domain weight ∝ count^α, so low-resource languages are
+    // UP-weighted relative to their raw share (α = 1 is t_domain_mix's
+    // proportional quota; α = 0 is uniform). Same scalable machinery
+    // as t_domain_mix — capacity = min over domains of what each can
+    // fill at its weight, selection by deterministic per-doc hash
+    // threshold against a ≤5-row broadcast quota table, never a
+    // per-domain sort — with the weight itself data-derived:
+    // w = floor(sqrt(count)), integer-exact in both engines (IEEE
+    // sqrt of an integer-valued double is correctly rounded, floor of
+    // it identical), so the whole quota chain stays on integers.
+    Entry("t_domain_mix_temp",
+      (spark, dir) => {
+        val d = Registry.table(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"))
+          .withColumn("u_ppm",
+            TextFunctions.tokenHash(col("doc_id").cast("string")) % 1000000)
+        val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+          .withColumn("w", floor(sqrt(col("c"))).cast("long"))
+        val cap = counts.select(min(expr("c * 1000000 div w")).as("t"))
+        val quota = counts.crossJoin(broadcast(cap))
+          .withColumn("thr_ppm",
+            expr("least(c, w * t div 1000000) * 1000000 div c"))
+          .select(col("lang"), col("c"), col("w"), col("thr_ppm"))
+        d.join(broadcast(quota), "lang")
+          .filter(col("u_ppm") < col("thr_ppm"))
+          .groupBy(col("lang"), col("c").as("n_docs"), col("w"),
+            col("thr_ppm"))
+          .agg(count(lit(1)).as("n_selected"),
+            sum(col("doc_id")).as("sum_sel_ids"))
+          .select(col("lang"), col("n_docs"), col("w"), col("thr_ppm"),
+            col("n_selected"), col("sum_sel_ids"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 1000000 AS u_ppm
+        |  FROM documents),
+        |c AS (SELECT lang, count(*) AS c,
+        |    CAST(floor(sqrt(count(*))) AS BIGINT) AS w FROM d GROUP BY 1),
+        |cap AS (SELECT min(c.c * 1000000 // c.w) AS t FROM c),
+        |q AS (SELECT c.lang, c.c, c.w,
+        |    LEAST(c.c, c.w * cap.t // 1000000) * 1000000 // c.c AS thr_ppm
+        |  FROM c, cap)
+        |SELECT d.lang, q.c AS n_docs, q.w, q.thr_ppm,
+        |  count(*) AS n_selected,
+        |  CAST(sum(d.doc_id) AS BIGINT) AS sum_sel_ids
+        |FROM d JOIN q ON d.lang = q.lang AND d.u_ppm < q.thr_ppm
+        |GROUP BY 1, 2, 3, 4 ORDER BY d.lang""".stripMargin))
   )
 }

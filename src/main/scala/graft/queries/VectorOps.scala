@@ -1041,7 +1041,85 @@ object VectorOps {
         |  round(count(pt.neighbor_id) / count(*), 6) AS recall
         |FROM exg LEFT JOIN pt ON pt.query_id = exg.query_id
         |  AND pt.neighbor_id = exg.neighbor_id
-        |GROUP BY exg.query_id ORDER BY exg.query_id""".stripMargin))
+        |GROUP BY exg.query_id ORDER BY exg.query_id""".stripMargin)),
+
+    // 1-BIT BINARY (SIGN) QUANTIZATION — the bottom rung of the
+    // compression ladder this family measures end to end (float32 →
+    // int8 SQ → PQ8×4 → 1 bit/dim): bit i is set iff component i is
+    // positive, packed into TWO 32-bit words held in BIGINTs. 64 bits
+    // = 8 bytes/vector, a 32× reduction of the float32 source — the
+    // format binary-quantized vector stores (FAISS's
+    // IndexBinaryFlat; sign quantization after PCA/OPQ rotation is
+    // the public-standard recipe) ship and scan at 100 TB. Packing is
+    // 64 unrolled codegen terms summed as DISTINCT powers of two
+    // (exact — each power appears at most once) fused into the
+    // parquet scan: no shuffle, no UDF. The split across two words
+    // keeps every term off a BIGINT's sign bit — `1L << 63` wraps
+    // negative, and signed-overflow semantics are exactly the
+    // engine-specific hazard the integer-grid discipline avoids.
+    Entry("v_sign_bits",
+      (spark, dir) => signPacked(spark, dir).orderBy(col("vec_id")),
+      Some(s"""WITH v AS ($embSql),
+        |$signCteSql
+        |SELECT vec_id, lo, hi FROM sb ORDER BY vec_id""".stripMargin)),
+
+    // HAMMING-DISTANCE ANN over the packed sign bits: score = popcount
+    // of the XOR of the 64-bit codes — for unit-ish vectors the
+    // Hamming distance estimates the angle (each plane the sign of one
+    // component; collision probability 1 − θ/π, the sign-LSH bound),
+    // so ranking by it approximates cosine ranking at 1/32 of the
+    // bytes and ~1 cycle per comparison (two XOR+POPCNT pairs). The
+    // panel-broadcast shape of the other rungs (20 query codes
+    // broadcast, corpus scanned once); scoring integers end to end,
+    // so cross-engine exact. At 100 TB this is the cheap FIRST filter
+    // before SQ8/PQ rescoring — the recall row below prices exactly
+    // that choice.
+    Entry("ann_hamming_topk",
+      (spark, dir) => hammingTopkPairs(spark, dir)
+        .orderBy(col("query_id"), col("rank")),
+      Some(hammingTopkOracleSql)),
+
+    // Recall of 1-bit Hamming ranking against the exact float top-5 —
+    // the measured answer to "what does 32× less IO cost in quality?"
+    // (completing the priced ladder: ann_recall prices IVF probing,
+    // ann_quantized_recall prices int8, ann_pq_recall prices PQ8×4,
+    // ann_rp_recall prices 16-dim projection).
+    Entry("ann_hamming_recall",
+      (spark, dir) => {
+        val exact = bruteTopkPairs(spark, dir)
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = hammingTopkPairs(spark, dir)
+          .select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1))
+        exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_exact"),
+            count(col("hit")).as("n_hit"))
+          .withColumn("recall",
+            round(col("n_hit") / col("n_exact"), 6))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH v AS ($embSql),
+        |$signCteSql,
+        |ht AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY ${hammingSql("q", "n")}, n.vec_id) AS rank
+        |  FROM sb q JOIN sb n
+        |    ON q.vec_id < $queryCount AND q.vec_id <> n.vec_id)
+        |  WHERE rank <= 5),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(${cosSql("q.e", "n.e")}, 6) DESC, n.vec_id) AS rank
+        |  FROM v q JOIN v n ON q.vec_id < $queryCount AND q.vec_id <> n.vec_id)
+        |  WHERE rank <= 5)
+        |SELECT ex.query_id, count(*) AS n_exact,
+        |  count(ht.neighbor_id) AS n_hit,
+        |  round(count(ht.neighbor_id) / count(*), 6) AS recall
+        |FROM ex LEFT JOIN ht ON ht.query_id = ex.query_id
+        |  AND ht.neighbor_id = ex.neighbor_id
+        |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin))
   )
 
   /** Shared with StreamingOps (s30): the incremental semantic-dedup
@@ -1068,6 +1146,96 @@ object VectorOps {
     * tiny-broadcast BNLJ: $queryCount query vectors against the
     * corpus) — shared by ann_topk_bruteforce and ann_recall's ground
     * truth. No trailing sort; callers order (or aggregate) the pairs. */
+  /** One 32-dim half of the sign bitmap: bit i of the word is set iff
+    * e[off+i] > 0. 32 unrolled codegen terms, summed — each term a
+    * distinct power of two, so the sum IS the bit pattern and can
+    * never overflow; fuses into the parquet scan. Split across two
+    * words (lo = dims 0..31, hi = dims 32..63) so no term touches a
+    * BIGINT's sign bit. */
+  private def signWord(e: Column, off: Int): Column =
+    (0 until 32).map { i =>
+      when(element_at(e, off + i + 1) > lit(0d), lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Pack a (vec_id, e) frame to (vec_id, lo, hi) sign bitmaps —
+    * scan-local; shared with the streamed encoder (s53), whose
+    * microbatches run exactly this projection. */
+  private[queries] def signPackedFrom(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+      signWord(col("e"), 0).as("lo"), signWord(col("e"), 32).as("hi"))
+
+  /** The corpus as (vec_id, lo, hi) packed sign bitmaps — shared by
+    * v_sign_bits, the Hamming rungs, and the streamed serving twin. */
+  private[queries] def signPacked(spark: SparkSession, dir: String): DataFrame =
+    signPackedFrom(emb(spark, dir))
+
+  /** DuckDB twin of [[signPacked]], assuming a `v` corpus CTE in
+    * scope: unnest with subscripts, shift each positive component's
+    * bit into its word. */
+  private[queries] val signCteSql: String =
+    """sb AS (SELECT vec_id,
+      |  CAST(COALESCE(sum(CASE WHEN val > 0 AND idx <= 32
+      |    THEN 1::BIGINT << (idx - 1) ELSE 0 END), 0) AS BIGINT) AS lo,
+      |  CAST(COALESCE(sum(CASE WHEN val > 0 AND idx > 32
+      |    THEN 1::BIGINT << (idx - 33) ELSE 0 END), 0) AS BIGINT) AS hi
+      |  FROM (SELECT vec_id, unnest(e) AS val,
+      |    generate_subscripts(e, 1) AS idx FROM v)
+      |  GROUP BY vec_id)""".stripMargin
+
+  /** popcount(a XOR b) over both words — integer end to end. */
+  private def hammingDist(qlo: Column, qhi: Column,
+                          nlo: Column, nhi: Column): Column =
+    (bit_count(qlo.bitwiseXOR(nlo)) +
+      bit_count(qhi.bitwiseXOR(nhi))).cast("int")
+
+  private[queries] def hammingSql(a: String, b: String): String =
+    s"bit_count(xor($a.lo, $b.lo)) + bit_count(xor($a.hi, $b.hi))"
+
+  /** The Hamming serving tail: score the standing query panel (batch
+    * sign codes of vec_id < [[queryCount]]) against an arbitrary
+    * (vec_id, lo, hi) code table — shared by ann_hamming_topk (codes
+    * = the batch corpus) and the streamed index twin s53 (codes = the
+    * converged state table). */
+  private[queries] def hammingTopkFrom(spark: SparkSession, dir: String,
+                                       codes: DataFrame): DataFrame = {
+    val q = signPacked(spark, dir).filter(col("vec_id") < queryCount)
+      .select(col("vec_id").as("query_id"),
+        col("lo").as("qlo"), col("hi").as("qhi"))
+    val n = codes.select(col("vec_id").as("neighbor_id"),
+      col("lo").as("nlo"), col("hi").as("nhi"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    broadcast(q).join(n, col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming",
+        hammingDist(col("qlo"), col("qhi"), col("nlo"), col("nhi")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("hamming"))
+  }
+
+  /** Hamming top-5 for the fixed query panel — the 1-bit twin of
+    * [[bruteTopkPairs]] (same allow-listed tiny-broadcast BNLJ: the
+    * 20-code query panel against the corpus codes). */
+  private def hammingTopkPairs(spark: SparkSession, dir: String): DataFrame =
+    hammingTopkFrom(spark, dir, signPacked(spark, dir))
+
+  /** Shared with StreamingOps (s53): the streamed sign-bit index must
+    * serve exactly the batch Hamming panel answer. */
+  private[queries] def hammingTopkOracleSql: String =
+    s"""WITH v AS ($embSql),
+       |$signCteSql
+       |SELECT q.vec_id AS query_id,
+       |  CAST(row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY ${hammingSql("q", "n")}, n.vec_id) AS INT) AS rank,
+       |  n.vec_id AS neighbor_id,
+       |  CAST(${hammingSql("q", "n")} AS INTEGER) AS hamming
+       |FROM sb q JOIN sb n
+       |  ON q.vec_id < $queryCount AND q.vec_id <> n.vec_id
+       |QUALIFY rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   private def bruteTopkPairs(spark: SparkSession, dir: String): DataFrame = {
     val q = emb(spark, dir).filter(col("vec_id") < queryCount)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),

@@ -33,6 +33,9 @@ class RegistrySpec extends SparkTestBase {
       // int8 twins of the brute-force exactness baseline: the same
       // 20-query-vector broadcast panel against the corpus
       "ann_quantized_topk", "ann_quantized_recall", "ann_rp_recall",
+      // 1-bit twins of the same panel-broadcast shape: 20 packed
+      // 8-byte sign codes broadcast against the corpus codes
+      "ann_hamming_topk", "ann_hamming_recall",
       // IVF+SQ8 composition: candidate gen reuses the 16-row centroid
       // broadcast; scoring itself is id-keyed equi-joins
       "ann_ivf_quantized_topk",
@@ -69,7 +72,13 @@ class RegistrySpec extends SparkTestBase {
       // power iteration + its application: every cross is a 1-row y /
       // 64-row M broadcast — the corpus is touched once, in the
       // moment-matrix equi-join, never by a BNLJ
-      "v_pca_power3", "v_pca_remove_top")
+      "v_pca_power3", "v_pca_remove_top",
+      // t_unigram_lm's 1-row corpus-total broadcast, reused by the
+      // banding pass (the band stats themselves join on lang equi-keys)
+      "t_perplexity_filter",
+      // t_domain_mix's 1-row capacity × ≤5-row quota cross with the
+      // sqrt-temperature weights; corpus joins the quota on lang only
+      "t_domain_mix_temp")
     val offenders = Registry.all.flatMap { e =>
       val df = e.fn(spark, sfDir)
       val nested = df.schema.fields.collect {
