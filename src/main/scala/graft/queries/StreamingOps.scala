@@ -3305,7 +3305,62 @@ object StreamingOps {
           } finally deleteRecursively(tmp)
         }
       },
-      Some(VectorOps.hammingTopkOracleSql))
+      Some(VectorOps.hammingTopkOracleSql)),
+
+    // STREAMING DOMAIN MIX — the data-mixture decision maintained
+    // incrementally: per-language corpus counts are a pure sum, so
+    // Spark's NATIVE streaming aggregation holds them (the s47
+    // zero-custom-state argument, applied to the mixing statistic —
+    // state is ≤5 rows regardless of corpus size), and the CONVERGED
+    // counts drive the exact batch quota chain (capacity → per-domain
+    // md5 threshold → selection), hash-matching the t_domain_mix
+    // oracle. At 100 TB this is how a live ingest keeps its mixture
+    // current: counts update as documents land, re-deriving quotas is
+    // arithmetic on a 5-row table, and the selection predicate stays
+    // a deterministic per-doc hash test — no resampling pass over
+    // what's already ingested.
+    Entry("s54_stream_domain_mix",
+      (spark, dir) => {
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_dmix_")
+          val log = tmp.resolve("log")
+          val ckpt = tmp.resolve("ckpt")
+          try {
+            val in = sharedChunkDir(dir, "doclang", "documents") { p =>
+              Registry.table(spark, dir, "documents")
+                .select(col("doc_id"), col("lang"))
+                .repartitionByRange(chunks, col("doc_id"))
+                .write.parquet(p.toString)
+            }
+            val src = spark.readStream
+              .schema("doc_id BIGINT, lang STRING")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+            val counts = src.groupBy(col("lang"))
+              .agg(count(lit(1)).as("c"))
+            val q = counts.writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: DataFrame, bid: Long) =>
+                df.withColumn("bid", lit(bid))
+                  .repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            // converged counts = each language's LAST emitted running sum
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("lang"))
+            val converged = raw
+              .withColumn("max_bid", max(col("bid")).over(wMax))
+              .filter(col("bid") === col("max_bid"))
+              .select(col("lang"), col("c"))
+            TextOps.domainMixFrom(spark, dir,
+                converged.localCheckpoint())
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(TextOps.domainMixOracleSql))
   )
 
   /** Watermark + append-mode replay harness with the sentinel flush

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -384,46 +385,12 @@ object TextOps {
     // hash check sensitive to the exact membership, not just counts.
     Entry("t_domain_mix",
       (spark, dir) => {
-        val weights = Seq(("en", 40), ("de", 15), ("es", 15),
-          ("fr", 15), ("zh", 15))
-        val wdf = spark.createDataFrame(weights).toDF("lang", "w")
         val d = Registry.table(spark, dir, "documents")
           .select(col("doc_id"), col("lang"))
-          .withColumn("u_ppm",
-            TextFunctions.tokenHash(col("doc_id").cast("string")) % 1000000)
-        val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("c"))
-          .join(broadcast(wdf), "lang")
-        val cap = counts.select(min(expr("c * 100 div w")).as("t"))
-        val quota = counts.crossJoin(broadcast(cap))
-          .withColumn("thr_ppm",
-            expr("least(c, w * t div 100) * 1000000 div c"))
-          .select(col("lang"), col("c"), col("thr_ppm"))
-        d.join(broadcast(quota), "lang")
-          .filter(col("u_ppm") < col("thr_ppm"))
-          .groupBy(col("lang"), col("c").as("n_docs"), col("thr_ppm"))
-          .agg(count(lit(1)).as("n_selected"),
-            sum(col("doc_id")).as("sum_sel_ids"))
-          .select(col("lang"), col("n_docs"), col("thr_ppm"),
-            col("n_selected"), col("sum_sel_ids"))
-          .orderBy(col("lang"))
+        domainMixFrom(spark, dir,
+          d.groupBy(col("lang")).agg(count(lit(1)).as("c")))
       },
-      Some("""WITH w(lang, w) AS (VALUES ('en', 40), ('de', 15),
-        |  ('es', 15), ('fr', 15), ('zh', 15)),
-        |d AS (SELECT doc_id, lang,
-        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-        |      AS BIGINT) % 1000000 AS u_ppm
-        |  FROM documents),
-        |c AS (SELECT lang, count(*) AS c FROM d GROUP BY 1),
-        |cap AS (SELECT min(c.c * 100 // w.w) AS t
-        |  FROM c JOIN w USING (lang)),
-        |q AS (SELECT c.lang, c.c,
-        |    LEAST(c.c, w.w * cap.t // 100) * 1000000 // c.c AS thr_ppm
-        |  FROM c JOIN w USING (lang), cap)
-        |SELECT d.lang, q.c AS n_docs, q.thr_ppm,
-        |  count(*) AS n_selected,
-        |  CAST(sum(d.doc_id) AS BIGINT) AS sum_sel_ids
-        |FROM d JOIN q ON d.lang = q.lang AND d.u_ppm < q.thr_ppm
-        |GROUP BY 1, 2, 3 ORDER BY d.lang""".stripMargin)),
+      Some(domainMixOracleSql)),
 
     // Corpus vocabulary statistics: top-50 tokens by occurrence count
     // with document frequency — the heavy-hitter query every curation
@@ -1254,4 +1221,57 @@ object TextOps {
         |FROM d JOIN q ON d.lang = q.lang AND d.u_ppm < q.thr_ppm
         |GROUP BY 1, 2, 3, 4 ORDER BY d.lang""".stripMargin))
   )
+
+  /** The domain-mix quota chain + selection over a SUPPLIED per-lang
+    * count table — shared by the batch t_domain_mix (counts = one
+    * groupBy over the corpus) and the streamed s54 twin (counts = the
+    * converged native streaming aggregation state): capacity T =
+    * min over domains of count/share, per-domain quota taken by the
+    * deterministic md5 threshold, selection a scan-local filter
+    * against the ≤5-row broadcast quota table. */
+  private[queries] def domainMixFrom(spark: SparkSession, dir: String,
+                                     counts: DataFrame): DataFrame = {
+    val weights = Seq(("en", 40), ("de", 15), ("es", 15),
+      ("fr", 15), ("zh", 15))
+    val wdf = spark.createDataFrame(weights).toDF("lang", "w")
+    val d = Registry.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .withColumn("u_ppm",
+        TextFunctions.tokenHash(col("doc_id").cast("string")) % 1000000)
+    val cw = counts.join(broadcast(wdf), "lang")
+    val cap = cw.select(min(expr("c * 100 div w")).as("t"))
+    val quota = cw.crossJoin(broadcast(cap))
+      .withColumn("thr_ppm",
+        expr("least(c, w * t div 100) * 1000000 div c"))
+      .select(col("lang"), col("c"), col("thr_ppm"))
+    d.join(broadcast(quota), "lang")
+      .filter(col("u_ppm") < col("thr_ppm"))
+      .groupBy(col("lang"), col("c").as("n_docs"), col("thr_ppm"))
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("doc_id")).as("sum_sel_ids"))
+      .select(col("lang"), col("n_docs"), col("thr_ppm"),
+        col("n_selected"), col("sum_sel_ids"))
+      .orderBy(col("lang"))
+  }
+
+  /** Shared with StreamingOps (s54): the streamed count state must
+    * reproduce exactly this batch mixing decision. */
+  private[queries] val domainMixOracleSql: String =
+    """WITH w(lang, w) AS (VALUES ('en', 40), ('de', 15),
+      |  ('es', 15), ('fr', 15), ('zh', 15)),
+      |d AS (SELECT doc_id, lang,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 1000000 AS u_ppm
+      |  FROM documents),
+      |c AS (SELECT lang, count(*) AS c FROM d GROUP BY 1),
+      |cap AS (SELECT min(c.c * 100 // w.w) AS t
+      |  FROM c JOIN w USING (lang)),
+      |q AS (SELECT c.lang, c.c,
+      |    LEAST(c.c, w.w * cap.t // 100) * 1000000 // c.c AS thr_ppm
+      |  FROM c JOIN w USING (lang), cap)
+      |SELECT d.lang, q.c AS n_docs, q.thr_ppm,
+      |  count(*) AS n_selected,
+      |  CAST(sum(d.doc_id) AS BIGINT) AS sum_sel_ids
+      |FROM d JOIN q ON d.lang = q.lang AND d.u_ppm < q.thr_ppm
+      |GROUP BY 1, 2, 3 ORDER BY d.lang""".stripMargin
 }

