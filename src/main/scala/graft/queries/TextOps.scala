@@ -1170,6 +1170,62 @@ object TextOps {
         |FROM dl JOIN st USING (lang)
         |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin)),
 
+    // SOURCE-LEVEL QUALITY FILTERING — the coarse-grained curation
+    // pass the public RefinedWeb/C4 recipes run BEFORE any per-doc
+    // rule: score every source (site/feed/dump shard) by its MEAN
+    // document quality and drop whole sources below the bar, because
+    // at 100 TB a reputation decision per source is 20 rows where a
+    // decision per document is billions — and low-quality sources are
+    // overwhelmingly low-quality throughout. Per-doc quality (the
+    // t_quality formula) fixed-point-quantizes scan-side; the keep
+    // rule cross-multiplies against the corpus mean (q_sum·t_n ≥
+    // t_sum·n_docs ⟺ source mean ≥ corpus mean — the demonstration
+    // bar; production tunes the ratio), so the whole decision chain
+    // is exact integers. One partial-agg shuffle on source + a 1-row
+    // corpus-total broadcast; sum(doc_id) per source hash-checks
+    // membership.
+    Entry("t_source_filter",
+      (spark, dir) => {
+        val d = Registry.table(spark, dir, "documents")
+        val t = TextFunctions.tokens(col("text"))
+        val qm = floor((lit(0.5) *
+          (size(array_distinct(t)).cast("double") /
+            size(t).cast("double")) +
+          lit(0.5) * least(lit(1.0),
+            length(col("text")).cast("double") / lit(200.0))) *
+          lit(1000000d) + lit(0.5))
+        val per = d.select(col("source"), col("doc_id"), qm.as("qmicro"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("qmicro")).as("q_sum"),
+            sum(col("doc_id")).as("sum_ids"))
+        val tot = per.agg(sum(col("q_sum")).as("t_sum"),
+          sum(col("n_docs")).as("t_n"))
+        per.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("q_sum"),
+            col("sum_ids"),
+            floor(col("q_sum") / col("n_docs") + lit(0.5))
+              .as("mean_q_micro"),
+            (col("q_sum") * col("t_n") >= col("t_sum") * col("n_docs"))
+              .cast("int").as("kept"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH q AS (SELECT source, doc_id,
+        |    CAST(floor((0.5 * (len(list_distinct($tokSql))::DOUBLE
+        |      / len($tokSql)::DOUBLE)
+        |      + 0.5 * least(1.0, length(text)::DOUBLE / 200.0))
+        |      * 1000000 + 0.5) AS BIGINT) AS qmicro
+        |  FROM documents),
+        |per AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(qmicro) AS BIGINT) AS q_sum,
+        |    CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |  FROM q GROUP BY 1),
+        |tot AS (SELECT CAST(sum(q_sum) AS BIGINT) AS t_sum,
+        |    CAST(sum(n_docs) AS BIGINT) AS t_n FROM per)
+        |SELECT source, n_docs, q_sum, sum_ids,
+        |  CAST(floor(q_sum / n_docs + 0.5) AS BIGINT) AS mean_q_micro,
+        |  CAST(q_sum * tot.t_n >= tot.t_sum * n_docs AS INTEGER) AS kept
+        |FROM per, tot ORDER BY source""".stripMargin)),
+
     // TEMPERATURE-SCALED DOMAIN MIXING (α = 0.5) — the multilingual
     // rebalancing rule the public XLM-R/mT5 recipes sample with:
     // domain weight ∝ count^α, so low-resource languages are

@@ -84,7 +84,10 @@ class RegistrySpec extends SparkTestBase {
       "t_perplexity_filter",
       // t_domain_mix's 1-row capacity × ≤5-row quota cross with the
       // sqrt-temperature weights; corpus joins the quota on lang only
-      "t_domain_mix_temp")
+      "t_domain_mix_temp",
+      // the 1-row corpus-total broadcast crossed into the ≤20-row
+      // per-source stat table (the corpus itself never meets a BNLJ)
+      "t_source_filter")
     val offenders = Registry.all.flatMap { e =>
       val df = e.fn(spark, sfDir)
       val nested = df.schema.fields.collect {
