@@ -82,4 +82,51 @@ class QuantizationSpec extends SparkTestBase {
     // corpus at both SFs)
     assert(mean < 0.3, f"mean angular distortion $mean%.4f ≥ 0.3")
   }
+
+  test("sign-bit packing matches the component signs bit for bit") {
+    val packed = run("v_sign_bits").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val full = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    assert(packed.nonEmpty)
+    for ((id, (lo, hi)) <- packed) {
+      val e = full(id)
+      var expLo = 0L; var expHi = 0L
+      for (i <- 0 until 32) {
+        if (e(i) > 0) expLo |= (1L << i)
+        if (e(32 + i) > 0) expHi |= (1L << i)
+      }
+      assert(lo == expLo && hi == expHi,
+        s"vec $id packed ($lo, $hi), expected ($expLo, $expHi)")
+    }
+  }
+
+  test("Hamming ranking's distances equal the reference popcount") {
+    val packed = run("v_sign_bits").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = run("ann_hamming_topk").collect()
+    assert(rows.length > 50)
+    for (r <- rows) {
+      val (qlo, qhi) = packed(r.getLong(0))
+      val (nlo, nhi) = packed(r.getLong(2))
+      val expect = java.lang.Long.bitCount(qlo ^ nlo) +
+        java.lang.Long.bitCount(qhi ^ nhi)
+      assert(r.getInt(3) == expect,
+        s"pair (${r.getLong(0)}, ${r.getLong(2)}): " +
+          s"hamming ${r.getInt(3)} != reference $expect")
+    }
+  }
+
+  test("two-stage rerank recovers recall over binary-only ranking") {
+    val bin = run("ann_hamming_recall")
+      .agg(avg(col("recall"))).head.getDouble(0)
+    val rr = run("ann_hamming_rerank_recall")
+      .agg(avg(col("recall"))).head.getDouble(0)
+    assert(rr > bin,
+      f"rerank recall $rr%.3f not above binary-only $bin%.3f")
+    assert(rr >= 0.5, f"rerank recall $rr%.3f unexpectedly low")
+  }
 }
