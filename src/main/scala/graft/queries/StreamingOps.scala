@@ -3360,7 +3360,66 @@ object StreamingOps {
           } finally deleteRecursively(tmp)
         }
       },
-      Some(TextOps.domainMixOracleSql))
+      Some(TextOps.domainMixOracleSql)),
+
+    // STREAMING LM TRAINING → QUALITY FILTER — the perplexity filter's
+    // MODEL maintained incrementally: unigram counts are a pure sum,
+    // so native streaming aggregation holds the (tok, cnt) vocabulary
+    // as documents arrive (state is vocabulary-sized — bounded by the
+    // language, not the corpus; the corpus total derives from the
+    // model itself, Σcnt), and the CONVERGED model drives the exact
+    // batch banding tail, hash-matching the t_perplexity_filter
+    // oracle. The fourth trained statistic with a streamed twin (IVF
+    // s25/s44, PQ s46, PCA s47, mixture s54 — now the CCNet filter
+    // LM): at 100 TB the quality model retrains continuously as the
+    // crawl lands, and re-banding the corpus is a re-run of the
+    // scoring pass against a model that is already current.
+    Entry("s55_stream_lm_filter",
+      (spark, dir) => {
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_lmf_")
+          val log = tmp.resolve("log")
+          val ckpt = tmp.resolve("ckpt")
+          try {
+            val in = sharedChunkDir(dir, "doctext", "documents") { p =>
+              Registry.table(spark, dir, "documents")
+                .select(col("doc_id"), col("text"))
+                .repartitionByRange(chunks, col("doc_id"))
+                .write.parquet(p.toString)
+            }
+            val src = spark.readStream
+              .schema("doc_id BIGINT, text STRING")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+            val vocab = src
+              .select(explode(
+                graft.functions.TextFunctions.tokens(col("text")))
+                .as("tok"))
+              .groupBy(col("tok"))
+              .agg(count(lit(1)).as("cnt"))
+            val q = vocab.writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: DataFrame, bid: Long) =>
+                df.withColumn("bid", lit(bid))
+                  .repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            // converged model = each token's LAST emitted running count
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("tok"))
+            val converged = raw
+              .withColumn("max_bid", max(col("bid")).over(wMax))
+              .filter(col("bid") === col("max_bid"))
+              .select(col("tok"), col("cnt"))
+            TextOps.perplexityBandsFrom(spark, dir,
+                converged.localCheckpoint())
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(TextOps.perplexityBandsOracleSql))
   )
 
   /** Watermark + append-mode replay harness with the sentinel flush

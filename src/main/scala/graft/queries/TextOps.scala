@@ -1112,63 +1112,14 @@ object TextOps {
     // into the same pass that writes the curation manifest.
     Entry("t_perplexity_filter",
       (spark, dir) => {
-        val d = Registry.table(spark, dir, "documents")
-        val toks = d.select(col("doc_id"),
-          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        val toks = Registry.table(spark, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextFunctions.tokens(col("text"))).as("tok"))
         val vocab = toks.groupBy(col("tok"))
           .agg(count(lit(1)).as("cnt"))
-        val total = toks.agg(count(lit(1)).as("total"))
-        val tf = toks.groupBy(col("doc_id"), col("tok"))
-          .agg(count(lit(1)).as("tf"))
-        val scored = tf.join(vocab, Seq("tok"))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("tf") * col("cnt")).as("wsum"),
-            sum(col("tf")).as("n_tokens"))
-          .crossJoin(broadcast(total))
-          .select(col("doc_id"),
-            floor(col("wsum") * lit(1000000L) /
-              (col("n_tokens") * col("total")) + lit(0.5)).as("micro"))
-        val withLang = scored
-          .join(d.select(col("doc_id"), col("lang")), "doc_id")
-        val stats = withLang.groupBy(col("lang"))
-          .agg(sum(col("micro")).as("msum"), count(lit(1)).as("n"))
-        withLang.join(broadcast(stats), "lang")
-          .withColumn("bucket",
-            when(col("micro") * 2 * col("n") < col("msum"), lit("tail"))
-              .when(col("micro") * 2 * col("n") >= col("msum") * 3,
-                lit("head"))
-              .otherwise(lit("middle")))
-          .groupBy(col("lang"), col("bucket"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("doc_id")).as("sum_ids"),
-            min(col("micro")).as("min_micro"),
-            max(col("micro")).as("max_micro"))
-          .orderBy(col("lang"), col("bucket"))
+        perplexityBandsFrom(spark, dir, vocab)
       },
-      Some(s"""WITH t AS (SELECT doc_id, unnest($tokSql) AS tok
-        |  FROM documents),
-        |vocab AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
-        |tot AS (SELECT count(*) AS total FROM t),
-        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
-        |  GROUP BY doc_id, tok),
-        |ds AS (SELECT tf.doc_id,
-        |    CAST(floor(CAST(sum(tf.tf * vocab.cnt) AS BIGINT) * 1000000
-        |      / (CAST(sum(tf.tf) AS BIGINT) * tot.total) + 0.5) AS BIGINT)
-        |      AS micro
-        |  FROM tf JOIN vocab USING (tok), tot
-        |  GROUP BY tf.doc_id, tot.total),
-        |dl AS (SELECT ds.doc_id, d.lang, ds.micro
-        |  FROM ds JOIN documents d USING (doc_id)),
-        |st AS (SELECT lang, CAST(sum(micro) AS BIGINT) AS msum,
-        |    count(*) AS n FROM dl GROUP BY lang)
-        |SELECT dl.lang,
-        |  CASE WHEN dl.micro * 2 * st.n < st.msum THEN 'tail'
-        |       WHEN dl.micro * 2 * st.n >= st.msum * 3 THEN 'head'
-        |       ELSE 'middle' END AS bucket,
-        |  count(*) AS n_docs, CAST(sum(dl.doc_id) AS BIGINT) AS sum_ids,
-        |  min(dl.micro) AS min_micro, max(dl.micro) AS max_micro
-        |FROM dl JOIN st USING (lang)
-        |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin)),
+      Some(perplexityBandsOracleSql)),
 
     // SOURCE-LEVEL QUALITY FILTERING — the coarse-grained curation
     // pass the public RefinedWeb/C4 recipes run BEFORE any per-doc
@@ -1277,6 +1228,78 @@ object TextOps {
         |FROM d JOIN q ON d.lang = q.lang AND d.u_ppm < q.thr_ppm
         |GROUP BY 1, 2, 3, 4 ORDER BY d.lang""".stripMargin))
   )
+
+  /** The perplexity-band tail over a SUPPLIED unigram model (tok,
+    * cnt) — shared by the batch t_perplexity_filter (model = one
+    * groupBy over the corpus tokens) and the streamed s55 twin (model
+    * = the converged native streaming aggregation state): score every
+    * doc against the model (mean token probability, micro-quantized),
+    * then classify head/middle/tail per language against the
+    * language's mean with integer cross-multiplied band tests. The
+    * corpus total derives FROM the model (Σ cnt = total tokens), so
+    * the supplied table is the complete training state. */
+  private[queries] def perplexityBandsFrom(spark: SparkSession,
+                                           dir: String,
+                                           vocab: DataFrame): DataFrame = {
+    val d = Registry.table(spark, dir, "documents")
+    val toks = d.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf.join(vocab, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("cnt")).as("wsum"),
+        sum(col("tf")).as("n_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        floor(col("wsum") * lit(1000000L) /
+          (col("n_tokens") * col("total")) + lit(0.5)).as("micro"))
+    val withLang = scored
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+    val stats = withLang.groupBy(col("lang"))
+      .agg(sum(col("micro")).as("msum"), count(lit(1)).as("n"))
+    withLang.join(broadcast(stats), "lang")
+      .withColumn("bucket",
+        when(col("micro") * 2 * col("n") < col("msum"), lit("tail"))
+          .when(col("micro") * 2 * col("n") >= col("msum") * 3,
+            lit("head"))
+          .otherwise(lit("middle")))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        min(col("micro")).as("min_micro"),
+        max(col("micro")).as("max_micro"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  /** Shared with StreamingOps (s55): the streamed vocab state must
+    * reproduce exactly this batch banding decision. */
+  private[queries] val perplexityBandsOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest($tokSql) AS tok
+       |  FROM documents),
+       |vocab AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+       |tot AS (SELECT count(*) AS total FROM t),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+       |  GROUP BY doc_id, tok),
+       |ds AS (SELECT tf.doc_id,
+       |    CAST(floor(CAST(sum(tf.tf * vocab.cnt) AS BIGINT) * 1000000
+       |      / (CAST(sum(tf.tf) AS BIGINT) * tot.total) + 0.5) AS BIGINT)
+       |      AS micro
+       |  FROM tf JOIN vocab USING (tok), tot
+       |  GROUP BY tf.doc_id, tot.total),
+       |dl AS (SELECT ds.doc_id, d.lang, ds.micro
+       |  FROM ds JOIN documents d USING (doc_id)),
+       |st AS (SELECT lang, CAST(sum(micro) AS BIGINT) AS msum,
+       |    count(*) AS n FROM dl GROUP BY lang)
+       |SELECT dl.lang,
+       |  CASE WHEN dl.micro * 2 * st.n < st.msum THEN 'tail'
+       |       WHEN dl.micro * 2 * st.n >= st.msum * 3 THEN 'head'
+       |       ELSE 'middle' END AS bucket,
+       |  count(*) AS n_docs, CAST(sum(dl.doc_id) AS BIGINT) AS sum_ids,
+       |  min(dl.micro) AS min_micro, max(dl.micro) AS max_micro
+       |FROM dl JOIN st USING (lang)
+       |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
 
   /** The domain-mix quota chain + selection over a SUPPLIED per-lang
     * count table — shared by the batch t_domain_mix (counts = one
