@@ -41,6 +41,11 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // Per-query failed-pass counts: a failed pass must NEVER reach the
+    // min (r13's BENCH_FULL.json had 66 near-zero "timings" from fast
+    // failures folded into the min), and the JSON must show that a
+    // query had poisoned passes so a partial record is visible.
+    val fails = scala.collection.mutable.LinkedHashMap[String, Int]()
     // 1-min loadavg sampled at the start of each pass: a single-pass
     // run under co-tenant load (the BENCH_r04 713s artifact) is then
     // identifiable from the JSON alone, no judge-side re-run needed.
@@ -90,7 +95,10 @@ object Bench {
                 }
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $name%-28s pass $pass $dt%8.2fs  rows=$n")
-        best(name) = best.get(name).fold(dt)(math.min(_, dt))
+        // Only a SUCCESSFUL pass may update the min: a fast failure's
+        // near-zero elapsed otherwise masquerades as a measurement.
+        if (n >= 0) best(name) = best.get(name).fold(dt)(math.min(_, dt))
+        else fails(name) = fails.getOrElse(name, 0) + 1
       }
       pass += 1
       go = pass <= runs && elapsed < budgetSec
@@ -111,9 +119,12 @@ object Bench {
     // (the r02–r04 evidence says the extractor matches an object
     // ending at "sf":"…"}).
     val slow8 = best.toSeq.sortBy(-_._2).take(8).sortBy(_._1)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(slow8)},"nqueries":${best.size},"passes":${pass - 1},"loadavg":$la,"control":$ctl,"sf":"$sfDir"}"""
+    val nfail = fails.values.sum
+    val failJson = fails.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(slow8)},"nqueries":${best.size},"passes":${pass - 1},"failed_passes":$nfail,"loadavg":$la,"control":$ctl,"sf":"$sfDir"}"""
     println(json)
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(best)},"nqueries":${best.size},"passes":${pass - 1},"loadavg":$la,"control":$ctl,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(best)},"nqueries":${best.size},"passes":${pass - 1},"failed_passes":$nfail,"failures":$failJson,"loadavg":$la,"control":$ctl,"sf":"$sfDir"}"""
     // Persist the COMPLETE record (all 150 per-query timings) to files
     // the driver/judge can read verbatim.
     // BENCH_FULL.json resolves against the repo root (derived from the

@@ -338,52 +338,9 @@ object MultimodalOps {
     // frames of a video are co-partitioned by doc_id, so at 100 TB
     // cut detection never shuffles pixels, only the 3-sum stat rows.
     Entry("m_video_scene_cut",
-      (spark, dir) => {
-        val frameLen = 114 // 54-byte headers + 5 rows × 12-byte stride
-        val d = Registry.table(spark, dir, "documents").select(col("doc_id"))
-        val stats = d.withColumn("payload",
-            concat((0 until 4).map(f =>
-              MultimodalPipeline.encodeBmp(col("doc_id") * 80 + f * 20)): _*))
-          .select(col("doc_id"),
-            posexplode(expr(s"transform(sequence(0, 3), " +
-              s"f -> substring(payload, f * $frameLen + 1, $frameLen))"))
-              .as(Seq("frame_idx", "frame")))
-          .withColumn("img", MultimodalPipeline.decodeBmp(col("frame")))
-          .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
-            col("img.sum_r").as("sum_r"), col("img.sum_g").as("sum_g"),
-            col("img.sum_b").as("sum_b"))
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
-        val wAll = Window.partitionBy(col("doc_id"))
-        stats
-          .withColumn("diff",
-            abs(col("sum_r") - lag(col("sum_r"), 1).over(w)) +
-              abs(col("sum_g") - lag(col("sum_g"), 1).over(w)) +
-              abs(col("sum_b") - lag(col("sum_b"), 1).over(w)))
-          .filter(col("diff").isNotNull)
-          .withColumn("is_cut",
-            (col("diff") * 3 > sum(col("diff")).over(wAll)).cast("int"))
-          .select(col("doc_id"), col("frame_idx"), col("diff"),
-            col("is_cut"))
-          .orderBy(col("doc_id"), col("frame_idx"))
-      },
-      Some("""WITH fr AS (SELECT doc_id, f, doc_id * 80 + f * 20 AS fid
-        |  FROM documents, unnest(generate_series(0, 3)) t(f)),
-        |px AS (SELECT doc_id, f,
-        |    CAST(sum((fid*7 + y*31 + x*13) % 251) AS BIGINT) AS sum_r,
-        |    CAST(sum((fid*7 + y*31 + x*13 + 5) % 251) AS BIGINT) AS sum_g,
-        |    CAST(sum((fid*7 + y*31 + x*13 + 10) % 251) AS BIGINT) AS sum_b
-        |  FROM fr, unnest(generate_series(0, 3)) gx(x),
-        |    unnest(generate_series(0, 4)) gy(y)
-        |  GROUP BY 1, 2),
-        |df AS (SELECT doc_id, f,
-        |    abs(sum_r - lag(sum_r) OVER w) + abs(sum_g - lag(sum_g) OVER w)
-        |      + abs(sum_b - lag(sum_b) OVER w) AS diff
-        |  FROM px WINDOW w AS (PARTITION BY doc_id ORDER BY f))
-        |SELECT doc_id, f AS frame_idx, diff,
-        |  CAST(diff * 3 > sum(diff) OVER (PARTITION BY doc_id)
-        |    AS INTEGER) AS is_cut
-        |FROM df WHERE diff IS NOT NULL
-        |ORDER BY doc_id, frame_idx""".stripMargin)),
+      (spark, dir) => sceneCutFrom(videoFrameStats(
+        Registry.table(spark, dir, "documents").select(col("doc_id")))),
+      Some(sceneCutOracleSql)),
 
     // REAL audio decode — the second real-codec rung (audio modality):
     // a deterministic stereo 16-bit PCM RIFF/WAVE is rendered per
@@ -678,4 +635,71 @@ object MultimodalOps {
     |    unnest(generate_series(0, h - 1)) gy(y),
     |    unnest(generate_series(0, 2)) gc(c)
     |  GROUP BY doc_id, cell, c)""".stripMargin
+
+  /** Per-(doc, frame) decoded channel sums from a doc_id table: the
+    * four-frame fixed-stride container is rendered and sliced
+    * scan-locally, each frame slice decoded by the REAL BmpDecodeExpr
+    * — shared by the batch m_video_scene_cut and the streamed s57
+    * twin's microbatch featurization (pixels never leave the scan;
+    * only these 3-sum stat rows flow on). */
+  private[queries] def videoFrameStats(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val frameLen = 114 // 54-byte headers + 5 rows × 12-byte stride
+    d.withColumn("payload",
+        concat((0 until 4).map(f =>
+          MultimodalPipeline.encodeBmp(col("doc_id") * 80 + f * 20)): _*))
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, 3), " +
+          s"f -> substring(payload, f * $frameLen + 1, $frameLen))"))
+          .as(Seq("frame_idx", "frame")))
+      .withColumn("img", MultimodalPipeline.decodeBmp(col("frame")))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("img.sum_r").as("sum_r"), col("img.sum_g").as("sum_g"),
+        col("img.sum_b").as("sum_b"))
+  }
+
+  /** The cut-decision tail over a SUPPLIED (doc_id, frame_idx, sum_r,
+    * sum_g, sum_b) stat table — shared by batch and s57: per
+    * consecutive frame pair the L1 channel-sum distance, a cut where
+    * diff·3 > Σdiffs (its video's mean, cross-multiplied integers).
+    * Frames of a video are co-partitioned by doc_id, so both windows
+    * ride one doc_id exchange. */
+  private[queries] def sceneCutFrom(stats: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val wAll = Window.partitionBy(col("doc_id"))
+    stats
+      .withColumn("diff",
+        abs(col("sum_r") - lag(col("sum_r"), 1).over(w)) +
+          abs(col("sum_g") - lag(col("sum_g"), 1).over(w)) +
+          abs(col("sum_b") - lag(col("sum_b"), 1).over(w)))
+      .filter(col("diff").isNotNull)
+      .withColumn("is_cut",
+        (col("diff") * 3 > sum(col("diff")).over(wAll)).cast("int"))
+      .select(col("doc_id"), col("frame_idx"), col("diff"),
+        col("is_cut"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** Shared with StreamingOps (s57): the streamed per-frame stat
+    * state must reproduce exactly this batch cut report. */
+  private[queries] val sceneCutOracleSql: String =
+    """WITH fr AS (SELECT doc_id, f, doc_id * 80 + f * 20 AS fid
+      |  FROM documents, unnest(generate_series(0, 3)) t(f)),
+      |px AS (SELECT doc_id, f,
+      |    CAST(sum((fid*7 + y*31 + x*13) % 251) AS BIGINT) AS sum_r,
+      |    CAST(sum((fid*7 + y*31 + x*13 + 5) % 251) AS BIGINT) AS sum_g,
+      |    CAST(sum((fid*7 + y*31 + x*13 + 10) % 251) AS BIGINT) AS sum_b
+      |  FROM fr, unnest(generate_series(0, 3)) gx(x),
+      |    unnest(generate_series(0, 4)) gy(y)
+      |  GROUP BY 1, 2),
+      |df AS (SELECT doc_id, f,
+      |    abs(sum_r - lag(sum_r) OVER w) + abs(sum_g - lag(sum_g) OVER w)
+      |      + abs(sum_b - lag(sum_b) OVER w) AS diff
+      |  FROM px WINDOW w AS (PARTITION BY doc_id ORDER BY f))
+      |SELECT doc_id, f AS frame_idx, diff,
+      |  CAST(diff * 3 > sum(diff) OVER (PARTITION BY doc_id)
+      |    AS INTEGER) AS is_cut
+      |FROM df WHERE diff IS NOT NULL
+      |ORDER BY doc_id, frame_idx""".stripMargin
 }

@@ -155,15 +155,10 @@ object PipelineOps {
           .filter(col("doc_id") === col("mid"))
           .select(col("doc_id"), col("lang"), col("u_ppm"))
           .localCheckpoint()
-        val weights = Seq(("en", 40), ("de", 15), ("es", 15),
-          ("fr", 15), ("zh", 15))
-        val wdf = spark.createDataFrame(weights).toDF("lang", "w")
-        val counts = keep.groupBy(col("lang")).agg(count(lit(1)).as("c"))
-          .join(broadcast(wdf), "lang")
-        val cap = counts.select(min(expr("c * 100 div w")).as("t"))
-        val quota = counts.crossJoin(broadcast(cap))
-          .withColumn("thr_ppm",
-            expr("least(c, w * t div 100) * 1000000 div c"))
+        // the ONE weight table + quota chain (TextOps.mixQuota) —
+        // shared with t_domain_mix/s54 so the compose cannot drift
+        val quota = TextOps.mixQuota(spark,
+            keep.groupBy(col("lang")).agg(count(lit(1)).as("c")))
           .select(col("lang"), col("thr_ppm"))
         val sel = keep.join(broadcast(quota), "lang")
           .filter(col("u_ppm") < col("thr_ppm"))

@@ -87,6 +87,14 @@ final case class MediaFeatRow(doc_id: Long, f: Seq[Long])
   * never enters state. */
 final case class GramPosRow(g: String, doc_id: Long, ps: Seq[Long])
 
+/** One decoded video-frame stat row (s57): per (doc, frame) the three
+  * channel pixel sums — the unit of the streaming scene-cut state;
+  * pixels decode and reduce inside the microbatch scan and never
+  * enter state (at 100 TB the state holds 3 longs per frame, not the
+  * frame bytes). */
+final case class FrameStatRow(doc_id: Long, frame_idx: Long,
+                              sum_r: Long, sum_g: Long, sum_b: Long)
+
 /** Streaming operators, driven synchronously: the parquet tables are
   * range-split into chunked ingest directories and replayed through the
   * file source one file per trigger (so the engine sees multiple
@@ -3419,7 +3427,122 @@ object StreamingOps {
           } finally deleteRecursively(tmp)
         }
       },
-      Some(TextOps.perplexityBandsOracleSql))
+      Some(TextOps.perplexityBandsOracleSql)),
+
+    // STREAMING SOURCE REPUTATION — the coarse curation statistic
+    // maintained incrementally: per-source (n_docs, q_sum, sum_ids)
+    // is a pure sum over scan-side fixed-point doc qualities, so
+    // Spark's NATIVE streaming aggregation holds it (the s54/s55
+    // shape — state is one row per source, ~20 rows regardless of
+    // corpus size), and the CONVERGED stats drive the exact batch
+    // keep rule (corpus-total broadcast + integer cross-multiply),
+    // hash-matching the t_source_filter oracle. At 100 TB this is how
+    // a live crawl keeps source reputations current: qualities
+    // quantize where the documents land, ~20 rows of state update per
+    // microbatch, and re-deciding which sources pass the bar is
+    // arithmetic on that table — never a re-scan of what's ingested.
+    Entry("s56_stream_source_filter",
+      (spark, dir) => {
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_srcf_")
+          val log = tmp.resolve("log")
+          val ckpt = tmp.resolve("ckpt")
+          try {
+            val in = sharedChunkDir(dir, "docsrc", "documents") { p =>
+              Registry.table(spark, dir, "documents")
+                .select(col("doc_id"), col("source"), col("text"))
+                .repartitionByRange(chunks, col("doc_id"))
+                .write.parquet(p.toString)
+            }
+            val src = spark.readStream
+              .schema("doc_id BIGINT, source STRING, text STRING")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+            val per = TextOps.sourceQmicro(src)
+              .groupBy(col("source"))
+              .agg(count(lit(1)).as("n_docs"),
+                sum(col("qmicro")).as("q_sum"),
+                sum(col("doc_id")).as("sum_ids"))
+            val q = per.writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: DataFrame, bid: Long) =>
+                df.withColumn("bid", lit(bid))
+                  .repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            // converged stats = each source's LAST emitted running sums
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("source"))
+            val converged = raw
+              .withColumn("max_bid", max(col("bid")).over(wMax))
+              .filter(col("bid") === col("max_bid"))
+              .select(col("source"), col("n_docs"), col("q_sum"),
+                col("sum_ids"))
+            TextOps.sourceFilterFrom(converged.localCheckpoint())
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(TextOps.sourceFilterOracleSql)),
+
+    // STREAMING SCENE-CUT — the shot-boundary statistic maintained
+    // incrementally: each arriving video's frames decode and reduce
+    // to per-(doc, frame) channel sums SCAN-LOCALLY in the microbatch
+    // (the identical BmpDecodeExpr chain the batch row runs — pixels
+    // never shuffle, never enter state), the 3-sum stat rows upsert
+    // into (doc, frame)-keyed state (the s50 media-feature shape, one
+    // row per frame), and the CONVERGED stat table drives the exact
+    // batch cut-decision tail (lag-diff vs per-doc mean,
+    // cross-multiplied integers), hash-matching the m_video_scene_cut
+    // oracle. At 100 TB this is live shot segmentation: frames
+    // featurize where the bytes land, state holds 3 longs per frame,
+    // and cut reports re-derive from state as late frames of a video
+    // arrive — never a re-decode of what's already ingested.
+    Entry("s57_stream_scene_cut",
+      (spark, dir) => { import spark.implicits._
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_scut_")
+          val log = tmp.resolve("log")
+          val ckpt = tmp.resolve("ckpt")
+          try {
+            val in = sharedChunkDir(dir, "docid", "documents") { p =>
+              Registry.table(spark, dir, "documents").select(col("doc_id"))
+                .repartitionByRange(chunks, col("doc_id"))
+                .write.parquet(p.toString)
+            }
+            val src = spark.readStream.schema("doc_id BIGINT")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+            val statRows = MultimodalOps.videoFrameStats(src)
+              .as[FrameStatRow]
+            val dd = VersionedStreamDedup.latestPerKeyId[FrameStatRow](
+              statRows, _.doc_id.toString, _.frame_idx.toString, _ => 0L)
+            val q = dd.toDF().writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("key"))
+            val stats = raw
+              .withColumn("max_seq", max(col("seq")).over(wMax))
+              .filter(col("seq") === col("max_seq"))
+              .select(explode(col("xs")).as("x"))
+              .select(col("x.doc_id").as("doc_id"),
+                col("x.frame_idx").as("frame_idx"),
+                col("x.sum_r").as("sum_r"), col("x.sum_g").as("sum_g"),
+                col("x.sum_b").as("sum_b"))
+            MultimodalOps.sceneCutFrom(stats.localCheckpoint())
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(MultimodalOps.sceneCutOracleSql))
   )
 
   /** Watermark + append-mode replay harness with the sentinel flush

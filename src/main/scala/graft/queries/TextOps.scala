@@ -1137,45 +1137,13 @@ object TextOps {
     // membership.
     Entry("t_source_filter",
       (spark, dir) => {
-        val d = Registry.table(spark, dir, "documents")
-        val t = TextFunctions.tokens(col("text"))
-        val qm = floor((lit(0.5) *
-          (size(array_distinct(t)).cast("double") /
-            size(t).cast("double")) +
-          lit(0.5) * least(lit(1.0),
-            length(col("text")).cast("double") / lit(200.0))) *
-          lit(1000000d) + lit(0.5))
-        val per = d.select(col("source"), col("doc_id"), qm.as("qmicro"))
+        val per = sourceQmicro(Registry.table(spark, dir, "documents"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"), sum(col("qmicro")).as("q_sum"),
             sum(col("doc_id")).as("sum_ids"))
-        val tot = per.agg(sum(col("q_sum")).as("t_sum"),
-          sum(col("n_docs")).as("t_n"))
-        per.crossJoin(broadcast(tot))
-          .select(col("source"), col("n_docs"), col("q_sum"),
-            col("sum_ids"),
-            floor(col("q_sum") / col("n_docs") + lit(0.5))
-              .as("mean_q_micro"),
-            (col("q_sum") * col("t_n") >= col("t_sum") * col("n_docs"))
-              .cast("int").as("kept"))
-          .orderBy(col("source"))
+        sourceFilterFrom(per)
       },
-      Some(s"""WITH q AS (SELECT source, doc_id,
-        |    CAST(floor((0.5 * (len(list_distinct($tokSql))::DOUBLE
-        |      / len($tokSql)::DOUBLE)
-        |      + 0.5 * least(1.0, length(text)::DOUBLE / 200.0))
-        |      * 1000000 + 0.5) AS BIGINT) AS qmicro
-        |  FROM documents),
-        |per AS (SELECT source, count(*) AS n_docs,
-        |    CAST(sum(qmicro) AS BIGINT) AS q_sum,
-        |    CAST(sum(doc_id) AS BIGINT) AS sum_ids
-        |  FROM q GROUP BY 1),
-        |tot AS (SELECT CAST(sum(q_sum) AS BIGINT) AS t_sum,
-        |    CAST(sum(n_docs) AS BIGINT) AS t_n FROM per)
-        |SELECT source, n_docs, q_sum, sum_ids,
-        |  CAST(floor(q_sum / n_docs + 0.5) AS BIGINT) AS mean_q_micro,
-        |  CAST(q_sum * tot.t_n >= tot.t_sum * n_docs AS INTEGER) AS kept
-        |FROM per, tot ORDER BY source""".stripMargin)),
+      Some(sourceFilterOracleSql)),
 
     // TEMPERATURE-SCALED DOMAIN MIXING (α = 0.5) — the multilingual
     // rebalancing rule the public XLM-R/mT5 recipes sample with:
@@ -1308,21 +1276,36 @@ object TextOps {
     * min over domains of count/share, per-domain quota taken by the
     * deterministic md5 threshold, selection a scan-local filter
     * against the ≤5-row broadcast quota table. */
+  /** The ONE proportional-mix weight table — t_domain_mix,
+    * pipe_training_mix, and the streamed s54 twin all consume this
+    * (and [[mixQuota]]) so a weight change cannot silently diverge
+    * the compose from the unit entry. */
+  private[queries] val mixWeights: Seq[(String, Int)] =
+    Seq(("en", 40), ("de", 15), ("es", 15), ("fr", 15), ("zh", 15))
+
+  /** The count → capacity → thr_ppm quota chain over a SUPPLIED
+    * (lang, c) count table: capacity T = min over domains of
+    * count·100/weight, per-domain threshold the integer ppm a
+    * deterministic per-doc hash is tested against. Returns the ≤5-row
+    * (lang, c, thr_ppm) quota table (callers broadcast it). */
+  private[queries] def mixQuota(spark: SparkSession,
+                                counts: DataFrame): DataFrame = {
+    val wdf = spark.createDataFrame(mixWeights).toDF("lang", "w")
+    val cw = counts.join(broadcast(wdf), "lang")
+    val cap = cw.select(min(expr("c * 100 div w")).as("t"))
+    cw.crossJoin(broadcast(cap))
+      .withColumn("thr_ppm",
+        expr("least(c, w * t div 100) * 1000000 div c"))
+      .select(col("lang"), col("c"), col("thr_ppm"))
+  }
+
   private[queries] def domainMixFrom(spark: SparkSession, dir: String,
                                      counts: DataFrame): DataFrame = {
-    val weights = Seq(("en", 40), ("de", 15), ("es", 15),
-      ("fr", 15), ("zh", 15))
-    val wdf = spark.createDataFrame(weights).toDF("lang", "w")
     val d = Registry.table(spark, dir, "documents")
       .select(col("doc_id"), col("lang"))
       .withColumn("u_ppm",
         TextFunctions.tokenHash(col("doc_id").cast("string")) % 1000000)
-    val cw = counts.join(broadcast(wdf), "lang")
-    val cap = cw.select(min(expr("c * 100 div w")).as("t"))
-    val quota = cw.crossJoin(broadcast(cap))
-      .withColumn("thr_ppm",
-        expr("least(c, w * t div 100) * 1000000 div c"))
-      .select(col("lang"), col("c"), col("thr_ppm"))
+    val quota = mixQuota(spark, counts)
     d.join(broadcast(quota), "lang")
       .filter(col("u_ppm") < col("thr_ppm"))
       .groupBy(col("lang"), col("c").as("n_docs"), col("thr_ppm"))
@@ -1353,4 +1336,58 @@ object TextOps {
       |  CAST(sum(d.doc_id) AS BIGINT) AS sum_sel_ids
       |FROM d JOIN q ON d.lang = q.lang AND d.u_ppm < q.thr_ppm
       |GROUP BY 1, 2, 3 ORDER BY d.lang""".stripMargin
+
+  /** Scan-side fixed-point per-doc quality (the t_quality formula,
+    * micro-quantized) tagged with its source — shared by the batch
+    * t_source_filter aggregation and the streamed s56 twin's
+    * microbatch projection. */
+  private[queries] def sourceQmicro(d: DataFrame): DataFrame = {
+    val t = TextFunctions.tokens(col("text"))
+    val qm = floor((lit(0.5) *
+      (size(array_distinct(t)).cast("double") /
+        size(t).cast("double")) +
+      lit(0.5) * least(lit(1.0),
+        length(col("text")).cast("double") / lit(200.0))) *
+      lit(1000000d) + lit(0.5))
+    d.select(col("source"), col("doc_id"), qm.as("qmicro"))
+  }
+
+  /** The source-reputation keep rule over a SUPPLIED per-source stat
+    * table (source, n_docs, q_sum, sum_ids) — shared by the batch
+    * t_source_filter (stats = one groupBy over the corpus) and the
+    * streamed s56 twin (stats = the converged native streaming
+    * aggregation state): 1-row corpus-total broadcast, keep-decision
+    * cross-multiplied on integers. */
+  private[queries] def sourceFilterFrom(per: DataFrame): DataFrame = {
+    val tot = per.agg(sum(col("q_sum")).as("t_sum"),
+      sum(col("n_docs")).as("t_n"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("q_sum"),
+        col("sum_ids"),
+        floor(col("q_sum") / col("n_docs") + lit(0.5))
+          .as("mean_q_micro"),
+        (col("q_sum") * col("t_n") >= col("t_sum") * col("n_docs"))
+          .cast("int").as("kept"))
+      .orderBy(col("source"))
+  }
+
+  /** Shared with StreamingOps (s56): the streamed per-source stats
+    * must reproduce exactly this batch reputation decision. */
+  private[queries] val sourceFilterOracleSql: String =
+    s"""WITH q AS (SELECT source, doc_id,
+      |    CAST(floor((0.5 * (len(list_distinct($tokSql))::DOUBLE
+      |      / len($tokSql)::DOUBLE)
+      |      + 0.5 * least(1.0, length(text)::DOUBLE / 200.0))
+      |      * 1000000 + 0.5) AS BIGINT) AS qmicro
+      |  FROM documents),
+      |per AS (SELECT source, count(*) AS n_docs,
+      |    CAST(sum(qmicro) AS BIGINT) AS q_sum,
+      |    CAST(sum(doc_id) AS BIGINT) AS sum_ids
+      |  FROM q GROUP BY 1),
+      |tot AS (SELECT CAST(sum(q_sum) AS BIGINT) AS t_sum,
+      |    CAST(sum(n_docs) AS BIGINT) AS t_n FROM per)
+      |SELECT source, n_docs, q_sum, sum_ids,
+      |  CAST(floor(q_sum / n_docs + 0.5) AS BIGINT) AS mean_q_micro,
+      |  CAST(q_sum * tot.t_n >= tot.t_sum * n_docs AS INTEGER) AS kept
+      |FROM per, tot ORDER BY source""".stripMargin
 }

@@ -126,9 +126,12 @@ class RegistrySpec extends SparkTestBase {
     //   q_session_window / s12 / s15: sum(new_s) OVER ... builds the
     //   session id `sid`, consumed only by GROUP BY — never projected;
     //   dedup_simhash: the 32 per-bit sign-sums feed only
-    //   `CASE WHEN sN > 0` comparisons, packed into an explicit BIGINT
+    //   `CASE WHEN sN > 0` comparisons, packed into an explicit BIGINT;
+    //   m_video_scene_cut: sum(diff) OVER builds the per-doc running
+    //   mean consumed only by a comparison (cut decision), never
+    //   projected
     val exempt = Set("q_session_window", "s12_stream_session_window",
-      "s15_stream_session_append", "dedup_simhash")
+      "s15_stream_session_append", "dedup_simhash", "m_video_scene_cut")
     def floatish(arg: String): Boolean = {
       val a = arg.toLowerCase.replaceAll("'[^']*'", "''")
       floatCols.exists(c => s"(?s).*\\b$c\\b.*".r.matches(a)) ||
@@ -137,9 +140,27 @@ class RegistrySpec extends SparkTestBase {
         a.contains("::double") || a.contains("as double") ||
         a.contains("::float") || a.contains("as float")
     }
+    // Balanced-paren extent [open, close) of every CAST(...) call in s:
+    // a sum anywhere INSIDE such an extent takes the cast's target type
+    // in the output, so HUGEINT can never surface from it. This
+    // replaces the old "CAST( immediately before sum(" prefix check,
+    // which missed e.g. CAST(COALESCE(sum(..), 0) AS BIGINT) — the r13
+    // false positive on the Hamming-family sign CTEs.
+    def castExtents(s: String): Seq[(Int, Int)] =
+      "(^|[^a-z0-9_])cast\\s*\\(".r.findAllMatchIn(s).map { m =>
+        val open = s.indexOf('(', m.start)
+        var depth = 0; var j = open; var close = -1
+        while (j < s.length && close < 0) {
+          if (s(j) == '(') depth += 1
+          else if (s(j) == ')') { depth -= 1; if (depth == 0) close = j }
+          j += 1
+        }
+        (open, if (close < 0) s.length else close)
+      }.toSeq
     val offenders = Registry.all.filterNot(e => exempt(e.name)).flatMap { e =>
       e.oracle.toSeq.flatMap { sql =>
         val s = sql.toLowerCase
+        val casts = castExtents(s)
         Iterator.unfold(0) { from =>
           val i = s.indexOf("sum(", from)
           if (i < 0) None else Some((i, i + 4))
@@ -151,12 +172,11 @@ class RegistrySpec extends SparkTestBase {
                  else if (s(j) == ')') depth -= 1
                  j += 1 } while (depth > 0 && j < s.length)
             val arg = s.substring(i + 4, j - 1)
-            // tolerate whitespace between 'cast' and '(' so a
-            // legitimately wrapped 'CAST (sum(...) AS BIGINT)' is not
-            // flagged; require a non-identifier char before 'cast' so
-            // e.g. 'broadcast(' is never mistaken for a cast
-            val wrapped = "(?s).*(^|[^a-z0-9_])cast\\s*\\(\\s*$".r
-              .matches(s.substring(0, i))
+            // wrapped = the sum lies inside SOME cast(...) extent, at
+            // any nesting depth (CAST(COALESCE(sum(..),0) AS BIGINT)
+            // counts); the castExtents regex requires a non-identifier
+            // char before 'cast' so 'broadcast(' is never mistaken
+            val wrapped = casts.exists { case (o, c) => o < i && j <= c }
             if (!floatish(arg) && !wrapped)
               Some(s"${e.name}: sum(${arg.take(60)}…)")
             else None
