@@ -1306,15 +1306,37 @@ object VectorOps {
         col("lo").as("qlo"), col("hi").as("qhi"))
     val n = codes.select(col("vec_id").as("neighbor_id"),
       col("lo").as("nlo"), col("hi").as("nhi"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("hamming"), col("neighbor_id"))
-    broadcast(q).join(n, col("query_id") =!= col("neighbor_id"))
-      .withColumn("hamming",
-        hammingDist(col("qlo"), col("qhi"), col("nlo"), col("nhi")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("hamming"))
+    val scored = broadcast(q).join(n, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        hammingDist(col("qlo"), col("qhi"), col("nlo"), col("nhi"))
+          .as("hamming"))
+    topkTail(scored, k, "hamming", desc = false, outType = "int")
+  }
+
+  /** Map-side per-query top-k over a scored (query_id, neighbor_id,
+    * <scoreCol>) set: the mergeable [[TopKPairsAgg]] replaces the
+    * `row_number` window every serving tail used to rank with — the
+    * window shuffles EVERY scored row to one reducer per query (20
+    * reducers regardless of cluster size), where the aggregate
+    * retains ≤ k pairs per query per partition BEFORE the exchange,
+    * so at 100 TB the shuffle carries k·queries·partitions pairs,
+    * not the scored candidate set. Descending ranks negate through
+    * the aggregate (IEEE negation round-trips bit-for-bit), integer
+    * scores ride the double lane exactly (|score| ≤ 128 ≪ 2^53). */
+  private[queries] def topkTail(scored: DataFrame, k: Int, scoreCol: String,
+                                desc: Boolean,
+                                outType: String = "double"): DataFrame = {
+    val s0 = col(scoreCol).cast("double")
+    val s = if (desc) -s0 else s0
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKPairsAgg
+        .topkPairs(s, col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "x")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("x.id").as("neighbor_id"), {
+          val v = if (desc) -col("x.score") else col("x.score")
+          (if (outType == "double") v else v.cast(outType)).as(scoreCol)
+        })
   }
 
   /** Hamming scoring + top-k over an arbitrary (query_id, neighbor_id)
@@ -1327,15 +1349,11 @@ object VectorOps {
       col("lo").as("qlo"), col("hi").as("qhi"))
     val n = sb.select(col("vec_id").as("neighbor_id"),
       col("lo").as("nlo"), col("hi").as("nhi"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("hamming"), col("neighbor_id"))
-    cand.join(q, "query_id").join(n, "neighbor_id")
-      .withColumn("hamming",
-        hammingDist(col("qlo"), col("qhi"), col("nlo"), col("nhi")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= ivfTopK)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("hamming"))
+    val scored = cand.join(q, "query_id").join(n, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        hammingDist(col("qlo"), col("qhi"), col("nlo"), col("nhi"))
+          .as("hamming"))
+    topkTail(scored, ivfTopK, "hamming", desc = false, outType = "int")
   }
 
   /** Hamming top-5 for the fixed query panel — the 1-bit twin of
@@ -1389,15 +1407,11 @@ object VectorOps {
     val n = emb(spark, dir)
       .select(col("vec_id").as("neighbor_id"), col("e").as("ne"),
         col("nrm").as("nn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    broadcast(q).join(n, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim",
+    val scored = broadcast(q).join(n, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
         round(VectorFunctions.dot(col("qe"), col("ne")) /
-          (col("qn") * col("nn")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+          (col("qn") * col("nn")), 6).as("sim"))
+    topkTail(scored, 5, "sim", desc = true)
   }
 
   /** The IVF candidate generator (assign → probe nprobe cells) —
@@ -1446,16 +1460,11 @@ object VectorOps {
       col("e").as("qe"), col("nrm").as("qn"))
     val n = base.select(col("vec_id").as("neighbor_id"),
       col("e").as("ne"), col("nrm").as("nn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    cand.join(q, "query_id").join(n, "neighbor_id")
-      .withColumn("sim",
+    val scored = cand.join(q, "query_id").join(n, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
         round(VectorFunctions.dot(col("qe"), col("ne")) /
-          (col("qn") * col("nn")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= ivfTopK)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("sim"))
+          (col("qn") * col("nn")), 6).as("sim"))
+    topkTail(scored, ivfTopK, "sim", desc = true)
   }
 
   /** The IVF candidate-generation CTE chain (v → centroids → scored →
@@ -1490,16 +1499,11 @@ object VectorOps {
       col("q").as("qe"), col("qn").as("qqn"))
     val n = qv.select(col("vec_id").as("neighbor_id"),
       col("q").as("ne"), col("qn").as("nqn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("qsim").desc, col("neighbor_id"))
-    cand.join(q, "query_id").join(n, "neighbor_id")
-      .withColumn("qsim",
+    val scored = cand.join(q, "query_id").join(n, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
         safeCosine(VectorFunctions.dot(col("qe"), col("ne")),
-          col("qqn"), col("nqn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= ivfTopK)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("qsim"))
+          col("qqn"), col("nqn")).as("qsim"))
+    topkTail(scored, ivfTopK, "qsim", desc = true)
   }
 
   /** Probe-side candidate generation against a SUPPLIED cell
@@ -1575,16 +1579,11 @@ object VectorOps {
         col("qn").as("qqn"))
     val n = qv.select(col("vec_id").as("neighbor_id"), col("q").as("ne"),
       col("qn").as("nqn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("qsim").desc, col("neighbor_id"))
-    broadcast(q).join(n, col("query_id") =!= col("neighbor_id"))
-      .withColumn("qsim",
+    val scored = broadcast(q).join(n, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
         safeCosine(VectorFunctions.dot(col("qe"), col("ne")),
-          col("qqn"), col("nqn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("qsim"))
+          col("qqn"), col("nqn")).as("qsim"))
+    topkTail(scored, 5, "qsim", desc = true)
   }
 
   /** The quantized-corpus CTE tail (per-vector scale → int8
@@ -1688,19 +1687,14 @@ object VectorOps {
     val dt = dist.filter(col("vec_id") < queryCount)
       .select(col("vec_id").as("query_id"), col("s").as("dt_s"),
         col("cid"), col("d2"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc"), col("neighbor_id"))
     val scored = codes.join(broadcast(dt),
         col("s") === col("dt_s") && col("code") === col("cid"))
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("d2")).cast("long").as("adc"))
       .withColumnRenamed("vec_id", "neighbor_id")
-    pairsFilter(scored)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("adc"))
+    topkTail(pairsFilter(scored), topK, "adc", desc = false,
+      outType = "long")
   }
 
   /** PQ-ADC top-5 of the query panel against the whole coded corpus. */
@@ -1733,17 +1727,12 @@ object VectorOps {
     val q = gv.filter(col("vec_id") < queryCount)
       .select(col("vec_id").as("query_id"), col("g").as("qg"))
     val n = gv.select(col("vec_id").as("neighbor_id"), col("g").as("ng"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("l2"), col("neighbor_id"))
-    broadcast(q).join(n, col("query_id") =!= col("neighbor_id"))
-      .withColumn("l2",
-        VectorFunctions.dot(col("qg"), col("qg"))
+    val scored = broadcast(q).join(n, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (VectorFunctions.dot(col("qg"), col("qg"))
           - lit(2d) * VectorFunctions.dot(col("qg"), col("ng"))
-          + VectorFunctions.dot(col("ng"), col("ng")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("l2"))
+          + VectorFunctions.dot(col("ng"), col("ng"))).as("l2"))
+    topkTail(scored, 5, "l2", desc = false)
   }
 
   /** The PQ CTE tail (grid corpus → subspace slices → codebook →
@@ -2060,16 +2049,11 @@ object VectorOps {
         col("pn").as("qpn"))
     val n = pv.select(col("vec_id").as("neighbor_id"), col("p").as("np"),
       col("pn").as("npn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("psim").desc, col("neighbor_id"))
-    broadcast(q).join(n, col("query_id") =!= col("neighbor_id"))
-      .withColumn("psim",
+    val scored = broadcast(q).join(n, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
         safeCosine(VectorFunctions.dot(col("qp"), col("np")),
-          col("qpn"), col("npn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("psim"))
+          col("qpn"), col("npn")).as("psim"))
+    topkTail(scored, 5, "psim", desc = true)
   }
 
   /** The projected-corpus CTE tail (16 plane dots + projected norm),

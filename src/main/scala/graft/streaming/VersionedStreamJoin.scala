@@ -230,7 +230,17 @@ object VersionedStreamJoin {
     * latest-per-id on both sides, exactly like the other variants; at
     * scale, y versions strictly SHADOWED below the watermark (a newer
     * y also at-or-below it) can be evicted — compose [[withEventTimeTtl]]
-    * for whole-key retirement, the same knob the other variants use. */
+    * for whole-key retirement, the same knob the other variants use.
+    *
+    * TIE-BREAK INVARIANT: among equal-ts y versions the timeline
+    * orders by id NUMERIC-AWARE (length, then lexicographic — numeric
+    * order for unpadded decimal ids, so "9" < "10"), and the search
+    * picks the boundary element; a SQL ASOF oracle picks an ARBITRARY
+    * row among equal-ts matches, so hash-comparison against such an
+    * oracle additionally relies on per-key timestamp UNIQUENESS on
+    * the y side (the driver fixtures hold it — event timestamps are
+    * unique per user). Equal-ts correctness of the operator itself
+    * does not depend on it: the choice is deterministic either way. */
   def asOf[X, Y](
       dsx: Dataset[X], dsy: Dataset[Y],
       keyFromX: X => String, keyFromY: Y => String,
@@ -243,7 +253,7 @@ object VersionedStreamJoin {
     joined(dsx, dsy, keyFromX, keyFromY, idFromX, idFromY, tsFromX, tsFromY) {
       (key, seq, xs, ys) =>
         val timeline = ys.valuesIterator.toIndexedSeq
-          .sortBy(y => (tsFromY(y), idFromY(y)))
+          .sortBy(y => (tsFromY(y), idFromY(y).length, idFromY(y)))
         xs.toSeq.sortBy(_._1).iterator.map { case (_, x) =>
           val xt = tsFromX(x)
           var lo = 0; var hi = timeline.length - 1; var best = -1
@@ -281,7 +291,7 @@ object VersionedStreamJoin {
     joined(dsx, dsy, keyFromX, keyFromY, idFromX, idFromY, tsFromX, tsFromY) {
       (key, seq, xs, ys) =>
         val timeline = ys.valuesIterator.toIndexedSeq
-          .sortBy(y => (tsFromY(y), idFromY(y)))
+          .sortBy(y => (tsFromY(y), idFromY(y).length, idFromY(y)))
         xs.toSeq.sortBy(_._1).iterator.map { case (_, x) =>
           val xt = tsFromX(x)
           var lo = 0; var hi = timeline.length - 1; var best = -1

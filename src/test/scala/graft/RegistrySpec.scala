@@ -36,6 +36,9 @@ class RegistrySpec extends SparkTestBase {
       // 1-bit twins of the same panel-broadcast shape: 20 packed
       // 8-byte sign codes broadcast against the corpus codes
       "ann_hamming_topk", "ann_hamming_recall",
+      // per-scene media vectors: the broadcast side is the ≤8-item
+      // scene panel (docs 0–1), the corpus side per-scene vectors
+      "ann_video_topk",
       // the two-stage rung: the same panel BNLJ generates the binary
       // shortlist; the int8 rerank itself is id-keyed equi-joins
       "ann_hamming_rerank_topk", "ann_hamming_rerank_recall",
@@ -129,9 +132,13 @@ class RegistrySpec extends SparkTestBase {
     //   `CASE WHEN sN > 0` comparisons, packed into an explicit BIGINT;
     //   m_video_scene_cut: sum(diff) OVER builds the per-doc running
     //   mean consumed only by a comparison (cut decision), never
-    //   projected
+    //   projected;
+    //   ann_video_topk: sum(diff) OVER is the same comparison-only
+    //   bar, and sum(is_cut) OVER (the scene id) reaches the output
+    //   only through CAST(doc_id*4 + scene AS BIGINT)
     val exempt = Set("q_session_window", "s12_stream_session_window",
-      "s15_stream_session_append", "dedup_simhash", "m_video_scene_cut")
+      "s15_stream_session_append", "dedup_simhash", "m_video_scene_cut",
+      "ann_video_topk")
     def floatish(arg: String): Boolean = {
       val a = arg.toLowerCase.replaceAll("'[^']*'", "''")
       floatCols.exists(c => s"(?s).*\\b$c\\b.*".r.matches(a)) ||

@@ -31,15 +31,19 @@ def family(q: str) -> str:
 
 
 def load(path):
-    d = json.load(open(path))
-    return d["queries"], d
+    with open(path) as fh:
+        return json.load(fh)["queries"]
+
+
+def ratio(num, den):
+    return f"{num / den:.2f}" if den > 0 else "n/a"
 
 
 def main():
     a, b, c = sys.argv[1], sys.argv[2], sys.argv[3]
-    qa, da = load(a)
-    qb, db = load(b)
-    qc, dc = load(c)
+    qa = load(a)
+    qb = load(b)
+    qc = load(c)
     common = sorted(set(qa) & set(qb) & set(qc))
     missing = sorted((set(qa) | set(qb) | set(qc)) - set(common))
     if missing:
@@ -60,9 +64,9 @@ def main():
     for f, (n, s1, s2, s3) in rows:
         tn += n; t1 += s1; t2 += s2; t3 += s3
         print(f"| {f} | {n} | {s1:.1f} | {s2:.1f} | {s3:.1f} | "
-              f"{s3 / s2:.2f} | {s3 / s1:.2f} |")
+              f"{ratio(s3, s2)} | {ratio(s3, s1)} |")
     print(f"| **total** | {tn} | {t1:.1f} | {t2:.1f} | {t3:.1f} | "
-          f"**{t3 / t2:.2f}** | **{t3 / t1:.2f}** |")
+          f"**{ratio(t3, t2)}** | **{ratio(t3, t1)}** |")
     print()
     print("steepest individual queries sf0.01 -> sf0.1:")
     ratios = sorted(((qc[q] / qb[q], q) for q in common if qb[q] > 0.2),
