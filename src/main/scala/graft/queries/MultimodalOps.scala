@@ -500,75 +500,10 @@ object MultimodalOps {
     // longs per asset), never per-frame, and the LSH/IVF rungs
     // consume them unchanged.
     Entry("ann_video_topk",
-      (spark, dir) => {
-        val d = Registry.table(spark, dir, "documents").select(col("doc_id"))
-        val stats = videoFrameStats(d)
-        val cuts = sceneCutFrom(stats)
-          .select(col("doc_id"), col("frame_idx"), col("is_cut"))
-        // scene id of a frame = cuts at frames <= it (frame 0 opens
-        // scene 0; its missing diff row coalesces to no-cut)
-        val wCum = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val scenes = stats.select(col("doc_id"), col("frame_idx"))
-          .join(cuts, Seq("doc_id", "frame_idx"), "left")
-          .withColumn("scene",
-            sum(coalesce(col("is_cut"), lit(0))).over(wCum))
-        val rep = scenes.groupBy(col("doc_id"), col("scene"))
-          .agg(min(col("frame_idx")).as("rf"))
-        val items = rep
-          .withColumn("payload",
-            MultimodalPipeline.encodeBmp(col("doc_id") * 80 + col("rf") * 20))
-          .select((col("doc_id") * 4 + col("scene")).as("doc_id"),
-            MultimodalPipeline.poolBmp(col("payload"), 4, 4).as("f"))
-        mediaTopkFrom(items).orderBy(col("query_id"), col("rank"))
-      },
-      Some("""WITH fr AS (SELECT doc_id, f, doc_id * 80 + f * 20 AS fid
-        |  FROM documents, unnest(generate_series(0, 3)) t(f)),
-        |px AS (SELECT doc_id, f,
-        |    CAST(sum((fid*7 + y*31 + x*13) % 251) AS BIGINT) AS sum_r,
-        |    CAST(sum((fid*7 + y*31 + x*13 + 5) % 251) AS BIGINT) AS sum_g,
-        |    CAST(sum((fid*7 + y*31 + x*13 + 10) % 251) AS BIGINT) AS sum_b
-        |  FROM fr, unnest(generate_series(0, 3)) gx(x),
-        |    unnest(generate_series(0, 4)) gy(y)
-        |  GROUP BY 1, 2),
-        |df AS (SELECT doc_id, f,
-        |    abs(sum_r - lag(sum_r) OVER w) + abs(sum_g - lag(sum_g) OVER w)
-        |      + abs(sum_b - lag(sum_b) OVER w) AS diff
-        |  FROM px WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
-        |ct AS (SELECT doc_id, f,
-        |    CASE WHEN diff IS NOT NULL AND
-        |      diff * 3 > sum(diff) OVER (PARTITION BY doc_id)
-        |      THEN 1 ELSE 0 END AS is_cut
-        |  FROM df),
-        |scn AS (SELECT doc_id, f,
-        |    sum(is_cut) OVER (PARTITION BY doc_id ORDER BY f
-        |      ROWS UNBOUNDED PRECEDING) AS scene
-        |  FROM ct),
-        |rep AS (SELECT doc_id, scene, doc_id*80 + min(f)*20 AS fid
-        |  FROM scn GROUP BY 1, 2),
-        |pc AS (SELECT r.doc_id, r.scene, ((y*4)//5)*4 + (x*4)//4 AS cell,
-        |    c, CAST(sum((r.fid*7 + y*31 + x*13 + c*5) % 251) * 1000
-        |      // count(*) AS BIGINT) AS f
-        |  FROM rep r, unnest(generate_series(0, 3)) gx(x),
-        |    unnest(generate_series(0, 4)) gy(y),
-        |    unnest(generate_series(0, 2)) gc(c)
-        |  GROUP BY 1, 2, 3, 4),
-        |v AS (SELECT CAST(doc_id*4 + scene AS BIGINT) AS vid,
-        |    list(f::DOUBLE ORDER BY cell*3 + c) AS e
-        |  FROM pc GROUP BY doc_id, scene)
-        |SELECT q.vid AS query_id,
-        |  CAST(row_number() OVER (PARTITION BY q.vid
-        |    ORDER BY round(list_inner_product(q.e, n.e) /
-        |      (sqrt(list_inner_product(q.e, q.e)) *
-        |       sqrt(list_inner_product(n.e, n.e))), 6) DESC, n.vid)
-        |    AS INT) AS rank,
-        |  n.vid AS neighbor_id,
-        |  round(list_inner_product(q.e, n.e) /
-        |    (sqrt(list_inner_product(q.e, q.e)) *
-        |     sqrt(list_inner_product(n.e, n.e))), 6) AS sim
-        |FROM v q JOIN v n ON q.vid < 8 AND q.vid <> n.vid
-        |QUALIFY rank <= 5
-        |ORDER BY query_id, rank""".stripMargin)),
+      (spark, dir) => videoTopkFrom(videoFrameStats(
+          Registry.table(spark, dir, "documents").select(col("doc_id"))))
+        .orderBy(col("query_id"), col("rank")),
+      Some(videoTopkOracleSql)),
 
     // REAL audio feature extraction over the REAL chunk-walked decode
     // — the audio twin of m_feature_pool: each document's WAV is
@@ -760,6 +695,90 @@ object MultimodalOps {
         col("is_cut"))
       .orderBy(col("doc_id"), col("frame_idx"))
   }
+
+  /** The video-retrieval tail over a SUPPLIED (doc_id, frame_idx,
+    * sum_r, sum_g, sum_b) frame-stat table — shared by the batch
+    * ann_video_topk and the streamed s58 serving twin: scene-cut
+    * segmentation ([[sceneCutFrom]]) picks each scene's
+    * representative (first) frame, its decoded pixels pool through
+    * the m_feature_pool grid into a per-SCENE vector keyed
+    * doc·4+scene, and the scene vectors answer the standing panel
+    * (items < 8 = the first two docs' scenes) through
+    * [[mediaTopkFrom]]'s mergeable top-k. Only ≤4 representative
+    * frames per doc are (re-)rendered for pooling; segmentation
+    * itself moves 3-sum stat rows, never pixels. */
+  private[queries] def videoTopkFrom(stats: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cuts = sceneCutFrom(stats)
+      .select(col("doc_id"), col("frame_idx"), col("is_cut"))
+    // scene id of a frame = cuts at frames <= it (frame 0 opens
+    // scene 0; its missing diff row coalesces to no-cut)
+    val wCum = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scenes = stats.select(col("doc_id"), col("frame_idx"))
+      .join(cuts, Seq("doc_id", "frame_idx"), "left")
+      .withColumn("scene",
+        sum(coalesce(col("is_cut"), lit(0))).over(wCum))
+    val rep = scenes.groupBy(col("doc_id"), col("scene"))
+      .agg(min(col("frame_idx")).as("rf"))
+    val items = rep
+      .withColumn("payload",
+        MultimodalPipeline.encodeBmp(col("doc_id") * 80 + col("rf") * 20))
+      .select((col("doc_id") * 4 + col("scene")).as("doc_id"),
+        MultimodalPipeline.poolBmp(col("payload"), 4, 4).as("f"))
+    mediaTopkFrom(items)
+  }
+
+  /** Shared with StreamingOps (s58): the streamed frame-stat state
+    * must serve exactly this batch panel answer. */
+  private[queries] val videoTopkOracleSql: String =
+    """WITH fr AS (SELECT doc_id, f, doc_id * 80 + f * 20 AS fid
+      |  FROM documents, unnest(generate_series(0, 3)) t(f)),
+      |px AS (SELECT doc_id, f,
+      |    CAST(sum((fid*7 + y*31 + x*13) % 251) AS BIGINT) AS sum_r,
+      |    CAST(sum((fid*7 + y*31 + x*13 + 5) % 251) AS BIGINT) AS sum_g,
+      |    CAST(sum((fid*7 + y*31 + x*13 + 10) % 251) AS BIGINT) AS sum_b
+      |  FROM fr, unnest(generate_series(0, 3)) gx(x),
+      |    unnest(generate_series(0, 4)) gy(y)
+      |  GROUP BY 1, 2),
+      |df AS (SELECT doc_id, f,
+      |    abs(sum_r - lag(sum_r) OVER w) + abs(sum_g - lag(sum_g) OVER w)
+      |      + abs(sum_b - lag(sum_b) OVER w) AS diff
+      |  FROM px WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+      |ct AS (SELECT doc_id, f,
+      |    CASE WHEN diff IS NOT NULL AND
+      |      diff * 3 > sum(diff) OVER (PARTITION BY doc_id)
+      |      THEN 1 ELSE 0 END AS is_cut
+      |  FROM df),
+      |scn AS (SELECT doc_id, f,
+      |    sum(is_cut) OVER (PARTITION BY doc_id ORDER BY f
+      |      ROWS UNBOUNDED PRECEDING) AS scene
+      |  FROM ct),
+      |rep AS (SELECT doc_id, scene, doc_id*80 + min(f)*20 AS fid
+      |  FROM scn GROUP BY 1, 2),
+      |pc AS (SELECT r.doc_id, r.scene, ((y*4)//5)*4 + (x*4)//4 AS cell,
+      |    c, CAST(sum((r.fid*7 + y*31 + x*13 + c*5) % 251) * 1000
+      |      // count(*) AS BIGINT) AS f
+      |  FROM rep r, unnest(generate_series(0, 3)) gx(x),
+      |    unnest(generate_series(0, 4)) gy(y),
+      |    unnest(generate_series(0, 2)) gc(c)
+      |  GROUP BY 1, 2, 3, 4),
+      |v AS (SELECT CAST(doc_id*4 + scene AS BIGINT) AS vid,
+      |    list(f::DOUBLE ORDER BY cell*3 + c) AS e
+      |  FROM pc GROUP BY doc_id, scene)
+      |SELECT q.vid AS query_id,
+      |  CAST(row_number() OVER (PARTITION BY q.vid
+      |    ORDER BY round(list_inner_product(q.e, n.e) /
+      |      (sqrt(list_inner_product(q.e, q.e)) *
+      |       sqrt(list_inner_product(n.e, n.e))), 6) DESC, n.vid)
+      |    AS INT) AS rank,
+      |  n.vid AS neighbor_id,
+      |  round(list_inner_product(q.e, n.e) /
+      |    (sqrt(list_inner_product(q.e, q.e)) *
+      |     sqrt(list_inner_product(n.e, n.e))), 6) AS sim
+      |FROM v q JOIN v n ON q.vid < 8 AND q.vid <> n.vid
+      |QUALIFY rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
 
   /** Shared with StreamingOps (s57): the streamed per-frame stat
     * state must reproduce exactly this batch cut report. */

@@ -3542,7 +3542,64 @@ object StreamingOps {
           } finally deleteRecursively(tmp)
         }
       },
-      Some(MultimodalOps.sceneCutOracleSql))
+      Some(MultimodalOps.sceneCutOracleSql)),
+
+    // STREAMING VIDEO INDEX SERVING — the s50/s52 live-index proof
+    // for the THIRD modality, closing streamed media-ANN symmetry:
+    // arriving videos' frames decode and reduce to per-(doc, frame)
+    // channel sums scan-locally (s57's ingest, pixels never in
+    // state), and the CONVERGED frame-stat table drives the exact
+    // batch video-retrieval tail — scene segmentation, representative
+    // -frame pooling, per-scene vectors, panel scoring through the
+    // mergeable top-k — hash-matching the ann_video_topk oracle. At
+    // 100 TB this is live shot-level retrieval: stat rows stream in
+    // as videos land, the scene index re-derives from 3-longs-per-
+    // frame state (late frames re-segment their own doc only), and
+    // the query panel is answered from the index while ingest runs.
+    Entry("s58_stream_video_serving",
+      (spark, dir) => { import spark.implicits._
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_vserve_")
+          val log = tmp.resolve("log")
+          val ckpt = tmp.resolve("ckpt")
+          try {
+            val in = sharedChunkDir(dir, "docid", "documents") { p =>
+              Registry.table(spark, dir, "documents").select(col("doc_id"))
+                .repartitionByRange(chunks, col("doc_id"))
+                .write.parquet(p.toString)
+            }
+            val src = spark.readStream.schema("doc_id BIGINT")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+            val statRows = MultimodalOps.videoFrameStats(src)
+              .as[FrameStatRow]
+            val dd = VersionedStreamDedup.latestPerKeyId[FrameStatRow](
+              statRows, _.doc_id.toString, _.frame_idx.toString, _ => 0L)
+            val q = dd.toDF().writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("key"))
+            val stats = raw
+              .withColumn("max_seq", max(col("seq")).over(wMax))
+              .filter(col("seq") === col("max_seq"))
+              .select(explode(col("xs")).as("x"))
+              .select(col("x.doc_id").as("doc_id"),
+                col("x.frame_idx").as("frame_idx"),
+                col("x.sum_r").as("sum_r"), col("x.sum_g").as("sum_g"),
+                col("x.sum_b").as("sum_b"))
+            MultimodalOps.videoTopkFrom(stats.localCheckpoint())
+              .orderBy(col("query_id"), col("rank"))
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(MultimodalOps.videoTopkOracleSql))
   )
 
   /** Watermark + append-mode replay harness with the sentinel flush

@@ -38,7 +38,7 @@ class RegistrySpec extends SparkTestBase {
       "ann_hamming_topk", "ann_hamming_recall",
       // per-scene media vectors: the broadcast side is the ≤8-item
       // scene panel (docs 0–1), the corpus side per-scene vectors
-      "ann_video_topk",
+      "ann_video_topk", "s58_stream_video_serving",
       // the two-stage rung: the same panel BNLJ generates the binary
       // shortlist; the int8 rerank itself is id-keyed equi-joins
       "ann_hamming_rerank_topk", "ann_hamming_rerank_recall",
@@ -138,7 +138,7 @@ class RegistrySpec extends SparkTestBase {
     //   only through CAST(doc_id*4 + scene AS BIGINT)
     val exempt = Set("q_session_window", "s12_stream_session_window",
       "s15_stream_session_append", "dedup_simhash", "m_video_scene_cut",
-      "ann_video_topk")
+      "ann_video_topk", "s58_stream_video_serving")
     def floatish(arg: String): Boolean = {
       val a = arg.toLowerCase.replaceAll("'[^']*'", "''")
       floatCols.exists(c => s"(?s).*\\b$c\\b.*".r.matches(a)) ||
