@@ -3599,7 +3599,117 @@ object StreamingOps {
           } finally deleteRecursively(tmp)
         }
       },
-      Some(MultimodalOps.videoTopkOracleSql))
+      Some(MultimodalOps.videoTopkOracleSql)),
+
+    // STREAMING TEMPERATURE MIXING — s54's incremental-mixture proof
+    // for the α = 0.5 rebalancing rule: the SAME ≤5-row per-language
+    // count state (native streaming aggregation, pure sums), with the
+    // converged counts driving the temperature quota chain instead —
+    // w = floor(sqrt(count)) stays integer-exact on the streamed
+    // counts, so the whole capacity → threshold → md5-selection tail
+    // hash-matches the t_domain_mix_temp oracle. Both mixing rules a
+    // pretraining pipeline runs (proportional and temperature-scaled)
+    // now re-derive live from one maintained count table; switching α
+    // at 100 TB is arithmetic on 5 rows, not a corpus pass.
+    Entry("s59_stream_temp_mix",
+      (spark, dir) => {
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_tmix_")
+          val log = tmp.resolve("log")
+          val ckpt = tmp.resolve("ckpt")
+          try {
+            val in = sharedChunkDir(dir, "doclang", "documents") { p =>
+              Registry.table(spark, dir, "documents")
+                .select(col("doc_id"), col("lang"))
+                .repartitionByRange(chunks, col("doc_id"))
+                .write.parquet(p.toString)
+            }
+            val src = spark.readStream
+              .schema("doc_id BIGINT, lang STRING")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+            val counts = src.groupBy(col("lang"))
+              .agg(count(lit(1)).as("c"))
+            val q = counts.writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: DataFrame, bid: Long) =>
+                df.withColumn("bid", lit(bid))
+                  .repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("lang"))
+            val converged = raw
+              .withColumn("max_bid", max(col("bid")).over(wMax))
+              .filter(col("bid") === col("max_bid"))
+              .select(col("lang"), col("c"))
+            TextOps.tempMixFrom(spark, dir, converged.localCheckpoint())
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(TextOps.tempMixOracleSql)),
+
+    // STREAMING DF MODEL → TF-IDF KEYWORDS — the retrieval-side
+    // trained statistic maintained incrementally: document frequency
+    // is a pure sum over per-doc DISTINCT tokens, and distinctness is
+    // established SCAN-LOCALLY in the microbatch (per-doc
+    // array_distinct — each document arrives exactly once, so its df
+    // contribution is complete at ingest; no stateful dedup, no
+    // second aggregation), with the corpus size riding INSIDE the
+    // model as a per-doc sentinel token's count (multiple streaming
+    // aggregations are unsupported — the s55 Σcnt trick applied to
+    // document counting). The converged (tok, df) state drives the
+    // exact batch BM25-ish scoring + per-doc top-5 tail,
+    // hash-matching the t_tfidf_top oracle. At 100 TB this is a live
+    // keyword/retrieval index's idf side: the model updates as
+    // documents land, and re-scoring is a re-run of the tf pass
+    // against a model that is already current.
+    Entry("s60_stream_tfidf_model",
+      (spark, dir) => {
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_tfidf_")
+          val log = tmp.resolve("log")
+          val ckpt = tmp.resolve("ckpt")
+          try {
+            val in = sharedChunkDir(dir, "doctext", "documents") { p =>
+              Registry.table(spark, dir, "documents")
+                .select(col("doc_id"), col("text"))
+                .repartitionByRange(chunks, col("doc_id"))
+                .write.parquet(p.toString)
+            }
+            val src = spark.readStream
+              .schema("doc_id BIGINT, text STRING")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+            val model = TextOps.tfidfDocTokens(src)
+              .groupBy(col("tok"))
+              .agg(count(lit(1)).as("df"))
+            val q = model.writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: DataFrame, bid: Long) =>
+                df.withColumn("bid", lit(bid))
+                  .repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            // converged model = each token's LAST emitted running df
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("tok"))
+            val converged = raw
+              .withColumn("max_bid", max(col("bid")).over(wMax))
+              .filter(col("bid") === col("max_bid"))
+              .select(col("tok"), col("df"))
+            TextOps.tfidfTopFrom(spark, dir,
+                converged.localCheckpoint())
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(TextOps.tfidfTopOracleSql))
   )
 
   /** Watermark + append-mode replay harness with the sentinel flush

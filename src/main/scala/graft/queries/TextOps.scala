@@ -537,43 +537,12 @@ object TextOps {
     // doc-partitioned window — never a global sort.
     Entry("t_tfidf_top",
       (spark, dir) => {
-        val d = Registry.table(spark, dir, "documents")
-        val toks = d.select(col("doc_id"),
-            explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
-          .filter(length(col("tok")) > 0)
-        val tf = toks.groupBy(col("doc_id"), col("tok"))
-          .agg(count(lit(1)).as("tf"))
-        val df = toks.groupBy(col("tok"))
-          .agg(countDistinct(col("doc_id")).as("df"))
-        val n = d.agg(count(lit(1)).as("n_docs"))
-        val scored = tf.join(df, Seq("tok"))
-          .crossJoin(broadcast(n))
-          .withColumn("score",
-            round(col("tf") * (col("n_docs") - col("df") + 0.5)
-              / (col("df") + 0.5), 6))
-        val w = Window.partitionBy(col("doc_id"))
-          .orderBy(col("score").desc, col("tok"))
-        scored.withColumn("r", row_number().over(w))
-          .filter(col("r") <= 5)
-          .select(col("doc_id"), col("r"), col("tok"), col("tf"),
-            col("df"), col("score"))
-          .orderBy(col("doc_id"), col("r"))
+        val model = tfidfDocTokens(
+            Registry.table(spark, dir, "documents"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        tfidfTopFrom(spark, dir, model)
       },
-      Some("""WITH t AS (SELECT doc_id,
-        |  unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
-        |  FROM documents),
-        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
-        |  WHERE length(tok) > 0 GROUP BY 1, 2),
-        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t
-        |  WHERE length(tok) > 0 GROUP BY 1),
-        |n AS (SELECT count(*) AS n_docs FROM documents),
-        |s AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
-        |    round(tf.tf * (n.n_docs - df.df + 0.5) / (df.df + 0.5), 6) AS score
-        |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
-        |SELECT doc_id, r, tok, tf, df, score FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY doc_id
-        |    ORDER BY score DESC, tok) AS r FROM s)
-        |WHERE r <= 5 ORDER BY doc_id, r""".stripMargin)),
+      Some(tfidfTopOracleSql)),
 
     // MODEL-BASED QUALITY SCORE — the third leg of the quality-filter
     // family (heuristics: t_quality; repetition: t_repetition; model:
@@ -1159,43 +1128,135 @@ object TextOps {
     // it identical), so the whole quota chain stays on integers.
     Entry("t_domain_mix_temp",
       (spark, dir) => {
-        val d = Registry.table(spark, dir, "documents")
-          .select(col("doc_id"), col("lang"))
-          .withColumn("u_ppm",
-            TextFunctions.tokenHash(col("doc_id").cast("string")) % 1000000)
-        val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("c"))
-          .withColumn("w", floor(sqrt(col("c"))).cast("long"))
-        val cap = counts.select(min(expr("c * 1000000 div w")).as("t"))
-        val quota = counts.crossJoin(broadcast(cap))
-          .withColumn("thr_ppm",
-            expr("least(c, w * t div 1000000) * 1000000 div c"))
-          .select(col("lang"), col("c"), col("w"), col("thr_ppm"))
-        d.join(broadcast(quota), "lang")
-          .filter(col("u_ppm") < col("thr_ppm"))
-          .groupBy(col("lang"), col("c").as("n_docs"), col("w"),
-            col("thr_ppm"))
-          .agg(count(lit(1)).as("n_selected"),
-            sum(col("doc_id")).as("sum_sel_ids"))
-          .select(col("lang"), col("n_docs"), col("w"), col("thr_ppm"),
-            col("n_selected"), col("sum_sel_ids"))
-          .orderBy(col("lang"))
+        val counts = Registry.table(spark, dir, "documents")
+          .groupBy(col("lang")).agg(count(lit(1)).as("c"))
+        tempMixFrom(spark, dir, counts)
       },
-      Some("""WITH d AS (SELECT doc_id, lang,
-        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-        |      AS BIGINT) % 1000000 AS u_ppm
-        |  FROM documents),
-        |c AS (SELECT lang, count(*) AS c,
-        |    CAST(floor(sqrt(count(*))) AS BIGINT) AS w FROM d GROUP BY 1),
-        |cap AS (SELECT min(c.c * 1000000 // c.w) AS t FROM c),
-        |q AS (SELECT c.lang, c.c, c.w,
-        |    LEAST(c.c, c.w * cap.t // 1000000) * 1000000 // c.c AS thr_ppm
-        |  FROM c, cap)
-        |SELECT d.lang, q.c AS n_docs, q.w, q.thr_ppm,
-        |  count(*) AS n_selected,
-        |  CAST(sum(d.doc_id) AS BIGINT) AS sum_sel_ids
-        |FROM d JOIN q ON d.lang = q.lang AND d.u_ppm < q.thr_ppm
-        |GROUP BY 1, 2, 3, 4 ORDER BY d.lang""".stripMargin))
+      Some(tempMixOracleSql))
   )
+
+  /** The temperature-scaled (α = 0.5) quota chain + selection over a
+    * SUPPLIED per-lang count table — shared by the batch
+    * t_domain_mix_temp (counts = one groupBy over the corpus) and the
+    * streamed s59 twin (counts = the converged native streaming
+    * aggregation state): weight w = floor(sqrt(count)) is
+    * integer-exact in both engines, capacity/threshold derive on
+    * integers, selection is the scan-local md5-threshold filter
+    * against the ≤5-row broadcast quota table. */
+  private[queries] def tempMixFrom(spark: SparkSession, dir: String,
+                                   counts: DataFrame): DataFrame = {
+    val d = Registry.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .withColumn("u_ppm",
+        TextFunctions.tokenHash(col("doc_id").cast("string")) % 1000000)
+    val cw = counts
+      .withColumn("w", floor(sqrt(col("c"))).cast("long"))
+    val cap = cw.select(min(expr("c * 1000000 div w")).as("t"))
+    val quota = cw.crossJoin(broadcast(cap))
+      .withColumn("thr_ppm",
+        expr("least(c, w * t div 1000000) * 1000000 div c"))
+      .select(col("lang"), col("c"), col("w"), col("thr_ppm"))
+    d.join(broadcast(quota), "lang")
+      .filter(col("u_ppm") < col("thr_ppm"))
+      .groupBy(col("lang"), col("c").as("n_docs"), col("w"),
+        col("thr_ppm"))
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("doc_id")).as("sum_sel_ids"))
+      .select(col("lang"), col("n_docs"), col("w"), col("thr_ppm"),
+        col("n_selected"), col("sum_sel_ids"))
+      .orderBy(col("lang"))
+  }
+
+  /** Sentinel token whose "document frequency" IS the corpus size:
+    * emitted once per document by [[tfidfDocTokens]], so the df model
+    * carries n_docs inside itself and a streamed model needs no
+    * second aggregation (multiple streaming aggs are unsupported;
+    * the s55 Σcnt trick, applied to document counting). A token
+    * containing a space is impossible — the tokenizer splits on
+    * non-[a-z0-9] — so the sentinel can never collide. */
+  private[queries] val docCountTok = " n"
+
+  /** Distinct (doc_id, tok) pairs computed SCAN-LOCALLY (per-doc
+    * array_distinct — no dedup shuffle, where the old countDistinct
+    * ran distinct's extra exchange) plus one [[docCountTok]] sentinel
+    * per document — shared by the batch t_tfidf_top model build and
+    * the streamed s60 twin's microbatch projection. One token-keyed
+    * count over these rows IS the df model, n_docs included. */
+  private[queries] def tfidfDocTokens(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      explode(concat(array(lit(docCountTok)),
+        array_distinct(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          t => length(t) > 0)))).as("tok"))
+
+  /** The BM25-ish scoring + per-doc top-5 tail over a SUPPLIED df
+    * model (tok → df, with [[docCountTok]] carrying n_docs) — shared
+    * by the batch t_tfidf_top and the streamed s60 twin: slim
+    * (tok, df) equi-join onto the per-doc tf rows, 1-row corpus-size
+    * broadcast, per-DOC top-5 window (the reducer count scales with
+    * the corpus here, unlike the fixed query panels — a window is the
+    * right shape). */
+  private[queries] def tfidfTopFrom(spark: SparkSession, dir: String,
+                                    dfModel: DataFrame): DataFrame = {
+    val d = Registry.table(spark, dir, "documents")
+    val toks = d.select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val n = dfModel.filter(col("tok") === lit(docCountTok))
+      .select(col("df").as("n_docs"))
+    val df = dfModel.filter(col("tok") =!= lit(docCountTok))
+    val scored = tf.join(df, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * (col("n_docs") - col("df") + 0.5)
+          / (col("df") + 0.5), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    scored.withColumn("r", row_number().over(w))
+      .filter(col("r") <= 5)
+      .select(col("doc_id"), col("r"), col("tok"), col("tf"),
+        col("df"), col("score"))
+      .orderBy(col("doc_id"), col("r"))
+  }
+
+  /** Shared with StreamingOps (s60): the streamed df model must
+    * reproduce exactly this batch keyword report. */
+  private[queries] val tfidfTopOracleSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+      |  WHERE length(tok) > 0 GROUP BY 1, 2),
+      |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t
+      |  WHERE length(tok) > 0 GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |s AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+      |    round(tf.tf * (n.n_docs - df.df + 0.5) / (df.df + 0.5), 6) AS score
+      |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
+      |SELECT doc_id, r, tok, tf, df, score FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, tok) AS r FROM s)
+      |WHERE r <= 5 ORDER BY doc_id, r""".stripMargin
+
+  /** Shared with StreamingOps (s59): the streamed count state must
+    * reproduce exactly this batch temperature-mix decision. */
+  private[queries] val tempMixOracleSql: String =
+    """WITH d AS (SELECT doc_id, lang,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 1000000 AS u_ppm
+      |  FROM documents),
+      |c AS (SELECT lang, count(*) AS c,
+      |    CAST(floor(sqrt(count(*))) AS BIGINT) AS w FROM d GROUP BY 1),
+      |cap AS (SELECT min(c.c * 1000000 // c.w) AS t FROM c),
+      |q AS (SELECT c.lang, c.c, c.w,
+      |    LEAST(c.c, c.w * cap.t // 1000000) * 1000000 // c.c AS thr_ppm
+      |  FROM c, cap)
+      |SELECT d.lang, q.c AS n_docs, q.w, q.thr_ppm,
+      |  count(*) AS n_selected,
+      |  CAST(sum(d.doc_id) AS BIGINT) AS sum_sel_ids
+      |FROM d JOIN q ON d.lang = q.lang AND d.u_ppm < q.thr_ppm
+      |GROUP BY 1, 2, 3, 4 ORDER BY d.lang""".stripMargin
 
   /** The perplexity-band tail over a SUPPLIED unigram model (tok,
     * cnt) — shared by the batch t_perplexity_filter (model = one

@@ -527,14 +527,26 @@ object VectorOps {
         val n = emb(spark, dir)
           .select(col("vec_id").as("neighbor_id"), col("label").as("nlabel"),
             col("e").as("ne"), col("nrm").as("nn"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("sim").desc, col("neighbor_id"))
-        broadcast(q).join(n, col("qlabel") =!= col("nlabel"))
-          .withColumn("sim",
+        val scored = broadcast(q).join(n, col("qlabel") =!= col("nlabel"))
+          .select(col("query_id"), col("qlabel"), col("neighbor_id"),
             round(VectorFunctions.dot(col("qe"), col("ne")) /
-              (col("qn") * col("nn")), 6))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
+              (col("qn") * col("nn")), 6).as("sim"))
+        // map-side top-k (the topkTail shape) carrying the query-side
+        // label through the groupBy; the neighbor's label re-fetches
+        // by id AFTER the k-trim — a tiny-broadcast equi-join on
+        // k·queries rows, never the scored candidate set
+        val labels = emb(spark, dir)
+          .select(col("vec_id").as("neighbor_id"),
+            col("label").as("nlabel"))
+        val topk = scored.groupBy(col("query_id"), col("qlabel"))
+          .agg(graft.functions.TopKPairsAgg
+            .topkPairs(-col("sim"), col("neighbor_id"), 5).as("tk"))
+          .select(col("query_id"), col("qlabel"),
+            posexplode(col("tk")).as(Seq("pos", "x")))
+          .select(col("query_id"), col("qlabel"),
+            (col("pos") + 1).cast("int").as("rank"),
+            col("x.id").as("neighbor_id"), (-col("x.score")).as("sim"))
+        broadcast(topk).join(labels, "neighbor_id")
           .select(col("query_id"), col("qlabel"), col("rank"),
             col("neighbor_id"), col("nlabel"), col("sim"))
           .orderBy(col("query_id"), col("rank"))
@@ -558,17 +570,21 @@ object VectorOps {
             col("nrm").as("qn"), col("bucket"))
         val n = b.select(col("vec_id").as("neighbor_id"), col("e").as("ne"),
           col("nrm").as("nn"), col("bucket").as("nbucket"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("sim").desc, col("neighbor_id"))
-        q.join(n, col("bucket") === col("nbucket") &&
+        val scored = q.join(n, col("bucket") === col("nbucket") &&
             col("query_id") =!= col("neighbor_id"))
-          .withColumn("sim",
+          .select(col("query_id"), col("bucket"), col("neighbor_id"),
             round(VectorFunctions.dot(col("qe"), col("ne")) /
-              (col("qn") * col("nn")), 6))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
-          .select(col("query_id"), col("rank"), col("neighbor_id"),
-            col("sim"), col("bucket"))
+              (col("qn") * col("nn")), 6).as("sim"))
+        // map-side top-k carrying the query's bucket (constant per
+        // query) through the groupBy — the topkTail shape
+        scored.groupBy(col("query_id"), col("bucket"))
+          .agg(graft.functions.TopKPairsAgg
+            .topkPairs(-col("sim"), col("neighbor_id"), 3).as("tk"))
+          .select(col("query_id"), col("bucket"),
+            posexplode(col("tk")).as(Seq("pos", "x")))
+          .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+            col("x.id").as("neighbor_id"), (-col("x.score")).as("sim"),
+            col("bucket"))
           .orderBy(col("query_id"), col("rank"))
       },
       Some(s"""WITH v AS ($embSql),
