@@ -110,6 +110,26 @@ class RegistrySpec extends SparkTestBase {
       s"driver-breaking schemas or cartesian plans: $offenders")
   }
 
+  // The ANN serving tails rank through the mergeable TopKPairsAgg so
+  // the k-trim runs BEFORE any scored row shuffles (the row_number
+  // window they replaced shipped every scored candidate to one
+  // reducer per query). This pins the plan shape on real registry
+  // queries: a PARTIAL top-k aggregate must appear below the
+  // exchange. One representative per scoring lane: int8 (quantized),
+  // 1-bit (hamming), float (bruteforce).
+  test("ANN serving tails reduce top-k map-side (partial agg below " +
+    "the exchange)") {
+    for (name <- Seq("ann_quantized_topk", "ann_hamming_topk",
+        "ann_topk_bruteforce")) {
+      val e = Registry.all.find(_.name == name).get
+      val plan = e.fn(spark, sfDir).queryExecution.executedPlan.toString
+      val exch = plan.indexOf("Exchange")
+      assert(exch >= 0, s"$name: no exchange in plan:\n$plan")
+      assert(plan.substring(exch).contains("partial_graft_topk_pairs"),
+        s"$name: no partial top-k aggregate below the exchange:\n$plan")
+    }
+  }
+
   // The driver's hasher is TYPE-sensitive: DuckDB's sum(INTEGER/BIGINT)
   // returns HUGEINT where Spark emits BIGINT, so a value-identical
   // result still hashes red. This class has cost three red rows across
