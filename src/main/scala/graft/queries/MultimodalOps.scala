@@ -505,6 +505,48 @@ object MultimodalOps {
         .orderBy(col("query_id"), col("rank")),
       Some(videoTopkOracleSql)),
 
+    // MEDIA × IVF COMPOSITION — the hash-checked proof of the claim
+    // the ANN family has documented all along: the rungs consume ANY
+    // (id, vector) input unchanged. The pooled media features (real
+    // decoded pixels, m_feature_pool's grid) feed the EXACT IVF
+    // pipeline the embeddings rungs run — 16 feature-vectors seed the
+    // cells, every asset assigns to its best cell, the 8-image panel
+    // probes nprobe cells, candidates verify at full precision, and
+    // the tail ranks through the mergeable map-side top-k. At 100 TB
+    // this is the media lake's production index layout: the corpus
+    // partitioned by cell (pixels featurized scan-locally at ingest,
+    // s50's path), a query touching nprobe partitions — identical
+    // scale story to ann_ivf_topk because it IS the same code.
+    Entry("ann_media_ivf_topk",
+      (spark, dir) => {
+        val d = Registry.table(spark, dir, "documents").select(col("doc_id"))
+        val base = d
+          .withColumn("payload", MultimodalPipeline.encodeBmp(col("doc_id")))
+          .select(col("doc_id").as("vec_id"),
+            MultimodalPipeline.poolBmp(col("payload"), 4, 4)
+              .cast("array<double>").as("e"))
+          .withColumn("nrm",
+            sqrt(graft.functions.VectorFunctions.dot(col("e"), col("e"))))
+        VectorOps.ivfTopkPairsOn(base, 8)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(featurePoolCtes + ",\n" +
+        """v AS (SELECT doc_id AS vec_id,
+        |    list(f::DOUBLE ORDER BY cell*3 + c) AS e
+        |  FROM pc GROUP BY doc_id),
+        |""".stripMargin +
+        VectorOps.ivfChainSql(8) + "\n" +
+        s"""SELECT cand.query_id,
+        |  CAST(row_number() OVER (PARTITION BY cand.query_id
+        |    ORDER BY round(${VectorOps.cosSql("q.e", "n.e")}, 6) DESC,
+        |      cand.neighbor_id) AS INT) AS rank,
+        |  cand.neighbor_id,
+        |  round(${VectorOps.cosSql("q.e", "n.e")}, 6) AS sim
+        |FROM cand JOIN v q ON q.vec_id = cand.query_id
+        |  JOIN v n ON n.vec_id = cand.neighbor_id
+        |QUALIFY rank <= ${VectorOps.ivfTopK}
+        |ORDER BY query_id, rank""".stripMargin)),
+
     // REAL audio feature extraction over the REAL chunk-walked decode
     // — the audio twin of m_feature_pool: each document's WAV is
     // pooled by WavPoolExpr into a 32-dim integer feature vector (16

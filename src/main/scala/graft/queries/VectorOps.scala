@@ -1432,8 +1432,15 @@ object VectorOps {
 
   /** The IVF candidate generator (assign → probe nprobe cells) —
     * shared by ivfTopkPairs and the IVF+SQ8 composition. */
-  private def ivfCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val base = emb(spark, dir)
+  private def ivfCandidates(spark: SparkSession, dir: String): DataFrame =
+    ivfCandidatesOn(emb(spark, dir), queryCount)
+
+  /** [[ivfCandidates]] over an ARBITRARY (vec_id, e, nrm) base — the
+    * rungs consume any id+vector input, and the media composition
+    * (ann_media_ivf_topk) proves it with a hash check: pooled media
+    * features index and probe through exactly this pipeline. */
+  private[queries] def ivfCandidatesOn(base: DataFrame,
+                                       nq: Int): DataFrame = {
     val cent = base.filter(col("vec_id") < ivfCells)
       .select(col("vec_id").as("cid"), col("e").as("ce"),
         col("nrm").as("cn"))
@@ -1454,7 +1461,7 @@ object VectorOps {
     val asg = scored.groupBy(col("vec_id"))
       .agg(max_by(col("cid"), struct(col("csim"), -col("cid")))
         .as("cell"))
-    val probes = scored.filter(col("vec_id") < queryCount)
+    val probes = scored.filter(col("vec_id") < nq)
       .withColumn("pr", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("csim").desc, col("cid"))))
@@ -1469,9 +1476,15 @@ object VectorOps {
 
   /** The IVF probe pipeline (assign → probe nprobe cells → verify
     * candidates) — shared by ann_ivf_topk and ann_recall. */
-  private def ivfTopkPairs(spark: SparkSession, dir: String): DataFrame = {
-    val base = emb(spark, dir)
-    val cand = ivfCandidates(spark, dir)
+  private def ivfTopkPairs(spark: SparkSession, dir: String): DataFrame =
+    ivfTopkPairsOn(emb(spark, dir), queryCount)
+
+  /** [[ivfTopkPairs]] over an arbitrary (vec_id, e, nrm) base —
+    * candidates from [[ivfCandidatesOn]], full-precision verify,
+    * map-side top-k. */
+  private[queries] def ivfTopkPairsOn(base: DataFrame,
+                                      nq: Int): DataFrame = {
+    val cand = ivfCandidatesOn(base, nq)
     val q = base.select(col("vec_id").as("query_id"),
       col("e").as("qe"), col("nrm").as("qn"))
     val n = base.select(col("vec_id").as("neighbor_id"),
@@ -1488,7 +1501,14 @@ object VectorOps {
     * and ann_recall oracles. */
   private def ivfCteSql: String =
     s"""v AS ($embSql),
-       |c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $ivfCells),
+       |${ivfChainSql(queryCount)}"""
+
+  /** The chain AFTER the `v` corpus CTE, parameterized on the query
+    * panel size — shared by the embeddings oracles (via [[ivfCteSql]])
+    * and the media composition's oracle, whose `v` is the pooled
+    * feature table instead. */
+  private[queries] def ivfChainSql(nq: Int): String =
+    s"""c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $ivfCells),
        |s AS (SELECT v.vec_id, c.cid,
        |    round(${cosSql("v.e", "c.ce")}, 6) AS csim
        |  FROM v CROSS JOIN c),
@@ -1498,7 +1518,7 @@ object VectorOps {
        |probes AS (SELECT vec_id AS query_id, cid AS pcell FROM (
        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
        |    ORDER BY csim DESC, cid) AS r FROM s
-       |  WHERE vec_id < $queryCount) WHERE r <= $ivfProbes),
+       |  WHERE vec_id < $nq) WHERE r <= $ivfProbes),
        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
        |  FROM probes p JOIN asg a ON a.cell = p.pcell
        |  WHERE a.vec_id <> p.query_id)""".stripMargin

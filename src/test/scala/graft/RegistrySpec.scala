@@ -66,6 +66,9 @@ class RegistrySpec extends SparkTestBase {
       // media-feature twin of the brute-force exactness baseline: the
       // 8-query pooled-feature panel broadcast against the corpus
       "ann_media_topk",
+      // media × IVF composition: the identical 16-row centroid
+      // broadcast the embeddings IVF rung runs (it IS the same code)
+      "ann_media_ivf_topk",
       // hard-negative mining: the same 20-query panel broadcast, with
       // the label-mismatch predicate fused into the candidate join
       "v_hard_negatives",
