@@ -122,9 +122,18 @@ object Bench {
     val nfail = fails.values.sum
     val failJson = fails.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(slow8)},"nqueries":${best.size},"passes":${pass - 1},"failed_passes":$nfail,"loadavg":$la,"control":$ctl,"sf":"$sfDir"}"""
+    // A query that failed EVERY pass never reaches `best`, so the
+    // total silently shrinks with it — a partial run would otherwise
+    // read as faster than a complete one. Mark the total itself:
+    // `incomplete` is true iff some selected query has no timing, and
+    // the full map carries an explicit null sentinel for each.
+    val missing = queries.map(_._1).filterNot(best.contains)
+    val incomplete = missing.nonEmpty
+    val fullQs = (best.toSeq.map { case (k, v) => s"\"$k\":$v" } ++
+      missing.map(n => s"\"$n\":null")).mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(slow8)},"nqueries":${best.size},"passes":${pass - 1},"failed_passes":$nfail,"incomplete":$incomplete,"loadavg":$la,"control":$ctl,"sf":"$sfDir"}"""
     println(json)
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(best)},"nqueries":${best.size},"passes":${pass - 1},"failed_passes":$nfail,"failures":$failJson,"loadavg":$la,"control":$ctl,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"nqueries":${best.size},"passes":${pass - 1},"failed_passes":$nfail,"failures":$failJson,"incomplete":$incomplete,"loadavg":$la,"control":$ctl,"sf":"$sfDir"}"""
     // Persist the COMPLETE record (all 150 per-query timings) to files
     // the driver/judge can read verbatim.
     // BENCH_FULL.json resolves against the repo root (derived from the

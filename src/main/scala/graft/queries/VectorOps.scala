@@ -1338,11 +1338,25 @@ object VectorOps {
     * so at 100 TB the shuffle carries k·queries·partitions pairs,
     * not the scored candidate set. Descending ranks negate through
     * the aggregate (IEEE negation round-trips bit-for-bit), integer
-    * scores ride the double lane exactly (|score| ≤ 128 ≪ 2^53). */
+    * scores ride the double lane exactly (|score| ≤ 128 ≪ 2^53).
+    *
+    * INVARIANT: scores must be non-NULL and non-NaN. The aggregate
+    * silently DROPS nulls (where the replaced row_number window
+    * ranked them last) and a desc sort would rank NaN last where the
+    * window ranked it FIRST (Spark orders NaN above every double) —
+    * either would silently diverge from a window-based oracle. Every
+    * call site holds it (cosine over positive norms, Hamming/ADC
+    * ints), so a zero-norm vector reaching a cosine tail is a BUG
+    * upstream: the guard fails the job loudly instead of reordering
+    * silently. */
   private[queries] def topkTail(scored: DataFrame, k: Int, scoreCol: String,
                                 desc: Boolean,
                                 outType: String = "double"): DataFrame = {
-    val s0 = col(scoreCol).cast("double")
+    val raw = col(scoreCol).cast("double")
+    val s0 = when(raw.isNull || raw.isNaN,
+      raise_error(concat(lit(s"topkTail: NULL/NaN $scoreCol for pair ("),
+        col("query_id"), lit(","), col("neighbor_id"), lit(")"))))
+      .otherwise(raw)
     val s = if (desc) -s0 else s0
     scored.groupBy(col("query_id"))
       .agg(graft.functions.TopKPairsAgg
@@ -1461,12 +1475,18 @@ object VectorOps {
     val asg = scored.groupBy(col("vec_id"))
       .agg(max_by(col("cid"), struct(col("csim"), -col("cid")))
         .as("cell"))
-    val probes = scored.filter(col("vec_id") < nq)
-      .withColumn("pr", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("csim").desc, col("cid"))))
-      .filter(col("pr") <= ivfProbes)
-      .select(col("vec_id").as("query_id"), col("cid").as("pcell"))
+    // Probe selection is itself a top-k tail (k = nprobe cells per
+    // query, csim DESC with ties to the lower cid — TopKPairsAgg's
+    // (neg-score ASC, id ASC) order exactly): the same mergeable
+    // map-side aggregate as every serving tail, so the nprobe-trim
+    // runs before the exchange instead of a row_number window
+    // shipping all queries×cells scored rows to per-query reducers.
+    val probes = topkTail(
+        scored.filter(col("vec_id") < nq)
+          .select(col("vec_id").as("query_id"),
+            col("cid").as("neighbor_id"), col("csim")),
+        ivfProbes, "csim", desc = true)
+      .select(col("query_id"), col("neighbor_id").as("pcell"))
     // Cells partition the corpus, so each neighbor appears at most
     // once per probed cell — no pair dedup needed.
     probes.join(asg, col("pcell") === col("cell"))
@@ -1554,17 +1574,16 @@ object VectorOps {
     val cent = base.filter(col("vec_id") < ivfCells)
       .select(col("vec_id").as("cid"), col("e").as("ce"),
         col("nrm").as("cn"))
-    val probes = base.filter(col("vec_id") < queryCount)
-      .crossJoin(broadcast(cent))
-      .select(col("vec_id"),
-        round(VectorFunctions.dot(col("e"), col("ce")) /
-          (col("nrm") * col("cn")), 6).as("csim"),
-        col("cid"))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("csim").desc, col("cid"))))
-      .filter(col("pr") <= ivfProbes)
-      .select(col("vec_id").as("query_id"), col("cid").as("pcell"))
+    // same mergeable top-k probe selection as [[ivfCandidatesOn]]
+    val probes = topkTail(
+        base.filter(col("vec_id") < queryCount)
+          .crossJoin(broadcast(cent))
+          .select(col("vec_id").as("query_id"),
+            col("cid").as("neighbor_id"),
+            round(VectorFunctions.dot(col("e"), col("ce")) /
+              (col("nrm") * col("cn")), 6).as("csim")),
+        ivfProbes, "csim", desc = true)
+      .select(col("query_id"), col("neighbor_id").as("pcell"))
     probes.join(asg, col("pcell") === col("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))

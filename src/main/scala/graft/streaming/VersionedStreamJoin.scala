@@ -234,8 +234,11 @@ object VersionedStreamJoin {
     *
     * TIE-BREAK INVARIANT: among equal-ts y versions the timeline
     * orders by id NUMERIC-AWARE (length, then lexicographic — numeric
-    * order for unpadded decimal ids, so "9" < "10"), and the search
-    * picks the boundary element; a SQL ASOF oracle picks an ARBITRARY
+    * order ONLY for non-negative decimal ids WITHOUT leading zeros:
+    * "007" sorts after "12", and non-numeric ids order by length
+    * before content; the pick stays deterministic either way), and
+    * the search picks the boundary element; a SQL ASOF oracle picks
+    * an ARBITRARY
     * row among equal-ts matches, so hash-comparison against such an
     * oracle additionally relies on per-key timestamp UNIQUENESS on
     * the y side (the driver fixtures hold it — event timestamps are
@@ -252,6 +255,8 @@ object VersionedStreamJoin {
       ee: Encoder[Emitted[X, Y]]): Dataset[Emitted[X, Y]] =
     joined(dsx, dsy, keyFromX, keyFromY, idFromX, idFromY, tsFromX, tsFromY) {
       (key, seq, xs, ys) =>
+        // (length, lexicographic) ≡ numeric ONLY for unpadded
+        // non-negative decimal ids — see the tie-break scaladoc
         val timeline = ys.valuesIterator.toIndexedSeq
           .sortBy(y => (tsFromY(y), idFromY(y).length, idFromY(y)))
         xs.toSeq.sortBy(_._1).iterator.map { case (_, x) =>
@@ -290,6 +295,8 @@ object VersionedStreamJoin {
       ee: Encoder[Emitted[X, Y]]): Dataset[Emitted[X, Y]] =
     joined(dsx, dsy, keyFromX, keyFromY, idFromX, idFromY, tsFromX, tsFromY) {
       (key, seq, xs, ys) =>
+        // (length, lexicographic) ≡ numeric ONLY for unpadded
+        // non-negative decimal ids — see the tie-break scaladoc
         val timeline = ys.valuesIterator.toIndexedSeq
           .sortBy(y => (tsFromY(y), idFromY(y).length, idFromY(y)))
         xs.toSeq.sortBy(_._1).iterator.map { case (_, x) =>

@@ -120,14 +120,21 @@ class RegistrySpec extends SparkTestBase {
   // queries: a PARTIAL top-k aggregate must appear below the
   // exchange. One representative per scoring lane: int8 (quantized),
   // 1-bit (hamming), float (bruteforce).
+  // One representative per scoring lane: int8 (quantized), 1-bit
+  // (hamming), float (bruteforce), and the IVF lane whose PROBE
+  // selection also ranks through the aggregate. Anchored on the
+  // SHUFFLE exchange specifically ("Exchange hashpartitioning") — a
+  // bare indexOf("Exchange") can hit a BroadcastExchange first and
+  // the assertion degrades to "partial agg appears after some
+  // exchange".
   test("ANN serving tails reduce top-k map-side (partial agg below " +
     "the exchange)") {
     for (name <- Seq("ann_quantized_topk", "ann_hamming_topk",
-        "ann_topk_bruteforce")) {
+        "ann_topk_bruteforce", "ann_ivf_topk")) {
       val e = Registry.all.find(_.name == name).get
       val plan = e.fn(spark, sfDir).queryExecution.executedPlan.toString
-      val exch = plan.indexOf("Exchange")
-      assert(exch >= 0, s"$name: no exchange in plan:\n$plan")
+      val exch = plan.indexOf("Exchange hashpartitioning")
+      assert(exch >= 0, s"$name: no shuffle exchange in plan:\n$plan")
       assert(plan.substring(exch).contains("partial_graft_topk_pairs"),
         s"$name: no partial top-k aggregate below the exchange:\n$plan")
     }

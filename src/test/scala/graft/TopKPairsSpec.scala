@@ -81,9 +81,11 @@ class TopKPairsSpec extends SparkTestBase {
     "precedes the exchange") {
     val plan = topk(pairs(1000), 5).queryExecution.executedPlan.toString
     val objAggIdx = plan.indexOf("ObjectHashAggregate")
-    val exchIdx = plan.indexOf("Exchange")
+    // anchor the SHUFFLE exchange: a bare "Exchange" could match a
+    // BroadcastExchange/ReusedExchange line first and weaken the pin
+    val exchIdx = plan.indexOf("Exchange hashpartitioning")
     assert(objAggIdx >= 0, s"no ObjectHashAggregate in plan:\n$plan")
-    assert(exchIdx >= 0, s"no Exchange in plan:\n$plan")
+    assert(exchIdx >= 0, s"no shuffle exchange in plan:\n$plan")
     // executedPlan prints top-down: the FINAL agg sits above the
     // exchange and the PARTIAL agg below it — a partial below the
     // exchange means the k-trim ran before any row shuffled.
