@@ -520,32 +520,12 @@ object MultimodalOps {
     Entry("ann_media_ivf_topk",
       (spark, dir) => {
         val d = Registry.table(spark, dir, "documents").select(col("doc_id"))
-        val base = d
+        mediaIvfTopkFrom(d
           .withColumn("payload", MultimodalPipeline.encodeBmp(col("doc_id")))
-          .select(col("doc_id").as("vec_id"),
-            MultimodalPipeline.poolBmp(col("payload"), 4, 4)
-              .cast("array<double>").as("e"))
-          .withColumn("nrm",
-            sqrt(graft.functions.VectorFunctions.dot(col("e"), col("e"))))
-        VectorOps.ivfTopkPairsOn(base, 8)
-          .orderBy(col("query_id"), col("rank"))
+          .select(col("doc_id"),
+            MultimodalPipeline.poolBmp(col("payload"), 4, 4).as("f")))
       },
-      Some(featurePoolCtes + ",\n" +
-        """v AS (SELECT doc_id AS vec_id,
-        |    list(f::DOUBLE ORDER BY cell*3 + c) AS e
-        |  FROM pc GROUP BY doc_id),
-        |""".stripMargin +
-        VectorOps.ivfChainSql(8) + "\n" +
-        s"""SELECT cand.query_id,
-        |  CAST(row_number() OVER (PARTITION BY cand.query_id
-        |    ORDER BY round(${VectorOps.cosSql("q.e", "n.e")}, 6) DESC,
-        |      cand.neighbor_id) AS INT) AS rank,
-        |  cand.neighbor_id,
-        |  round(${VectorOps.cosSql("q.e", "n.e")}, 6) AS sim
-        |FROM cand JOIN v q ON q.vec_id = cand.query_id
-        |  JOIN v n ON n.vec_id = cand.neighbor_id
-        |QUALIFY rank <= ${VectorOps.ivfTopK}
-        |ORDER BY query_id, rank""".stripMargin)),
+      Some(mediaIvfTopkOracleSql)),
 
     // REAL audio feature extraction over the REAL chunk-walked decode
     // — the audio twin of m_feature_pool: each document's WAV is
@@ -654,6 +634,46 @@ object MultimodalOps {
       |     sqrt(list_inner_product(n.e, n.e))), 6) AS sim
       |FROM v q JOIN v n ON q.doc_id < 8 AND q.doc_id <> n.doc_id
       |QUALIFY rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** The media × IVF composition over a supplied `(doc_id, f
+    * array<bigint>)` pooled-feature table: the features become the
+    * ANN base (vec_id, e, nrm) and run the EXACT embeddings IVF
+    * pipeline (seed cells → assign → probe → verify → mergeable
+    * top-k). Shared by the batch ann_media_ivf_topk and its streamed
+    * serving twin (s61, which serves the same oracle from
+    * incrementally-built feature state — the s50 ingest under the
+    * IVF read path). */
+  private[queries] def mediaIvfTopkFrom(
+      featTable: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val base = featTable
+      .select(col("doc_id").as("vec_id"),
+        col("f").cast("array<double>").as("e"))
+      .withColumn("nrm",
+        sqrt(graft.functions.VectorFunctions.dot(col("e"), col("e"))))
+    VectorOps.ivfTopkPairsOn(base, 8)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Oracle for [[mediaIvfTopkFrom]] over the analytic feature replay
+    * — shared by ann_media_ivf_topk and s61. */
+  private[queries] lazy val mediaIvfTopkOracleSql: String =
+    featurePoolCtes + ",\n" +
+      """v AS (SELECT doc_id AS vec_id,
+      |    list(f::DOUBLE ORDER BY cell*3 + c) AS e
+      |  FROM pc GROUP BY doc_id),
+      |""".stripMargin +
+      VectorOps.ivfChainSql(8) + "\n" +
+      s"""SELECT cand.query_id,
+      |  CAST(row_number() OVER (PARTITION BY cand.query_id
+      |    ORDER BY round(${VectorOps.cosSql("q.e", "n.e")}, 6) DESC,
+      |      cand.neighbor_id) AS INT) AS rank,
+      |  cand.neighbor_id,
+      |  round(${VectorOps.cosSql("q.e", "n.e")}, 6) AS sim
+      |FROM cand JOIN v q ON q.vec_id = cand.query_id
+      |  JOIN v n ON n.vec_id = cand.neighbor_id
+      |QUALIFY rank <= ${VectorOps.ivfTopK}
       |ORDER BY query_id, rank""".stripMargin
 
   /** Shared analytic replay of the encode→pool chain (4×4 grid, 48

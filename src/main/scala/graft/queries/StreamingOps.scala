@@ -2958,51 +2958,30 @@ object StreamingOps {
     // longs per asset, and the ANN family queries it while assets
     // stream in.
     Entry("s50_stream_media_features",
-      (spark, dir) => { import spark.implicits._
-        withStreamConf(spark) {
-          val tmp = java.nio.file.Files.createTempDirectory("graft_mfeat_")
-          val log = tmp.resolve("log")
-          val ckpt = tmp.resolve("ckpt")
-          try {
-            val in = sharedChunkDir(dir, "docid", "documents") { p =>
-              Registry.table(spark, dir, "documents").select(col("doc_id"))
-                .repartitionByRange(chunks, col("doc_id"))
-                .write.parquet(p.toString)
-            }
-            val src = spark.readStream.schema("doc_id BIGINT")
-              .option("maxFilesPerTrigger", "1")
-              .option("pathGlobFilter", "part-*")
-              .parquet(in.toString)
-            val featRows = src
-              .withColumn("payload",
-                graft.multimodal.MultimodalPipeline.encodeBmp(col("doc_id")))
-              .select(col("doc_id"),
-                graft.multimodal.MultimodalPipeline
-                  .poolBmp(col("payload"), 4, 4).as("f"))
-              .as[MediaFeatRow]
-            val dd = VersionedStreamDedup.latestPerKeyId[MediaFeatRow](
-              featRows, _.doc_id.toString, _ => "f", _ => 0L)
-            val q = dd.toDF().writeStream.outputMode("update")
-              .option("checkpointLocation", ckpt.toString)
-              .foreachBatch { (df: DataFrame, _: Long) =>
-                df.repartition(1).write.mode("append").parquet(log.toString)
-                ()
-              }.start()
-            try q.processAllAvailable() finally q.stop()
-            val raw = spark.read.parquet(log.toString)
-            val wMax = Window.partitionBy(col("key"))
-            val feats = raw
-              .withColumn("max_seq", max(col("seq")).over(wMax))
-              .filter(col("seq") === col("max_seq"))
-              .select(explode(col("xs")).as("x"))
-              .select(col("x.doc_id").as("doc_id"), col("x.f").as("f"))
-            MultimodalOps.mediaTopkFrom(feats)
-              .orderBy(col("query_id"), col("rank"))
-              .localCheckpoint()
-          } finally deleteRecursively(tmp)
-        }
+      (spark, dir) => runMediaFeatureStream(spark, dir) { feats =>
+        MultimodalOps.mediaTopkFrom(feats)
+          .orderBy(col("query_id"), col("rank"))
       },
       Some(MultimodalOps.mediaTopkOracleSql)),
+
+    // STREAMED MEDIA-IVF SERVING — s50's live-ingest feature state
+    // put behind the PRODUCTION index layout: the converged pooled
+    // features seed/assign/probe through the exact embeddings IVF
+    // pipeline (ann_media_ivf_topk's read path, itself ann_ivf_topk's
+    // code), hash-matching that oracle. This closes the last
+    // streamed-index asymmetry — every index family (LSH s24, IVF
+    // s25/s44, PQ s46, Hamming s53, media brute s50/s52) now also has
+    // its trained/partitioned variant served from streamed state where
+    // one exists. At 100 TB this is the media lake ingest story
+    // end-to-end: pixels featurize scan-locally at ingest (s50's
+    // loop), state holds 48 longs per asset, the cell id becomes the
+    // partition key, and a query touches nprobe partitions of a
+    // corpus that was never batch-indexed.
+    Entry("s61_stream_media_ivf",
+      (spark, dir) => runMediaFeatureStream(spark, dir) { feats =>
+        MultimodalOps.mediaIvfTopkFrom(feats)
+      },
+      Some(MultimodalOps.mediaIvfTopkOracleSql)),
 
     // STREAMING AUDIO FEATURIZATION — s50's loop run for the SECOND
     // modality: arriving clips are chunk-walk decoded and pooled
@@ -3711,6 +3690,58 @@ object StreamingOps {
       },
       Some(TextOps.tfidfTopOracleSql))
   )
+
+  /** The streamed media featurize→index loop shared by s50 and s61:
+    * document ids replay as chunked files, each arriving asset is
+    * BMP-decoded and mean-pooled SCAN-LOCALLY in its microbatch (the
+    * exact batch featurizer — no shuffle touches pixels), the 48-long
+    * feature vector upserts into doc-keyed state, and `serve` runs an
+    * arbitrary batch scoring tail over the CONVERGED feature table
+    * (brute panel for s50, the IVF index layout for s61). */
+  private def runMediaFeatureStream(spark: SparkSession, dir: String)(
+      serve: DataFrame => DataFrame): DataFrame = {
+    import spark.implicits._
+    withStreamConf(spark) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mfeat_")
+      val log = tmp.resolve("log")
+      val ckpt = tmp.resolve("ckpt")
+      try {
+        val in = sharedChunkDir(dir, "docid", "documents") { p =>
+          Registry.table(spark, dir, "documents").select(col("doc_id"))
+            .repartitionByRange(chunks, col("doc_id"))
+            .write.parquet(p.toString)
+        }
+        val src = spark.readStream.schema("doc_id BIGINT")
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "part-*")
+          .parquet(in.toString)
+        val featRows = src
+          .withColumn("payload",
+            graft.multimodal.MultimodalPipeline.encodeBmp(col("doc_id")))
+          .select(col("doc_id"),
+            graft.multimodal.MultimodalPipeline
+              .poolBmp(col("payload"), 4, 4).as("f"))
+          .as[MediaFeatRow]
+        val dd = VersionedStreamDedup.latestPerKeyId[MediaFeatRow](
+          featRows, _.doc_id.toString, _ => "f", _ => 0L)
+        val q = dd.toDF().writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            df.repartition(1).write.mode("append").parquet(log.toString)
+            ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+        val raw = spark.read.parquet(log.toString)
+        val wMax = Window.partitionBy(col("key"))
+        val feats = raw
+          .withColumn("max_seq", max(col("seq")).over(wMax))
+          .filter(col("seq") === col("max_seq"))
+          .select(explode(col("xs")).as("x"))
+          .select(col("x.doc_id").as("doc_id"), col("x.f").as("f"))
+        serve(feats).localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }
+  }
 
   /** Watermark + append-mode replay harness with the sentinel flush
     * (shared by s13 tumbling and s15 session windows): the events table
