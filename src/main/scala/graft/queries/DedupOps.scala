@@ -103,7 +103,7 @@ object DedupOps {
     * the shared core of dedup_shingle_jaccard and dedup_clusters. See
     * the dedup_shingle_jaccard entry for the localCheckpoint + df-cutoff
     * rationale. */
-  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = explodedShingles(spark, dir).localCheckpoint()
     val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val filt = sh.join(df.filter(col("df") <= maxShingleDf), "sh")
@@ -157,6 +157,34 @@ object DedupOps {
     s"""WITH RECURSIVE $reachCtes
        |SELECT doc AS doc_id, min(lab) AS cluster_id
        |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
+
+  /** The KEPT-corpus serve tail over a supplied (doc_id, cluster_id)
+    * label table — a doc survives iff it is its cluster's canonical
+    * representative (min doc_id = the component label) or sits in no
+    * near-dup pair. Shared by dedup_canonical and the streamed
+    * connected-components twin (s62), whose incrementally-built labels
+    * must serve the same corpus. The label table is tiny relative to
+    * the corpus (only docs with a near-dup), so it broadcasts and the
+    * kept-set filter is scan-local. */
+  private[queries] def canonicalFrom(spark: SparkSession, dir: String,
+                                     clusters: DataFrame): DataFrame =
+    Registry.table(spark, dir, "documents")
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull ||
+        col("cluster_id") === col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle for [[canonicalFrom]] fed by the recursive reachability
+    * fixpoint — shared by dedup_canonical and s62. */
+  private[queries] val canonicalOracleSql: String =
+    s"""WITH RECURSIVE $reachCtes,
+       |clusters AS (SELECT doc AS doc_id, min(lab) AS cluster_id
+       |             FROM reach GROUP BY doc)
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d LEFT JOIN clusters c USING (doc_id)
+       |WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id
+       |ORDER BY doc_id""".stripMargin
 
   def entries: Seq[Entry] = Seq(
 
@@ -221,24 +249,11 @@ object DedupOps {
     // relative to the corpus (only docs with a near-dup), so at 100 TB
     // it broadcasts and the kept-set filter is scan-local.
     Entry("dedup_canonical",
-      (spark, dir) => {
-        val clusters = graft.core.GraphTools
+      (spark, dir) => canonicalFrom(spark, dir,
+        graft.core.GraphTools
           .connectedComponents(jaccardPairs(spark, dir), "d1", "d2")
-          .select(col("id").as("doc_id"), col("component").as("cluster_id"))
-        Registry.table(spark, dir, "documents")
-          .join(broadcast(clusters), Seq("doc_id"), "left")
-          .filter(col("cluster_id").isNull ||
-            col("cluster_id") === col("doc_id"))
-          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-          .orderBy(col("doc_id"))
-      },
-      Some(s"""WITH RECURSIVE $reachCtes,
-        |clusters AS (SELECT doc AS doc_id, min(lab) AS cluster_id
-        |             FROM reach GROUP BY doc)
-        |SELECT d.doc_id, d.lang, d.source, d.n_chars
-        |FROM documents d LEFT JOIN clusters c USING (doc_id)
-        |WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id
-        |ORDER BY doc_id""".stripMargin)),
+          .select(col("id").as("doc_id"), col("component").as("cluster_id"))),
+      Some(canonicalOracleSql)),
 
     // Edit-distance verification of the near-dup candidates: the
     // character-level second opinion on the token-level Jaccard pairs

@@ -2983,6 +2983,63 @@ object StreamingOps {
       },
       Some(MultimodalOps.mediaIvfTopkOracleSql)),
 
+    // STREAMING CONNECTED COMPONENTS — the dedup graph maintained
+    // incrementally, closing the one dedup-family member without a
+    // streamed twin: near-dup candidate edges arrive in chunks and
+    // merge into a label FOREST (doc → component) held as the state
+    // table — incremental union-find semantics, distributed. Each
+    // microbatch contracts (current star edges ∪ new edges) back to a
+    // star forest via the same min-label propagation the batch row
+    // runs (GraphTools.connectedComponents); because the carried
+    // stars are depth-1, the per-batch round count is bounded by the
+    // NEW edges' diameter after contraction, not the accumulated
+    // graph's — the streaming analog of path compression. The union
+    // of connectivity is order-insensitive and the fixpoint (min
+    // reachable id) unique, so arrival order cannot change the
+    // result; the converged labels serve the exact batch kept-corpus
+    // tail, hash-matching the dedup_canonical oracle. At 100 TB the
+    // state is two longs per clustered doc (docs with no near-dup
+    // never enter it), per-batch work is proportional to touched
+    // components, and the production state table is a compacted
+    // parquet/Delta table instead of this run's lineage checkpoint.
+    Entry("s62_stream_dedup_clusters",
+      (spark, dir) => withStreamConf(spark) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_cc_")
+        val ckpt = tmp.resolve("ckpt")
+        try {
+          val in = sharedChunkDir(dir, "duppairs", "documents") { p =>
+            DedupOps.jaccardPairs(spark, dir)
+              .select(col("d1"), col("d2"))
+              .repartitionByRange(chunks, col("d1"))
+              .write.parquet(p.toString)
+          }
+          val src = spark.readStream.schema("d1 BIGINT, d2 BIGINT")
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "part-*")
+            .parquet(in.toString)
+          // the label forest as star edges (id → component); starts
+          // empty, re-contracted per microbatch
+          var stars: DataFrame = spark.range(0)
+            .select(col("id").as("d1"), col("id").as("d2"))
+          val q = src.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt.toString)
+            .foreachBatch { (df: DataFrame, _: Long) =>
+              stars = graft.core.GraphTools
+                .connectedComponents(
+                  df.select(col("d1"), col("d2")).unionAll(stars),
+                  "d1", "d2")
+                .select(col("id").as("d1"), col("component").as("d2"))
+                .localCheckpoint()
+              ()
+            }.start()
+          try q.processAllAvailable() finally q.stop()
+          DedupOps.canonicalFrom(spark, dir,
+              stars.select(col("d1").as("doc_id"), col("d2").as("cluster_id")))
+            .localCheckpoint()
+        } finally deleteRecursively(tmp)
+      },
+      Some(DedupOps.canonicalOracleSql)),
+
     // STREAMING AUDIO FEATURIZATION — s50's loop run for the SECOND
     // modality: arriving clips are chunk-walk decoded and pooled
     // scan-locally per microbatch (WavPoolExpr — the identical batch
