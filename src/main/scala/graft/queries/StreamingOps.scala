@@ -87,6 +87,13 @@ final case class MediaFeatRow(doc_id: Long, f: Seq[Long])
   * never enters state. */
 final case class GramPosRow(g: String, doc_id: Long, ps: Seq[Long])
 
+/** One labeled embedding row (s63): vector + class label — the unit
+  * of the streaming hard-negative-mining state (the one vector state
+  * that must keep full precision AND the label, since mining scores
+  * candidates exactly and filters on label mismatch). */
+final case class EmbLabRow(vec_id: Long, label: Int, e: Seq[Double],
+                           nrm: Double)
+
 /** One decoded video-frame stat row (s57): per (doc, frame) the three
   * channel pixel sums — the unit of the streaming scene-cut state;
   * pixels decode and reduce inside the microbatch scan and never
@@ -3039,6 +3046,60 @@ object StreamingOps {
         } finally deleteRecursively(tmp)
       },
       Some(DedupOps.canonicalOracleSql)),
+
+    // STREAMED HARD-NEGATIVE MINING — the contrastive-training data
+    // loop served live: labeled vectors stream in and upsert into
+    // vec-keyed state (the s44 ingest shape widened by the class
+    // label — the one vector state that keeps full precision, because
+    // mining verifies exactly), and the converged corpus mines the
+    // standing query panel through the exact batch tail
+    // (label-mismatch predicate fused into the candidate join,
+    // map-side top-k, neighbor label re-fetched after the k-trim) —
+    // hash-matching the v_hard_negatives oracle. At 100 TB this is
+    // how a contrastive run keeps its negative pool current while the
+    // corpus grows: state holds vector+label per id, and each
+    // re-mine is the candidate-join read path against state that is
+    // already up to date.
+    Entry("s63_stream_hard_negatives",
+      (spark, dir) => { import spark.implicits._
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_hneg_")
+          val log = tmp.resolve("log")
+          val ckpt = tmp.resolve("ckpt")
+          try {
+            val in = sharedChunkDir(dir, "emblab", "embeddings") { p =>
+              VectorOps.embLabeled(spark, dir)
+                .repartitionByRange(chunks, col("vec_id"))
+                .write.parquet(p.toString)
+            }
+            val rows = spark.readStream
+              .schema("vec_id BIGINT, label INT, e ARRAY<DOUBLE>, nrm DOUBLE")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString).as[EmbLabRow]
+            val dd = VersionedStreamDedup.latestPerKeyId[EmbLabRow](
+              rows, _.vec_id.toString, _ => "v", _ => 0L)
+            val q = dd.toDF().writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("key"))
+            val corpus = raw
+              .withColumn("max_seq", max(col("seq")).over(wMax))
+              .filter(col("seq") === col("max_seq"))
+              .select(explode(col("xs")).as("x"))
+              .select(col("x.vec_id").as("vec_id"),
+                col("x.label").as("label"), col("x.e").as("e"),
+                col("x.nrm").as("nrm"))
+            VectorOps.hardNegativesFrom(corpus).localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(VectorOps.hardNegOracleSql)),
 
     // STREAMING AUDIO FEATURIZATION — s50's loop run for the SECOND
     // modality: arriving clips are chunk-walk decoded and pooled

@@ -78,6 +78,61 @@ object VectorOps {
   private[queries] def embSlim(spark: SparkSession, dir: String): DataFrame =
     emb(spark, dir).select(col("vec_id"), col("e"), col("nrm"))
 
+  /** Shared with StreamingOps (s63): the labeled corpus
+    * (vec_id, label, e, nrm) for the hard-negative serving twin. */
+  private[queries] def embLabeled(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir).select(col("vec_id"), col("label"), col("e"), col("nrm"))
+
+  /** Hard-negative mining over a supplied labeled corpus (vec_id,
+    * label, e, nrm): for each query-panel vector the top-5
+    * most-similar vectors with a DIFFERENT label — the label-mismatch
+    * predicate fused into the candidate join (pairs filter BEFORE
+    * scoring), map-side top-k carrying the query-side label through
+    * the groupBy, and the neighbor's label re-fetched by id AFTER the
+    * k-trim (a tiny-broadcast equi-join on k·queries rows, never the
+    * scored candidate set). Shared by v_hard_negatives and its
+    * streamed twin s63, whose converged label+vector state must mine
+    * the same negatives. */
+  private[queries] def hardNegativesFrom(base: DataFrame): DataFrame = {
+    val q = base.filter(col("vec_id") < queryCount)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("e").as("qe"), col("nrm").as("qn"))
+    val n = base
+      .select(col("vec_id").as("neighbor_id"), col("label").as("nlabel"),
+        col("e").as("ne"), col("nrm").as("nn"))
+    val scored = broadcast(q).join(n, col("qlabel") =!= col("nlabel"))
+      .select(col("query_id"), col("qlabel"), col("neighbor_id"),
+        round(VectorFunctions.dot(col("qe"), col("ne")) /
+          (col("qn") * col("nn")), 6).as("sim"))
+    val labels = base
+      .select(col("vec_id").as("neighbor_id"), col("label").as("nlabel"))
+    val topk = scored.groupBy(col("query_id"), col("qlabel"))
+      .agg(graft.functions.TopKPairsAgg
+        .topkPairs(-col("sim"), col("neighbor_id"), 5).as("tk"))
+      .select(col("query_id"), col("qlabel"),
+        posexplode(col("tk")).as(Seq("pos", "x")))
+      .select(col("query_id"), col("qlabel"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("x.id").as("neighbor_id"), (-col("x.score")).as("sim"))
+    broadcast(topk).join(labels, "neighbor_id")
+      .select(col("query_id"), col("qlabel"), col("rank"),
+        col("neighbor_id"), col("nlabel"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Oracle for [[hardNegativesFrom]] — shared by v_hard_negatives
+    * and s63. */
+  private[queries] lazy val hardNegOracleSql: String =
+    s"""WITH v AS ($embSql)
+       |SELECT q.vec_id AS query_id, q.label AS qlabel,
+       |  CAST(row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY round(${cosSql("q.e", "n.e")}, 6) DESC, n.vec_id) AS INT) AS rank,
+       |  n.vec_id AS neighbor_id, n.label AS nlabel,
+       |  round(${cosSql("q.e", "n.e")}, 6) AS sim
+       |FROM v q JOIN v n ON q.vec_id < $queryCount AND q.label <> n.label
+       |QUALIFY rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Shared with StreamingOps (s25): the IVF seed centroid table
     * (first [[ivfCells]] vectors by id — the same deterministic seed
     * ann_ivf_topk probes). */
@@ -520,46 +575,8 @@ object VectorOps {
     // candidates from the LSH/IVF rungs and apply the same mismatch
     // predicate at the candidate join.
     Entry("v_hard_negatives",
-      (spark, dir) => {
-        val q = emb(spark, dir).filter(col("vec_id") < queryCount)
-          .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
-            col("e").as("qe"), col("nrm").as("qn"))
-        val n = emb(spark, dir)
-          .select(col("vec_id").as("neighbor_id"), col("label").as("nlabel"),
-            col("e").as("ne"), col("nrm").as("nn"))
-        val scored = broadcast(q).join(n, col("qlabel") =!= col("nlabel"))
-          .select(col("query_id"), col("qlabel"), col("neighbor_id"),
-            round(VectorFunctions.dot(col("qe"), col("ne")) /
-              (col("qn") * col("nn")), 6).as("sim"))
-        // map-side top-k (the topkTail shape) carrying the query-side
-        // label through the groupBy; the neighbor's label re-fetches
-        // by id AFTER the k-trim — a tiny-broadcast equi-join on
-        // k·queries rows, never the scored candidate set
-        val labels = emb(spark, dir)
-          .select(col("vec_id").as("neighbor_id"),
-            col("label").as("nlabel"))
-        val topk = scored.groupBy(col("query_id"), col("qlabel"))
-          .agg(graft.functions.TopKPairsAgg
-            .topkPairs(-col("sim"), col("neighbor_id"), 5).as("tk"))
-          .select(col("query_id"), col("qlabel"),
-            posexplode(col("tk")).as(Seq("pos", "x")))
-          .select(col("query_id"), col("qlabel"),
-            (col("pos") + 1).cast("int").as("rank"),
-            col("x.id").as("neighbor_id"), (-col("x.score")).as("sim"))
-        broadcast(topk).join(labels, "neighbor_id")
-          .select(col("query_id"), col("qlabel"), col("rank"),
-            col("neighbor_id"), col("nlabel"), col("sim"))
-          .orderBy(col("query_id"), col("rank"))
-      },
-      Some(s"""WITH v AS ($embSql)
-        |SELECT q.vec_id AS query_id, q.label AS qlabel,
-        |  CAST(row_number() OVER (PARTITION BY q.vec_id
-        |    ORDER BY round(${cosSql("q.e", "n.e")}, 6) DESC, n.vec_id) AS INT) AS rank,
-        |  n.vec_id AS neighbor_id, n.label AS nlabel,
-        |  round(${cosSql("q.e", "n.e")}, 6) AS sim
-        |FROM v q JOIN v n ON q.vec_id < $queryCount AND q.label <> n.label
-        |QUALIFY rank <= 5
-        |ORDER BY query_id, rank""".stripMargin)),
+      (spark, dir) => hardNegativesFrom(emb(spark, dir)),
+      Some(hardNegOracleSql)),
 
     Entry("ann_lsh_topk",
       (spark, dir) => {
