@@ -3101,6 +3101,62 @@ object StreamingOps {
       },
       Some(VectorOps.hardNegOracleSql)),
 
+    // STREAMED BPE TRAINING — the tokenizer-training statistic
+    // maintained incrementally: BPE's only corpus-wide input is the
+    // word-frequency table, a pure sum over scan-local pre-tokens
+    // (the s60 df-model shape — each document contributes its counts
+    // exactly once at ingest, no stateful dedup needed), so the
+    // native streaming groupBy-count IS the training-set state. The
+    // converged (w, cnt) vocabulary then drives the exact batch merge
+    // loop (vocab-sized pair-count rounds, 1-row broadcast
+    // merge-apply), hash-matching the t_bpe_train oracle's full merge
+    // trajectory. At 100 TB this is how a tokenizer retrains as the
+    // corpus grows: the corpus is never re-scanned — the merge rounds
+    // run over word-count state that is already current, orders of
+    // magnitude smaller than the text.
+    Entry("s64_stream_bpe_train",
+      (spark, dir) => {
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_")
+          val log = tmp.resolve("log")
+          val ckpt = tmp.resolve("ckpt")
+          try {
+            val in = sharedChunkDir(dir, "doctext", "documents") { p =>
+              Registry.table(spark, dir, "documents")
+                .select(col("doc_id"), col("text"))
+                .repartitionByRange(chunks, col("doc_id"))
+                .write.parquet(p.toString)
+            }
+            val src = spark.readStream
+              .schema("doc_id BIGINT, text STRING")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+            val counts = TextOps.bpePreTokens(src)
+              .groupBy(col("w"))
+              .agg(count(lit(1)).as("cnt"))
+            val q = counts.writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: DataFrame, bid: Long) =>
+                df.withColumn("bid", lit(bid))
+                  .repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            // converged vocabulary = each word's LAST emitted count
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("w"))
+            val converged = raw
+              .withColumn("max_bid", max(col("bid")).over(wMax))
+              .filter(col("bid") === col("max_bid"))
+              .select(col("w"), col("cnt"))
+            TextOps.bpeTrainFromCounts(spark, converged.localCheckpoint())
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(TextOps.bpeTrainSharedOracleSql)),
+
     // STREAMING AUDIO FEATURIZATION — s50's loop run for the SECOND
     // modality: arriving clips are chunk-walk decoded and pooled
     // scan-locally per microbatch (WavPoolExpr — the identical batch

@@ -43,10 +43,27 @@ object TextOps {
     * the former, t_bpe_encode joins the corpus against the latter). */
   private def bpeMergeLoop(spark: org.apache.spark.sql.SparkSession,
                            dir: String, n: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    bpeMergeLoopFrom(spark,
+      bpePreTokens(Registry.table(spark, dir, "documents"))
+        .groupBy("w").agg(count(lit(1)).as("cnt")), n)
+
+  /** The corpus pre-tokenized with the shared BPE pattern — one `w`
+    * row per occurrence. Scan-local; shared by the batch merge loop
+    * and the streamed word-count ingest (s64). */
+  private[queries] def bpePreTokens(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(explode(
+      expr(s"regexp_extract_all(text, '$bpePat', 0)")).as("w"))
+
+  /** [[bpeMergeLoop]] over a SUPPLIED word-frequency table (w, cnt) —
+    * the merge rounds never touch the corpus again, so a streamed
+    * word-count state (s64) trains the identical tokenizer. */
+  private[queries] def bpeMergeLoopFrom(
+      spark: org.apache.spark.sql.SparkSession,
+      wordCounts: org.apache.spark.sql.DataFrame, n: Int)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    var w = Registry.table(spark, dir, "documents")
-      .select(explode(expr(s"regexp_extract_all(text, '$bpePat', 0)")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    var w = wordCounts
       .select(col("w"),
         regexp_replace(col("w"), "(.)", "<$1>").as("sym"), col("cnt"))
       .localCheckpoint()
@@ -91,6 +108,18 @@ object TextOps {
       |  FROM w${r - 1}, b$r b)""".stripMargin)
     sb.toString
   }
+
+  /** t_bpe_train's serving half over a supplied (w, cnt) table —
+    * shared with the streamed twin s64. */
+  private[queries] def bpeTrainFromCounts(
+      spark: org.apache.spark.sql.SparkSession,
+      wordCounts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    bpeMergeLoopFrom(spark, wordCounts, bpeMerges)._1
+
+  /** t_bpe_train's oracle at the shared merge count — for s64. */
+  private[queries] lazy val bpeTrainSharedOracleSql: String =
+    bpeTrainOracleSql(bpeMerges)
 
   /** DuckDB oracle unrolling the identical `n` merge rounds as CTEs. */
   private def bpeTrainOracleSql(n: Int): String =
