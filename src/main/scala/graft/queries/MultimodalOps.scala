@@ -475,14 +475,8 @@ object MultimodalOps {
     // integer dot products, and IEEE sqrt/division are exactly
     // rounded.
     Entry("ann_media_topk",
-      (spark, dir) => {
-        val d = Registry.table(spark, dir, "documents").select(col("doc_id"))
-        mediaTopkFrom(d
-          .withColumn("payload", MultimodalPipeline.encodeBmp(col("doc_id")))
-          .select(col("doc_id"),
-            MultimodalPipeline.poolBmp(col("payload"), 4, 4).as("f")))
-          .orderBy(col("query_id"), col("rank"))
-      },
+      (spark, dir) => mediaTopkFrom(pooledFeatures(spark, dir))
+        .orderBy(col("query_id"), col("rank")),
       Some(mediaTopkOracleSql)),
 
     // VIDEO → ANN CLOSURE — completes image/audio/video symmetry in
@@ -518,14 +512,31 @@ object MultimodalOps {
     // s50's path), a query touching nprobe partitions — identical
     // scale story to ann_ivf_topk because it IS the same code.
     Entry("ann_media_ivf_topk",
-      (spark, dir) => {
-        val d = Registry.table(spark, dir, "documents").select(col("doc_id"))
-        mediaIvfTopkFrom(d
-          .withColumn("payload", MultimodalPipeline.encodeBmp(col("doc_id")))
-          .select(col("doc_id"),
-            MultimodalPipeline.poolBmp(col("payload"), 4, 4).as("f")))
-      },
+      (spark, dir) => mediaIvfTopkFrom(pooledFeatures(spark, dir)),
       Some(mediaIvfTopkOracleSql)),
+
+    // MEASURED RECALL OF THE MEDIA IVF RUNG — the same
+    // quality-of-approximation row every embeddings rung carries
+    // (ann_recall, ann_quantized_recall, …), for the media
+    // composition: per-query recall@5 of the IVF-probed index against
+    // the exact brute-force panel over the SAME pooled features. The
+    // production knob story transfers verbatim: retuning nprobe on
+    // the media lake re-runs ONE query (this one), never the corpus.
+    Entry("ann_media_ivf_recall",
+      (spark, dir) => {
+        val feats = pooledFeatures(spark, dir).localCheckpoint()
+        val exact = mediaTopkFrom(feats)
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = mediaIvfTopkFrom(feats)
+          .select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1))
+        exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+          .withColumn("recall", round(col("n_hit") / col("n_exact"), 6))
+          .orderBy(col("query_id"))
+      },
+      Some(mediaIvfRecallOracleSql)),
 
     // REAL audio feature extraction over the REAL chunk-walked decode
     // — the audio twin of m_feature_pool: each document's WAV is
@@ -675,6 +686,49 @@ object MultimodalOps {
       |  JOIN v n ON n.vec_id = cand.neighbor_id
       |QUALIFY rank <= ${VectorOps.ivfTopK}
       |ORDER BY query_id, rank""".stripMargin
+
+  /** The corpus's pooled-pixel feature table `(doc_id, f
+    * array<bigint>)` — real decoded pixels through the 4×4 grid,
+    * scan-local native codegen. Shared by every media-ANN row. */
+  private[queries] def pooledFeatures(spark: org.apache.spark.sql.SparkSession,
+                                      dir: String)
+      : org.apache.spark.sql.DataFrame =
+    Registry.table(spark, dir, "documents").select(col("doc_id"))
+      .withColumn("payload", MultimodalPipeline.encodeBmp(col("doc_id")))
+      .select(col("doc_id"),
+        MultimodalPipeline.poolBmp(col("payload"), 4, 4).as("f"))
+
+  /** Oracle for ann_media_ivf_recall: the IVF chain's ranked
+    * candidates vs the exact brute panel, both over the pooled
+    * features — the ann_recall fold with nq = 8. */
+  private[queries] lazy val mediaIvfRecallOracleSql: String =
+    featurePoolCtes + ",\n" +
+      """v AS (SELECT doc_id AS vec_id,
+      |    list(f::DOUBLE ORDER BY cell*3 + c) AS e
+      |  FROM pc GROUP BY doc_id),
+      |""".stripMargin +
+      VectorOps.ivfChainSql(8) + ",\n" +
+      s"""iv AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT cand.query_id, cand.neighbor_id,
+      |    row_number() OVER (PARTITION BY cand.query_id
+      |      ORDER BY round(${VectorOps.cosSql("q.e", "n.e")}, 6) DESC,
+      |        cand.neighbor_id) AS rank
+      |  FROM cand JOIN v q ON q.vec_id = cand.query_id
+      |    JOIN v n ON n.vec_id = cand.neighbor_id)
+      |  WHERE rank <= ${VectorOps.ivfTopK}),
+      |ex AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY round(${VectorOps.cosSql("q.e", "n.e")}, 6) DESC,
+      |        n.vec_id) AS rank
+      |  FROM v q JOIN v n ON q.vec_id < 8 AND q.vec_id <> n.vec_id)
+      |  WHERE rank <= 5)
+      |SELECT ex.query_id, count(*) AS n_exact,
+      |  count(iv.neighbor_id) AS n_hit,
+      |  round(count(iv.neighbor_id) / count(*), 6) AS recall
+      |FROM ex LEFT JOIN iv ON iv.query_id = ex.query_id
+      |  AND iv.neighbor_id = ex.neighbor_id
+      |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
 
   /** Shared analytic replay of the encode→pool chain (4×4 grid, 48
     * dims): per (doc, cell, channel) the fixed-point mean of the
