@@ -3157,6 +3157,102 @@ object StreamingOps {
       },
       Some(TextOps.bpeTrainSharedOracleSql)),
 
+    // STREAMED K-MEANS SUFFICIENT STATISTICS — the last trained
+    // statistic without a streamed twin: Lloyd's M-step needs only
+    // per-(cell, dim) (Σv, n), a pure sum, so arriving vectors assign
+    // to the broadcast seed centroids SCAN-LOCALLY in their
+    // microbatch (the exact batch assignment — rounded cosine,
+    // lower-cid argmax) and fan out to slim (cell, pos, v) rows whose
+    // native streaming aggregation IS the training-set state
+    // (16 cells × 64 dims of (sum, count) regardless of corpus
+    // size — the s47 moment-matrix argument applied to k-means). The
+    // converged stats produce the round-1 centroids exactly as the
+    // batch updateCentroids does (round(Σv/n, 6) per component) and
+    // the final assignment hash-matches the v_kmeans_assign oracle.
+    // At 100 TB this is how an IVF index's centroids refresh while
+    // the corpus streams in: the M-step reads 1,024 stat rows that
+    // are already current, never the vectors.
+    Entry("s65_stream_kmeans_stats",
+      (spark, dir) => {
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_kmeans_")
+          val relay = tmp.resolve("relay")
+          val log = tmp.resolve("log")
+          val ckpt1 = tmp.resolve("ckpt1")
+          val ckpt2 = tmp.resolve("ckpt2")
+          try {
+            val in = sharedChunkDir(dir, "embvec", "embeddings") { p =>
+              VectorOps.embSlim(spark, dir)
+                .repartitionByRange(chunks, col("vec_id"))
+                .write.parquet(p.toString)
+            }
+            val cent = VectorOps.ivfSeedCentroids(spark, dir)
+              .select(col("cid"), col("ce")).localCheckpoint()
+            val q1 = spark.readStream
+              .schema("vec_id BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+              .writeStream.outputMode("append")
+              .option("checkpointLocation", ckpt1.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                val b = df.select(col("vec_id").as("id"), col("e"))
+                graft.core.VectorTools.assignCells(b, cent)
+                  .select(col("id"), col("cell"))
+                  .join(b, "id")
+                  .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
+                  .write.mode("append").parquet(relay.toString)
+                ()
+              }.start()
+            java.nio.file.Files.createDirectories(relay)
+            val stats = spark.readStream
+              .schema("cell BIGINT, pos INT, v DOUBLE")
+              .option("maxFilesPerTrigger", streamShufflePartitions.toString)
+              .option("pathGlobFilter", "part-*")
+              .parquet(relay.toString)
+              .groupBy(col("cell"), col("pos"))
+              .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+            val q2 = stats.writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt2.toString)
+              .foreachBatch { (df: DataFrame, bid: Long) =>
+                df.withColumn("bid", lit(bid))
+                  .repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try {
+              q1.processAllAvailable()
+              q2.processAllAvailable()
+            } finally {
+              try q1.stop() finally q2.stop()
+            }
+            // converged stats → round-1 centroids (the batch
+            // updateCentroids arithmetic over maintained sums)
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("cell"), col("pos"))
+            val cents = raw
+              .withColumn("max_bid", max(col("bid")).over(wMax))
+              .filter(col("bid") === col("max_bid"))
+              .select(col("cell"), col("pos"),
+                round(col("s") / col("n"), 6).as("c"))
+              .groupBy(col("cell"))
+              .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+                .as("pc"))
+              .select(col("cell").as("cid"),
+                expr("transform(pc, x -> x.c)").as("ce"))
+            // SERVE: the final assignment against the streamed-trained
+            // centroids (the batch v_kmeans_assign tail)
+            graft.core.VectorTools.assignCells(
+                VectorOps.embSlim(spark, dir)
+                  .select(col("vec_id").as("id"), col("e")),
+                cents)
+              .select(col("id").as("vec_id"), col("cell"), col("csim"))
+              .orderBy(col("vec_id"))
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(VectorOps.kmeansAssignOracleSql)),
+
     // STREAMING AUDIO FEATURIZATION — s50's loop run for the SECOND
     // modality: arriving clips are chunk-walk decoded and pooled
     // scan-locally per microbatch (WavPoolExpr — the identical batch

@@ -290,6 +290,13 @@ object VectorOps {
     sb.toString
   }
 
+  /** v_kmeans_assign's oracle (one unrolled Lloyd round) — shared
+    * with the streamed sufficient-statistics twin s65, whose
+    * incrementally-maintained (cell, pos) sums must reproduce the
+    * same round-1 centroids and final assignment. */
+  private[queries] lazy val kmeansAssignOracleSql: String =
+    lloydOracleSql(1)
+
   def entries: Seq[Entry] = Seq(
 
     // Distributed k-means (Lloyd) assignment after one full training
