@@ -3006,13 +3006,17 @@ object StreamingOps {
     // result; the converged labels serve the exact batch kept-corpus
     // tail, hash-matching the dedup_canonical oracle. At 100 TB the
     // state is two longs per clustered doc (docs with no near-dup
-    // never enter it), per-batch work is proportional to touched
-    // components, and the production state table is a compacted
-    // parquet/Delta table instead of this run's lineage checkpoint.
+    // never enter it) and per-batch work is proportional to touched
+    // components. The forest is RESTART-SAFE: each batch commits it
+    // as a parquet snapshot (the compacted state table a production
+    // deployment keeps in Delta) and recovery seeds the fold from the
+    // latest committed snapshot — StreamCcRecoverySpec drives the
+    // stop/restart path.
     Entry("s62_stream_dedup_clusters",
       (spark, dir) => withStreamConf(spark) {
         val tmp = java.nio.file.Files.createTempDirectory("graft_cc_")
         val ckpt = tmp.resolve("ckpt")
+        val state = tmp.resolve("state")
         try {
           val in = sharedChunkDir(dir, "duppairs", "documents") { p =>
             DedupOps.jaccardPairs(spark, dir)
@@ -3020,28 +3024,12 @@ object StreamingOps {
               .repartitionByRange(chunks, col("d1"))
               .write.parquet(p.toString)
           }
-          val src = spark.readStream.schema("d1 BIGINT, d2 BIGINT")
-            .option("maxFilesPerTrigger", "1")
-            .option("pathGlobFilter", "part-*")
-            .parquet(in.toString)
-          // the label forest as star edges (id → component); starts
-          // empty, re-contracted per microbatch
-          var stars: DataFrame = spark.range(0)
-            .select(col("id").as("d1"), col("id").as("d2"))
-          val q = src.writeStream.outputMode("append")
-            .option("checkpointLocation", ckpt.toString)
-            .foreachBatch { (df: DataFrame, _: Long) =>
-              stars = graft.core.GraphTools
-                .connectedComponents(
-                  df.select(col("d1"), col("d2")).unionAll(stars),
-                  "d1", "d2")
-                .select(col("id").as("d1"), col("component").as("d2"))
-                .localCheckpoint()
-              ()
-            }.start()
+          val q = incrementalCcQuery(spark, in.toString,
+            ckpt.toString, state.toString)
           try q.processAllAvailable() finally q.stop()
           DedupOps.canonicalFrom(spark, dir,
-              stars.select(col("d1").as("doc_id"), col("d2").as("cluster_id")))
+              loadStarForest(spark, state.toString)
+                .select(col("d1").as("doc_id"), col("d2").as("cluster_id")))
             .localCheckpoint()
         } finally deleteRecursively(tmp)
       },
@@ -3960,6 +3948,80 @@ object StreamingOps {
       },
       Some(TextOps.tfidfTopOracleSql))
   )
+
+  /** s62's incremental connected-components engine, RESTART-SAFE:
+    * edges stream from `edgesDir`; each microbatch contracts
+    * (persisted star forest ∪ new edges) back to a star forest via
+    * the batch min-label propagation and commits the result as a
+    * per-batch parquet snapshot under `stateDir/b<bid>` (latest
+    * complete snapshot wins, older ones pruned — the compacted state
+    * table a production deployment keeps in Delta). On restart the
+    * latest committed forest seeds the fold, so driver loss cannot
+    * lose accumulated connectivity; and because contraction is a
+    * connectivity UNION (idempotent, order-insensitive), an
+    * at-least-once foreachBatch re-delivery re-folds edges whose
+    * connectivity is already present without changing the fixpoint.
+    * StreamCcRecoverySpec drives the stop/restart path explicitly. */
+  private[graft] def incrementalCcQuery(spark: SparkSession,
+      edgesDir: String, ckpt: String, stateDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema("d1 BIGINT, d2 BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "part-*")
+      .parquet(edgesDir)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        // connectedComponents materializes its inputs eagerly
+        // (localCheckpoint), so the snapshot read below is complete
+        // before the new snapshot commits
+        graft.core.GraphTools
+          .connectedComponents(
+            df.select(col("d1"), col("d2"))
+              .unionAll(loadStarForest(spark, stateDir)),
+            "d1", "d2")
+          .select(col("id").as("d1"), col("component").as("d2"))
+          .repartition(1)
+          .write.mode("overwrite").parquet(s"$stateDir/b$bid")
+        pruneStarForest(stateDir, bid)
+        ()
+      }.start()
+
+  /** The latest COMMITTED star-forest snapshot under `stateDir`
+    * (highest b<bid> with a _SUCCESS marker), or the empty forest. */
+  private[graft] def loadStarForest(spark: SparkSession,
+                                    stateDir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(stateDir)
+    val latest =
+      if (java.nio.file.Files.isDirectory(root))
+        java.nio.file.Files.list(root).iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith("b") && n.drop(1).forall(_.isDigit) &&
+              java.nio.file.Files.exists(p.resolve("_SUCCESS"))
+          }
+          .toSeq.sortBy(_.getFileName.toString.drop(1).toLong).lastOption
+      else None
+    latest.map(p => spark.read.parquet(p.toString))
+      .getOrElse(spark.range(0)
+        .select(col("id").as("d1"), col("id").as("d2")))
+  }
+
+  /** Drop star-forest snapshots older than `keepBid` — state stays
+    * one snapshot deep (plus the in-flight write). */
+  private def pruneStarForest(stateDir: String, keepBid: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(stateDir)
+    if (java.nio.file.Files.isDirectory(root))
+      java.nio.file.Files.list(root).iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("b") && n.drop(1).forall(_.isDigit) &&
+            n.drop(1).toLong < keepBid
+        }
+        .toSeq.foreach(deleteRecursively)
+  }
 
   /** The streamed media featurize→index loop shared by s50 and s61:
     * document ids replay as chunked files, each arriving asset is
