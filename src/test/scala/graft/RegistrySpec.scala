@@ -69,6 +69,10 @@ class RegistrySpec extends SparkTestBase {
       // media × IVF composition: the identical 16-row centroid
       // broadcast the embeddings IVF rung runs (it IS the same code)
       "ann_media_ivf_topk",
+      // its recall row: the exact side is ann_media_topk's 8-query
+      // panel BNLJ, the approx side the 16-row centroid broadcast —
+      // both already-justified shapes folded into one measurement
+      "ann_media_ivf_recall",
       // hard-negative mining: the same 20-query panel broadcast, with
       // the label-mismatch predicate fused into the candidate join
       "v_hard_negatives",
