@@ -131,9 +131,16 @@ object Bench {
     val incomplete = missing.nonEmpty
     val fullQs = (best.toSeq.map { case (k, v) => s"\"$k\":$v" } ++
       missing.map(n => s"\"$n\":null")).mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(slow8)},"nqueries":${best.size},"passes":${pass - 1},"failed_passes":$nfail,"incomplete":$incomplete,"loadavg":$la,"control":$ctl,"sf":"$sfDir"}"""
+    // An incomplete run's partial sum must never be comparable against
+    // a complete round's total by accident: emit value:null and move
+    // the partial sum to its own key, so any consumer summing or
+    // diffing "value" across rounds fails loudly on the gap instead of
+    // reading a smaller (faster-looking) number.
+    val valueJson =
+      if (incomplete) s"""null,"partial_sum_sec":$total""" else s"$total"
+    val json = s"""{"metric":"total","value":$valueJson,"unit":"sec","queries":${qsJson(slow8)},"nqueries":${best.size},"passes":${pass - 1},"failed_passes":$nfail,"incomplete":$incomplete,"loadavg":$la,"control":$ctl,"sf":"$sfDir"}"""
     println(json)
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"nqueries":${best.size},"passes":${pass - 1},"failed_passes":$nfail,"failures":$failJson,"incomplete":$incomplete,"loadavg":$la,"control":$ctl,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$valueJson,"unit":"sec","queries":$fullQs,"nqueries":${best.size},"passes":${pass - 1},"failed_passes":$nfail,"failures":$failJson,"incomplete":$incomplete,"loadavg":$la,"control":$ctl,"sf":"$sfDir"}"""
     // Persist the COMPLETE record (all 150 per-query timings) to files
     // the driver/judge can read verbatim.
     // BENCH_FULL.json resolves against the repo root (derived from the

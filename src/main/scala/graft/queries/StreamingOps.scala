@@ -3007,11 +3007,15 @@ object StreamingOps {
     // tail, hash-matching the dedup_canonical oracle. At 100 TB the
     // state is two longs per clustered doc (docs with no near-dup
     // never enter it) and per-batch work is proportional to touched
-    // components. The forest is RESTART-SAFE: each batch commits it
-    // as a parquet snapshot (the compacted state table a production
-    // deployment keeps in Delta) and recovery seeds the fold from the
-    // latest committed snapshot — StreamCcRecoverySpec drives the
-    // stop/restart path.
+    // components — in COMPUTE (only touched components re-contract)
+    // AND in WRITE (the snapshot is label-bucketed; only touched
+    // buckets are rewritten, untouched buckets carry over as
+    // hardlinks). The forest is RESTART-SAFE: each batch commits an
+    // atomically-renamed _SUCCESS-gated snapshot (the compacted state
+    // table a production deployment keeps in Delta) and recovery
+    // seeds the fold from the latest committed one —
+    // StreamCcRecoverySpec drives stop/restart, the partial-write
+    // fallback, and the untouched-bucket byte-identity.
     Entry("s62_stream_dedup_clusters",
       (spark, dir) => withStreamConf(spark) {
         val tmp = java.nio.file.Files.createTempDirectory("graft_cc_")
@@ -3067,10 +3071,18 @@ object StreamingOps {
               .parquet(in.toString).as[EmbLabRow]
             val dd = VersionedStreamDedup.latestPerKeyId[EmbLabRow](
               rows, _.vec_id.toString, _ => "v", _ => 0L)
+            // KEY-BUCKETED log write: unlike the ≤5-row convergence
+            // logs elsewhere (where repartition(1) is documented and
+            // fine), this log's rows carry full 64-dim vector payloads
+            // per upserted key — the payload, not the row count, is
+            // the per-batch cost, so the append is hash-bucketed by
+            // the upsert key across the stream's shuffle width instead
+            // of funneled through one task.
             val q = dd.toDF().writeStream.outputMode("update")
               .option("checkpointLocation", ckpt.toString)
               .foreachBatch { (df: DataFrame, _: Long) =>
-                df.repartition(1).write.mode("append").parquet(log.toString)
+                df.repartition(streamShufflePartitions.toInt, col("key"))
+                  .write.mode("append").parquet(log.toString)
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()
@@ -3207,6 +3219,15 @@ object StreamingOps {
                   .repartition(1).write.mode("append").parquet(log.toString)
                 ()
               }.start()
+            // Sequencing: q1.processAllAvailable() is a BARRIER — it
+            // returns only after every q1 microbatch has committed,
+            // i.e. after every relay part-file is fully written and
+            // visible (the NIO manager renames completed files into
+            // place; the directory listing is deterministic). Only
+            // then does q2.processAllAvailable() run, so q2's file
+            // source cannot list a half-written relay file or miss
+            // q1's last one. A refactor that overlaps the two calls
+            // (or swaps their order) silently breaks this.
             try {
               q1.processAllAvailable()
               q2.processAllAvailable()
@@ -3214,7 +3235,16 @@ object StreamingOps {
               try q1.stop() finally q2.stop()
             }
             // converged stats → round-1 centroids (the batch
-            // updateCentroids arithmetic over maintained sums)
+            // updateCentroids arithmetic over maintained sums).
+            // Summation-order tolerance (the s47 moment-matrix
+            // argument): the streamed Σv accumulates in microbatch
+            // arrival order while the batch oracle's avg() sums in
+            // partition order, so the doubles can differ in the last
+            // ulps; round(·, 6) absorbs that except for a component
+            // sitting EXACTLY on a 6-decimal rounding boundary —
+            // measured green across all SFs, and were it ever to
+            // flake, the fix is an integer/fixed-point lane for the
+            // sums, not a wider round.
             val raw = spark.read.parquet(log.toString)
             val wMax = Window.partitionBy(col("cell"), col("pos"))
             val cents = raw
@@ -3949,19 +3979,83 @@ object StreamingOps {
       Some(TextOps.tfidfTopOracleSql))
   )
 
-  /** s62's incremental connected-components engine, RESTART-SAFE:
-    * edges stream from `edgesDir`; each microbatch contracts
-    * (persisted star forest ∪ new edges) back to a star forest via
-    * the batch min-label propagation and commits the result as a
-    * per-batch parquet snapshot under `stateDir/b<bid>` (latest
-    * complete snapshot wins, older ones pruned — the compacted state
-    * table a production deployment keeps in Delta). On restart the
-    * latest committed forest seeds the fold, so driver loss cannot
-    * lose accumulated connectivity; and because contraction is a
-    * connectivity UNION (idempotent, order-insensitive), an
-    * at-least-once foreachBatch re-delivery re-folds edges whose
-    * connectivity is already present without changing the fixpoint.
-    * StreamCcRecoverySpec drives the stop/restart path explicitly. */
+  /** Bucket count of the star-forest snapshot layout: component labels
+    * hash into `pmod(label, ccForestBuckets)` directory partitions so a
+    * microbatch REWRITES ONLY the buckets whose components it touched
+    * (all rows of a component share its label, hence its bucket). 16 is
+    * sized to the test corpus; at 100 TB this is thousands — the knob
+    * trades per-bucket file size against rewrite amplification from
+    * untouched components sharing a touched bucket. Must stay stable
+    * across restarts: it is baked into the committed snapshot layout. */
+  private[graft] val ccForestBuckets = 16
+
+  /** Immediate children of `root`, with the listing stream CLOSED
+    * (an unclosed Files.list leaks a directory fd per call — this is
+    * invoked every microbatch of the s62 stream). */
+  private def listDir(root: java.nio.file.Path): Seq[java.nio.file.Path] =
+    if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(root)
+      try s.iterator().asScala.toVector finally s.close()
+    }
+
+  private def isSnapshotName(n: String): Boolean =
+    n.length > 1 && n.startsWith("b") && n.drop(1).forall(_.isDigit)
+
+  /** The latest COMMITTED star-forest snapshot dir under `stateDir`
+    * (highest b<bid> carrying a _SUCCESS marker), if any. Partial
+    * writes — `.stage_b*` dirs or a b<bid> without the marker — are
+    * never selected, so recovery always seeds from a complete forest. */
+  private[graft] def latestCommittedForest(
+      stateDir: String): Option[java.nio.file.Path] =
+    listDir(java.nio.file.Paths.get(stateDir))
+      .filter { p =>
+        isSnapshotName(p.getFileName.toString) &&
+          java.nio.file.Files.exists(p.resolve("_SUCCESS"))
+      }
+      .sortBy(_.getFileName.toString.drop(1).toLong).lastOption
+
+  /** The committed snapshot's label-bucketed forest with its `bucket`
+    * partition column (for partition-pruned touched-bucket reads), or
+    * None when no committed snapshot with data exists. */
+  private def loadBucketedForest(spark: SparkSession,
+                                 stateDir: String): Option[DataFrame] =
+    latestCommittedForest(stateDir)
+      .filter(p => listDir(p)
+        .exists(_.getFileName.toString.startsWith("bucket=")))
+      .map(p => spark.read.parquet(p.toString))
+
+  /** The latest committed star forest as (d1 = doc, d2 = component
+    * label), or the empty forest. */
+  private[graft] def loadStarForest(spark: SparkSession,
+                                    stateDir: String): DataFrame =
+    loadBucketedForest(spark, stateDir)
+      .map(_.select(col("d1"), col("d2")))
+      .getOrElse(spark.range(0)
+        .select(col("id").as("d1"), col("id").as("d2")))
+
+  /** s62's incremental connected-components engine, RESTART-SAFE and
+    * TOUCHED-BUCKET INCREMENTAL: edges stream from `edgesDir`; each
+    * microbatch re-contracts ONLY the components its edges touch (via
+    * the batch min-label propagation) and commits a label-bucketed
+    * parquet snapshot under `stateDir/b<bid>` in which only touched
+    * buckets are rewritten — untouched buckets are HARDLINKED from the
+    * previous committed snapshot, so their files are byte-identical
+    * (same inodes) and per-batch write work is proportional to touched
+    * components, not accumulated state. (Hardlinks are the local-FS
+    * analog of a Delta/manifest commit that references unchanged files;
+    * a production deployment keeps this table in Delta and this commit
+    * step IS that transaction.) The snapshot is assembled in a
+    * `.stage_b<bid>` sibling and atomically renamed into place with its
+    * _SUCCESS marker inside, so recovery (latest b<bid> WITH _SUCCESS)
+    * can never observe a partial multi-bucket write. On restart the
+    * latest committed forest seeds the fold — driver loss cannot lose
+    * accumulated connectivity — and a foreachBatch re-delivery of an
+    * already-committed bid is detected by its marker and skipped
+    * (connectivity union is idempotent anyway; the skip just avoids
+    * the rewrite). StreamCcRecoverySpec drives stop/restart, the
+    * partial-write fallback, and the untouched-bucket byte-identity. */
   private[graft] def incrementalCcQuery(spark: SparkSession,
       edgesDir: String, ckpt: String, stateDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -3972,56 +4066,120 @@ object StreamingOps {
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (df: DataFrame, bid: Long) =>
-        // connectedComponents materializes its inputs eagerly
-        // (localCheckpoint), so the snapshot read below is complete
-        // before the new snapshot commits
-        graft.core.GraphTools
-          .connectedComponents(
-            df.select(col("d1"), col("d2"))
-              .unionAll(loadStarForest(spark, stateDir)),
-            "d1", "d2")
-          .select(col("id").as("d1"), col("component").as("d2"))
-          .repartition(1)
-          .write.mode("overwrite").parquet(s"$stateDir/b$bid")
-        pruneStarForest(stateDir, bid)
+        applyCcBatch(df.sparkSession, df, bid, stateDir)
         ()
       }.start()
 
-  /** The latest COMMITTED star-forest snapshot under `stateDir`
-    * (highest b<bid> with a _SUCCESS marker), or the empty forest. */
-  private[graft] def loadStarForest(spark: SparkSession,
-                                    stateDir: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val root = java.nio.file.Paths.get(stateDir)
-    val latest =
-      if (java.nio.file.Files.isDirectory(root))
-        java.nio.file.Files.list(root).iterator().asScala
-          .filter { p =>
-            val n = p.getFileName.toString
-            n.startsWith("b") && n.drop(1).forall(_.isDigit) &&
-              java.nio.file.Files.exists(p.resolve("_SUCCESS"))
+  /** One microbatch of the incremental CC engine (see
+    * [[incrementalCcQuery]]). The only driver-resident values are the
+    * touched BUCKET ids (≤ 2·ccForestBuckets ints after distinct —
+    * bounded by the layout constant, never by data). */
+  private[graft] def applyCcBatch(spark: SparkSession, newEdges: DataFrame,
+                                  bid: Long, stateDir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = Paths.get(stateDir)
+    Files.createDirectories(root)
+    val bdir = root.resolve(s"b$bid")
+    // exactly-once: a committed b<bid> already contains this batch's
+    // edges (the marker is written before the checkpoint advances), so
+    // a post-crash re-delivery only needs to re-prune
+    if (Files.exists(bdir.resolve("_SUCCESS"))) {
+      pruneStarForest(stateDir, bid); return
+    }
+    val bucketOf = pmod(col("d2"), lit(ccForestBuckets.toLong)).cast("int")
+    val forest = loadBucketedForest(spark, stateDir) // (d1, d2, bucket)
+    val edges = newEdges.select(col("d1"), col("d2")).localCheckpoint()
+    // current labels of the batch's endpoints: a broadcast-hash probe of
+    // the forest (no state shuffle; one scan — a production Delta table
+    // would add a doc-keyed secondary index / file-level bloom to prune
+    // this lookup too). Endpoints per batch are small by construction.
+    val endpoints = edges.select(col("d1").as("ep"))
+      .unionAll(edges.select(col("d2").as("ep"))).distinct()
+    val touchedLabels = forest match {
+      case Some(f) => f.join(broadcast(endpoints), f("d1") === col("ep"))
+        .select(f("d2").as("lab")).distinct().localCheckpoint()
+      case None => spark.range(0).select(col("id").as("lab"))
+    }
+    val labelBuckets = touchedLabels
+      .select(pmod(col("lab"), lit(ccForestBuckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    // rows of the touched components only — partition-pruned to their
+    // label buckets, then semi-joined on the (small) touched label set
+    val touchedRows = forest match {
+      case Some(f) => f
+        .filter(col("bucket").isin(labelBuckets.toSeq: _*))
+        .join(broadcast(touchedLabels), col("d2") === col("lab"), "left_semi")
+        .select(col("d1"), col("d2"))
+      case None => spark.range(0)
+        .select(col("id").as("d1"), col("id").as("d2"))
+    }
+    // contract (new edges ∪ touched stars) back to depth-1 stars: the
+    // carried rows are depth-1, so rounds track the NEW edges'
+    // post-contraction diameter, not the accumulated graph's.
+    // connectedComponents materializes eagerly (localCheckpoint), so
+    // every read of the old snapshot completes before any mutation.
+    val newStars = graft.core.GraphTools
+      .connectedComponents(edges.unionAll(touchedRows), "d1", "d2")
+      .select(col("id").as("d1"), col("component").as("d2"))
+      .localCheckpoint()
+    val starBuckets = newStars.select(bucketOf.as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val touched = labelBuckets ++ starBuckets
+    // stage the new snapshot: touched buckets = survivors (rows of
+    // UNtouched components that share a touched bucket) + the new stars
+    val stage = root.resolve(s".stage_b$bid")
+    if (Files.exists(stage)) deleteRecursively(stage)
+    val survivors = forest match {
+      case Some(f) => f
+        .filter(col("bucket").isin(touched.toSeq: _*))
+        .join(broadcast(touchedLabels), col("d2") === col("lab"), "left_anti")
+        .select(col("d1"), col("d2"))
+      case None => spark.range(0)
+        .select(col("id").as("d1"), col("id").as("d2"))
+    }
+    survivors.unionAll(newStars)
+      .withColumn("bucket", bucketOf)
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(stage.toString)
+    // untouched buckets carry over as hardlinks from the previous
+    // committed snapshot (same inode — zero copy, byte-identical)
+    latestCommittedForest(stateDir).foreach { prev =>
+      listDir(prev)
+        .filter(_.getFileName.toString.startsWith("bucket="))
+        .foreach { bk =>
+          val k = bk.getFileName.toString.stripPrefix("bucket=").toInt
+          if (!touched(k)) {
+            val dst = stage.resolve(bk.getFileName.toString)
+            Files.createDirectories(dst)
+            listDir(bk).filter(Files.isRegularFile(_)).foreach { f =>
+              Files.createLink(dst.resolve(f.getFileName.toString), f)
+            }
           }
-          .toSeq.sortBy(_.getFileName.toString.drop(1).toLong).lastOption
-      else None
-    latest.map(p => spark.read.parquet(p.toString))
-      .getOrElse(spark.range(0)
-        .select(col("id").as("d1"), col("id").as("d2")))
+        }
+    }
+    // commit: the marker rides INSIDE the staged dir (Spark's committer
+    // wrote it; create it defensively if not), and the rename is the
+    // atomic commit point — a crash anywhere before it leaves only a
+    // `.stage_*` dir that recovery ignores
+    if (!Files.exists(stage.resolve("_SUCCESS")))
+      Files.createFile(stage.resolve("_SUCCESS"))
+    if (Files.exists(bdir)) deleteRecursively(bdir) // uncommitted remnant
+    Files.move(stage, bdir, StandardCopyOption.ATOMIC_MOVE)
+    pruneStarForest(stateDir, bid)
   }
 
-  /** Drop star-forest snapshots older than `keepBid` — state stays
-    * one snapshot deep (plus the in-flight write). */
-  private def pruneStarForest(stateDir: String, keepBid: Long): Unit = {
-    import scala.jdk.CollectionConverters._
-    val root = java.nio.file.Paths.get(stateDir)
-    if (java.nio.file.Files.isDirectory(root))
-      java.nio.file.Files.list(root).iterator().asScala
-        .filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith("b") && n.drop(1).forall(_.isDigit) &&
-            n.drop(1).toLong < keepBid
-        }
-        .toSeq.foreach(deleteRecursively)
-  }
+  /** Drop everything under `stateDir` except the just-committed
+    * b<keepBid> — superseded committed snapshots (their hardlinked
+    * inodes live on in the new snapshot), uncommitted b* remnants, and
+    * stale stage dirs. State stays one snapshot deep. */
+  private def pruneStarForest(stateDir: String, keepBid: Long): Unit =
+    listDir(java.nio.file.Paths.get(stateDir))
+      .filter { p =>
+        val n = p.getFileName.toString
+        (isSnapshotName(n) && n.drop(1).toLong != keepBid) ||
+          (n.startsWith(".stage_") && n != s".stage_b$keepBid")
+      }
+      .foreach(deleteRecursively)
 
   /** The streamed media featurize→index loop shared by s50 and s61:
     * document ids replay as chunked files, each arriving asset is
@@ -4056,10 +4214,14 @@ object StreamingOps {
           .as[MediaFeatRow]
         val dd = VersionedStreamDedup.latestPerKeyId[MediaFeatRow](
           featRows, _.doc_id.toString, _ => "f", _ => 0L)
+        // key-bucketed like s63's log: these rows carry the 48-long
+        // pooled feature per asset, so the payload — not the row
+        // count — is the per-batch write cost
         val q = dd.toDF().writeStream.outputMode("update")
           .option("checkpointLocation", ckpt.toString)
           .foreachBatch { (df: DataFrame, _: Long) =>
-            df.repartition(1).write.mode("append").parquet(log.toString)
+            df.repartition(streamShufflePartitions.toInt, col("key"))
+              .write.mode("append").parquet(log.toString)
             ()
           }.start()
         try q.processAllAvailable() finally q.stop()

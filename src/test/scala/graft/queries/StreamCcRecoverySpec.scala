@@ -9,9 +9,15 @@ import org.apache.spark.sql.functions._
   * engine resumes from the last COMMITTED star-forest snapshot —
   * components discovered before the restart survive it, edges arriving
   * after it merge into them, and the final labeling equals the
-  * one-shot batch connected components over all edges. This is the
-  * property that lets a 100 TB dedup graph accumulate across driver
-  * losses without ever replaying the full edge history. */
+  * one-shot batch connected components over all edges. On top of the
+  * restart property this drives the label-bucketed snapshot layout's
+  * two scale guarantees: (a) a PARTIAL multi-bucket write (no _SUCCESS
+  * marker) is never selected — recovery falls back to the previous
+  * committed snapshot; (b) a batch that touches one component leaves
+  * every untouched bucket's files BYTE-IDENTICAL (hardlinked, not
+  * rewritten) — per-batch write work is proportional to touched
+  * components, which is what lets a 100 TB dedup graph accumulate
+  * across driver losses without full-state rewrites or edge replay. */
 class StreamCcRecoverySpec extends graft.SparkTestBase {
   import spark.implicits._
 
@@ -19,6 +25,21 @@ class StreamCcRecoverySpec extends graft.SparkTestBase {
     import scala.jdk.CollectionConverters._
     Files.walk(p).iterator().asScala.toSeq
       .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+  }
+
+  /** (relative path → bytes) of every data file under a snapshot's
+    * bucket=k dir — the byte-identity witness for untouched buckets. */
+  private def bucketFiles(snap: Path, k: Int): Map[String, Seq[Byte]] = {
+    import scala.jdk.CollectionConverters._
+    val d = snap.resolve(s"bucket=$k")
+    if (!Files.isDirectory(d)) Map.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(f => f.getFileName.toString -> Files.readAllBytes(f).toSeq)
+        .toMap
+      finally s.close()
+    }
   }
 
   test("incremental CC restarts from the committed star forest") {
@@ -32,8 +53,12 @@ class StreamCcRecoverySpec extends graft.SparkTestBase {
 
       def append(rows: (Long, Long)*): Unit =
         rows.toDF("d1", "d2").coalesce(1).write.mode("append").parquet(edges)
+      def committedSnap(): Path = StreamingOps.latestCommittedForest(state)
+        .getOrElse(fail("no committed snapshot"))
 
-      // phase 1: two separate chains land before the "crash"
+      // phase 1: two separate chains land before the "crash".
+      // Labels: component {1,2,3} → 1 (bucket 1), {10,11,12} → 10
+      // (bucket 10) under pmod(label, 16).
       append((1L, 2L), (2L, 3L))
       append((10L, 11L), (11L, 12L))
       val q1 = StreamingOps.incrementalCcQuery(spark, edges, ckpt, state)
@@ -43,27 +68,58 @@ class StreamCcRecoverySpec extends graft.SparkTestBase {
       assert(mid == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
         10L -> 10L, 11L -> 10L, 12L -> 10L),
         s"pre-restart forest wrong: $mid")
+      val beforeB10 = bucketFiles(committedSnap(), 10)
+      assert(beforeB10.nonEmpty, "component {10,11,12} not in bucket 10")
 
-      // phase 2: restart from the same checkpoint + state; a bridging
-      // edge must MERGE the pre-restart components (provable only if
-      // the persisted forest survived), plus a fresh component
-      append((3L, 10L), (20L, 21L))
+      // phase 2: restart; the new edge touches ONLY component 1, so
+      // bucket 10 must carry over byte-identical (hardlink, no rewrite)
+      append((1L, 4L))
       val q2 = StreamingOps.incrementalCcQuery(spark, edges, ckpt, state)
       try q2.processAllAvailable() finally q2.stop()
+      val grown = StreamingOps.loadStarForest(spark, state)
+        .as[(Long, Long)].collect().toMap
+      assert(grown == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 10L, 11L -> 10L, 12L -> 10L),
+        s"post-grow forest wrong: $grown")
+      val afterB10 = bucketFiles(committedSnap(), 10)
+      assert(afterB10 == beforeB10,
+        "untouched bucket 10 was rewritten; expected byte-identical " +
+          s"carry-over (before=${beforeB10.keys}, after=${afterB10.keys})")
+
+      // phase 2b: a PARTIAL multi-bucket write (higher bid, no _SUCCESS)
+      // must never be selected — recovery falls back to the committed one
+      val partial = java.nio.file.Paths.get(state, "b999")
+      Files.createDirectories(partial.resolve("bucket=0"))
+      Files.createDirectories(partial.resolve("bucket=10"))
+      Files.write(partial.resolve("bucket=0").resolve("part-junk.parquet"),
+        Array[Byte](1, 2, 3))
+      val fallback = StreamingOps.loadStarForest(spark, state)
+        .as[(Long, Long)].collect().toMap
+      assert(fallback == grown,
+        s"partial uncommitted b999 leaked into recovery: $fallback")
+
+      // phase 3: restart again past the partial write; a bridging edge
+      // must MERGE the pre-restart components (provable only if the
+      // persisted forest survived), plus a fresh component
+      append((3L, 10L), (20L, 21L))
+      val q3 = StreamingOps.incrementalCcQuery(spark, edges, ckpt, state)
+      try q3.processAllAvailable() finally q3.stop()
       val got = StreamingOps.loadStarForest(spark, state)
         .as[(Long, Long)].collect().toMap
       val oneShot = graft.core.GraphTools
         .connectedComponents(
-          Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L),
+          Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (1L, 4L),
             (3L, 10L), (20L, 21L)).toDF("d1", "d2"), "d1", "d2")
         .as[(Long, Long)].collect().toMap
       assert(got == oneShot, s"post-restart labels $got != $oneShot")
-      // the committed state is exactly one snapshot deep
+      // the committed state is exactly one snapshot deep, and the
+      // partial b999 remnant was pruned with the stale snapshots
       import scala.jdk.CollectionConverters._
       val snaps = Files.list(java.nio.file.Paths.get(state))
-        .iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("b")).toSeq
-      assert(snaps.size == 1, s"stale snapshots not pruned: $snaps")
+        .iterator().asScala.map(_.getFileName.toString).toSeq
+      assert(snaps.count(_.startsWith("b")) == 1 &&
+        !snaps.exists(_.startsWith(".stage_")),
+        s"stale snapshots not pruned: $snaps")
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       rmTree(tmp)
