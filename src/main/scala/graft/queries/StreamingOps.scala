@@ -3175,101 +3175,56 @@ object StreamingOps {
     Entry("s65_stream_kmeans_stats",
       (spark, dir) => {
         withStreamConf(spark) {
-          val tmp = java.nio.file.Files.createTempDirectory("graft_kmeans_")
-          val relay = tmp.resolve("relay")
-          val log = tmp.resolve("log")
-          val ckpt1 = tmp.resolve("ckpt1")
-          val ckpt2 = tmp.resolve("ckpt2")
-          try {
-            val in = sharedChunkDir(dir, "embvec", "embeddings") { p =>
+          val in = kmeansIngestChunks(spark, dir)
+          val cent = VectorOps.ivfSeedCentroids(spark, dir)
+            .select(col("cid"), col("ce")).localCheckpoint()
+          // SERVE: the final assignment against the streamed-trained
+          // round-1 centroids (the batch v_kmeans_assign tail)
+          graft.core.VectorTools.assignCells(
               VectorOps.embSlim(spark, dir)
-                .repartitionByRange(chunks, col("vec_id"))
-                .write.parquet(p.toString)
-            }
-            val cent = VectorOps.ivfSeedCentroids(spark, dir)
-              .select(col("cid"), col("ce")).localCheckpoint()
-            val q1 = spark.readStream
-              .schema("vec_id BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE")
-              .option("maxFilesPerTrigger", "1")
-              .option("pathGlobFilter", "part-*")
-              .parquet(in.toString)
-              .writeStream.outputMode("append")
-              .option("checkpointLocation", ckpt1.toString)
-              .foreachBatch { (df: DataFrame, _: Long) =>
-                val b = df.select(col("vec_id").as("id"), col("e"))
-                graft.core.VectorTools.assignCells(b, cent)
-                  .select(col("id"), col("cell"))
-                  .join(b, "id")
-                  .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
-                  .write.mode("append").parquet(relay.toString)
-                ()
-              }.start()
-            java.nio.file.Files.createDirectories(relay)
-            val stats = spark.readStream
-              .schema("cell BIGINT, pos INT, v DOUBLE")
-              .option("maxFilesPerTrigger", streamShufflePartitions.toString)
-              .option("pathGlobFilter", "part-*")
-              .parquet(relay.toString)
-              .groupBy(col("cell"), col("pos"))
-              .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-            val q2 = stats.writeStream.outputMode("update")
-              .option("checkpointLocation", ckpt2.toString)
-              .foreachBatch { (df: DataFrame, bid: Long) =>
-                df.withColumn("bid", lit(bid))
-                  .repartition(1).write.mode("append").parquet(log.toString)
-                ()
-              }.start()
-            // Sequencing: q1.processAllAvailable() is a BARRIER — it
-            // returns only after every q1 microbatch has committed,
-            // i.e. after every relay part-file is fully written and
-            // visible (the NIO manager renames completed files into
-            // place; the directory listing is deterministic). Only
-            // then does q2.processAllAvailable() run, so q2's file
-            // source cannot list a half-written relay file or miss
-            // q1's last one. A refactor that overlaps the two calls
-            // (or swaps their order) silently breaks this.
-            try {
-              q1.processAllAvailable()
-              q2.processAllAvailable()
-            } finally {
-              try q1.stop() finally q2.stop()
-            }
-            // converged stats → round-1 centroids (the batch
-            // updateCentroids arithmetic over maintained sums).
-            // Summation-order tolerance (the s47 moment-matrix
-            // argument): the streamed Σv accumulates in microbatch
-            // arrival order while the batch oracle's avg() sums in
-            // partition order, so the doubles can differ in the last
-            // ulps; round(·, 6) absorbs that except for a component
-            // sitting EXACTLY on a 6-decimal rounding boundary —
-            // measured green across all SFs, and were it ever to
-            // flake, the fix is an integer/fixed-point lane for the
-            // sums, not a wider round.
-            val raw = spark.read.parquet(log.toString)
-            val wMax = Window.partitionBy(col("cell"), col("pos"))
-            val cents = raw
-              .withColumn("max_bid", max(col("bid")).over(wMax))
-              .filter(col("bid") === col("max_bid"))
-              .select(col("cell"), col("pos"),
-                round(col("s") / col("n"), 6).as("c"))
-              .groupBy(col("cell"))
-              .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
-                .as("pc"))
-              .select(col("cell").as("cid"),
-                expr("transform(pc, x -> x.c)").as("ce"))
-            // SERVE: the final assignment against the streamed-trained
-            // centroids (the batch v_kmeans_assign tail)
-            graft.core.VectorTools.assignCells(
-                VectorOps.embSlim(spark, dir)
-                  .select(col("vec_id").as("id"), col("e")),
-                cents)
-              .select(col("id").as("vec_id"), col("cell"), col("csim"))
-              .orderBy(col("vec_id"))
-              .localCheckpoint()
-          } finally deleteRecursively(tmp)
+                .select(col("vec_id").as("id"), col("e")),
+              streamedLloydRound(spark, in, cent))
+            .select(col("id").as("vec_id"), col("cell"), col("csim"))
+            .orderBy(col("vec_id"))
+            .localCheckpoint()
         }
       },
       Some(VectorOps.kmeansAssignOracleSql)),
+
+    // STREAMED FULL LLOYD TRAJECTORY — s65's sufficient-statistics
+    // pass RE-SEEDED per round (the s64 merge-round discipline applied
+    // to Lloyd): round r replays the embedding chunks through a fresh
+    // streaming pass whose scan-local assignment broadcasts round
+    // r-1's streamed-trained centroids, maintains the per-(cell, dim)
+    // (Σv, n) state, and hands its round(Σv/n, 6) centroids to round
+    // r+1. Three such passes reproduce the batch VectorTools.lloyd
+    // 3-round trajectory — including cross-round assignment migration
+    // and empty-cell dropout — and the final assignment hash-matches
+    // the v_kmeans_lloyd3 oracle. Unlike BPE (whose merge rounds run
+    // over vocab-sized state), Lloyd's round-r statistic depends on
+    // round r-1's model for EVERY vector, so a full re-scan per round
+    // is the honest cost — identical to batch Lloyd's; what streaming
+    // buys is that each pass is the live-ingest stat maintenance
+    // (1,024 (Σ, n) rows of state, never the vectors), so a centroid
+    // refresh never needs the corpus materialized as a batch table.
+    Entry("s66_stream_kmeans_lloyd3",
+      (spark, dir) => {
+        withStreamConf(spark) {
+          val in = kmeansIngestChunks(spark, dir)
+          var cent = VectorOps.ivfSeedCentroids(spark, dir)
+            .select(col("cid"), col("ce")).localCheckpoint()
+          for (_ <- 1 to 3)
+            cent = streamedLloydRound(spark, in, cent)
+          graft.core.VectorTools.assignCells(
+              VectorOps.embSlim(spark, dir)
+                .select(col("vec_id").as("id"), col("e")),
+              cent)
+            .select(col("id").as("vec_id"), col("cell"), col("csim"))
+            .orderBy(col("vec_id"))
+            .localCheckpoint()
+        }
+      },
+      Some(VectorOps.kmeansLloyd3OracleSql)),
 
     // STREAMING AUDIO FEATURIZATION — s50's loop run for the SECOND
     // modality: arriving clips are chunk-walk decoded and pooled
@@ -4180,6 +4135,104 @@ object StreamingOps {
           (n.startsWith(".stage_") && n != s".stage_b$keepBid")
       }
       .foreach(deleteRecursively)
+
+  /** The shared slim-embedding replay chunks for the streamed k-means
+    * rows (s65, s66). */
+  private def kmeansIngestChunks(spark: SparkSession,
+                                 dir: String): java.nio.file.Path =
+    sharedChunkDir(dir, "embvec", "embeddings") { p =>
+      VectorOps.embSlim(spark, dir)
+        .repartitionByRange(chunks, col("vec_id"))
+        .write.parquet(p.toString)
+    }
+
+  /** ONE streamed Lloyd round (shared by s65 and s66): replay the
+    * embedding chunks, assign each arriving vector to the broadcast
+    * `cent` table SCAN-LOCALLY in its microbatch (the exact batch
+    * assignment — rounded cosine, lower-cid argmax), fan out to slim
+    * (cell, pos, v) rows whose native streaming aggregation maintains
+    * the per-(cell, dim) (Σv, n) sufficient statistics — 16 cells ×
+    * 64 dims of state regardless of corpus size — and return the
+    * updated centroid table (cid, ce) via the batch updateCentroids
+    * arithmetic round(Σv/n, 6) over the converged sums. */
+  private def streamedLloydRound(spark: SparkSession,
+      in: java.nio.file.Path, cent: DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kmeans_")
+    val relay = tmp.resolve("relay")
+    val log = tmp.resolve("log")
+    val ckpt1 = tmp.resolve("ckpt1")
+    val ckpt2 = tmp.resolve("ckpt2")
+    try {
+      val q1 = spark.readStream
+        .schema("vec_id BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "part-*")
+        .parquet(in.toString)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt1.toString)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val b = df.select(col("vec_id").as("id"), col("e"))
+          graft.core.VectorTools.assignCells(b, cent)
+            .select(col("id"), col("cell"))
+            .join(b, "id")
+            .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
+            .write.mode("append").parquet(relay.toString)
+          ()
+        }.start()
+      java.nio.file.Files.createDirectories(relay)
+      val stats = spark.readStream
+        .schema("cell BIGINT, pos INT, v DOUBLE")
+        .option("maxFilesPerTrigger", streamShufflePartitions.toString)
+        .option("pathGlobFilter", "part-*")
+        .parquet(relay.toString)
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      val q2 = stats.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt2.toString)
+        .foreachBatch { (df: DataFrame, bid: Long) =>
+          df.withColumn("bid", lit(bid))
+            .repartition(1).write.mode("append").parquet(log.toString)
+          ()
+        }.start()
+      // Sequencing: q1.processAllAvailable() is a BARRIER — it returns
+      // only after every q1 microbatch has committed, i.e. after every
+      // relay part-file is fully written and visible (the NIO manager
+      // renames completed files into place; the directory listing is
+      // deterministic). Only then does q2.processAllAvailable() run,
+      // so q2's file source cannot list a half-written relay file or
+      // miss q1's last one. A refactor that overlaps the two calls
+      // (or swaps their order) silently breaks this.
+      try {
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+      } finally {
+        try q1.stop() finally q2.stop()
+      }
+      // converged stats → updated centroids (the batch updateCentroids
+      // arithmetic over maintained sums). Summation-order tolerance
+      // (the s47 moment-matrix argument): the streamed Σv accumulates
+      // in microbatch arrival order while the batch oracle's avg()
+      // sums in partition order, so the doubles can differ in the last
+      // ulps; round(·, 6) absorbs that except for a component sitting
+      // EXACTLY on a 6-decimal rounding boundary — measured green
+      // across all SFs (including three compounded rounds in s66), and
+      // were it ever to flake, the fix is an integer/fixed-point lane
+      // for the sums, not a wider round.
+      val raw = spark.read.parquet(log.toString)
+      val wMax = Window.partitionBy(col("cell"), col("pos"))
+      raw
+        .withColumn("max_bid", max(col("bid")).over(wMax))
+        .filter(col("bid") === col("max_bid"))
+        .select(col("cell"), col("pos"),
+          round(col("s") / col("n"), 6).as("c"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+          .as("pc"))
+        .select(col("cell").as("cid"),
+          expr("transform(pc, x -> x.c)").as("ce"))
+        .localCheckpoint() // materialize before tmp is deleted
+    } finally deleteRecursively(tmp)
+  }
 
   /** The streamed media featurize→index loop shared by s50 and s61:
     * document ids replay as chunked files, each arriving asset is

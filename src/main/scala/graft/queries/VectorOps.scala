@@ -297,6 +297,13 @@ object VectorOps {
   private[queries] lazy val kmeansAssignOracleSql: String =
     lloydOracleSql(1)
 
+  /** v_kmeans_lloyd3's oracle (three unrolled Lloyd rounds) — shared
+    * with the streamed full-trajectory twin s66, whose per-round
+    * re-seeded stat passes must reproduce the same 3-round centroid
+    * trajectory and final assignment. */
+  private[queries] lazy val kmeansLloyd3OracleSql: String =
+    lloydOracleSql(3)
+
   def entries: Seq[Entry] = Seq(
 
     // Distributed k-means (Lloyd) assignment after one full training
