@@ -523,19 +523,7 @@ object MultimodalOps {
     // production knob story transfers verbatim: retuning nprobe on
     // the media lake re-runs ONE query (this one), never the corpus.
     Entry("ann_media_ivf_recall",
-      (spark, dir) => {
-        val feats = pooledFeatures(spark, dir).localCheckpoint()
-        val exact = mediaTopkFrom(feats)
-          .select(col("query_id"), col("neighbor_id"))
-        val approx = mediaIvfTopkFrom(feats)
-          .select(col("query_id"), col("neighbor_id"))
-          .withColumn("hit", lit(1))
-        exact.join(approx, Seq("query_id", "neighbor_id"), "left")
-          .groupBy(col("query_id"))
-          .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
-          .withColumn("recall", round(col("n_hit") / col("n_exact"), 6))
-          .orderBy(col("query_id"))
-      },
+      (spark, dir) => ivfRecallFrom(pooledFeatures(spark, dir)),
       Some(mediaIvfRecallOracleSql)),
 
     // REAL audio feature extraction over the REAL chunk-walked decode
@@ -570,16 +558,66 @@ object MultimodalOps {
     // the same documented scale path (bucket the pooled vectors with
     // the LSH/IVF rungs — they consume any (id, array) input).
     Entry("ann_audio_topk",
-      (spark, dir) => {
-        val d = Registry.table(spark, dir, "documents").select(col("doc_id"))
-        mediaTopkFrom(d
-          .withColumn("payload", MultimodalPipeline.encodeWav(col("doc_id")))
-          .select(col("doc_id"),
-            MultimodalPipeline.poolWav(col("payload"), 16).as("f")))
-          .orderBy(col("query_id"), col("rank"))
-      },
-      Some(audioTopkOracleSql))
+      (spark, dir) => mediaTopkFrom(audioFeatures(spark, dir))
+        .orderBy(col("query_id"), col("rank")),
+      Some(audioTopkOracleSql)),
+
+    // AUDIO × IVF COMPOSITION — the ann_media_ivf_topk pattern applied
+    // to the second modality, finishing the modality × index matrix's
+    // audio lane: the banded-energy vectors behind ann_audio_topk feed
+    // the EXACT embeddings IVF pipeline (16 clip-vectors seed the
+    // cells, every clip assigns to its best cell, the 8-clip panel
+    // probes nprobe cells, candidates verify at full precision, the
+    // tail ranks through the mergeable map-side top-k). At 100 TB this
+    // is the audio lake's production index layout: cell id is the
+    // partition key for a corpus whose features extracted scan-locally
+    // at ingest (s52's path), and a query touches nprobe partitions —
+    // the same scale story as ann_ivf_topk because it IS the same code.
+    Entry("ann_audio_ivf_topk",
+      (spark, dir) => mediaIvfTopkFrom(audioFeatures(spark, dir)),
+      Some(audioIvfTopkOracleSql)),
+
+    // MEASURED RECALL OF THE AUDIO IVF RUNG — recall@5 of the
+    // IVF-probed audio index against the exact brute panel over the
+    // SAME banded-energy features (the ann_media_ivf_recall fold for
+    // the audio lane). Retuning nprobe on the audio lake re-runs ONE
+    // query, never the corpus.
+    Entry("ann_audio_ivf_recall",
+      (spark, dir) => ivfRecallFrom(audioFeatures(spark, dir)),
+      Some(audioIvfRecallOracleSql))
   )
+
+  /** The corpus's pooled audio feature table `(doc_id, f
+    * array<bigint>)` — the chunk-walked WAV decode through the 16-band
+    * × 2-channel energy grid, scan-local native codegen. Shared by
+    * every audio-ANN row. */
+  private[queries] def audioFeatures(spark: org.apache.spark.sql.SparkSession,
+                                     dir: String)
+      : org.apache.spark.sql.DataFrame =
+    Registry.table(spark, dir, "documents").select(col("doc_id"))
+      .withColumn("payload", MultimodalPipeline.encodeWav(col("doc_id")))
+      .select(col("doc_id"),
+        MultimodalPipeline.poolWav(col("payload"), 16).as("f"))
+
+  /** Per-query recall@5 of the IVF-probed index vs the exact brute
+    * panel over the SAME pooled features — shared by
+    * ann_media_ivf_recall and ann_audio_ivf_recall (both sides are
+    * already-justified broadcast shapes folded into one measurement;
+    * localCheckpoint keeps the feature extraction from running twice). */
+  private[queries] def ivfRecallFrom(featTable: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val feats = featTable.localCheckpoint()
+    val exact = mediaTopkFrom(feats)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = mediaIvfTopkFrom(feats)
+      .select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .withColumn("recall", round(col("n_hit") / col("n_exact"), 6))
+      .orderBy(col("query_id"))
+  }
 
   /** Oracle for [[mediaTopkFrom]] over the analytic AUDIO feature
     * replay — shared by ann_audio_topk and its streaming twin (s52,
@@ -667,25 +705,47 @@ object MultimodalOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The media pooled-feature corpus as the IVF oracle's `v` CTE
+    * (vec_id, e) — fixed cell*3+c component order. */
+  private lazy val mediaVCteSql: String =
+    """v AS (SELECT doc_id AS vec_id,
+    |    list(f::DOUBLE ORDER BY cell*3 + c) AS e
+    |  FROM pc GROUP BY doc_id),
+    |""".stripMargin
+
+  /** The audio banded-energy corpus as the IVF oracle's `v` CTE —
+    * fixed band*2+c component order. */
+  private lazy val audioVCteSql: String =
+    """v AS (SELECT doc_id AS vec_id,
+    |    list(f::DOUBLE ORDER BY band*2 + c) AS e
+    |  FROM ab GROUP BY doc_id),
+    |""".stripMargin
+
+  /** Final ranked-candidate SELECT over the IVF chain's `cand` + `v`
+    * — the tail shared by the media and audio IVF top-k oracles. */
+  private lazy val ivfPanelTopkTailSql: String =
+    s"""SELECT cand.query_id,
+    |  CAST(row_number() OVER (PARTITION BY cand.query_id
+    |    ORDER BY round(${VectorOps.cosSql("q.e", "n.e")}, 6) DESC,
+    |      cand.neighbor_id) AS INT) AS rank,
+    |  cand.neighbor_id,
+    |  round(${VectorOps.cosSql("q.e", "n.e")}, 6) AS sim
+    |FROM cand JOIN v q ON q.vec_id = cand.query_id
+    |  JOIN v n ON n.vec_id = cand.neighbor_id
+    |QUALIFY rank <= ${VectorOps.ivfTopK}
+    |ORDER BY query_id, rank""".stripMargin
+
   /** Oracle for [[mediaIvfTopkFrom]] over the analytic feature replay
     * — shared by ann_media_ivf_topk and s61. */
   private[queries] lazy val mediaIvfTopkOracleSql: String =
-    featurePoolCtes + ",\n" +
-      """v AS (SELECT doc_id AS vec_id,
-      |    list(f::DOUBLE ORDER BY cell*3 + c) AS e
-      |  FROM pc GROUP BY doc_id),
-      |""".stripMargin +
-      VectorOps.ivfChainSql(8) + "\n" +
-      s"""SELECT cand.query_id,
-      |  CAST(row_number() OVER (PARTITION BY cand.query_id
-      |    ORDER BY round(${VectorOps.cosSql("q.e", "n.e")}, 6) DESC,
-      |      cand.neighbor_id) AS INT) AS rank,
-      |  cand.neighbor_id,
-      |  round(${VectorOps.cosSql("q.e", "n.e")}, 6) AS sim
-      |FROM cand JOIN v q ON q.vec_id = cand.query_id
-      |  JOIN v n ON n.vec_id = cand.neighbor_id
-      |QUALIFY rank <= ${VectorOps.ivfTopK}
-      |ORDER BY query_id, rank""".stripMargin
+    featurePoolCtes + ",\n" + mediaVCteSql +
+      VectorOps.ivfChainSql(8) + "\n" + ivfPanelTopkTailSql
+
+  /** Oracle for ann_audio_ivf_topk: the IVF chain over the analytic
+    * AUDIO feature replay. */
+  private[queries] lazy val audioIvfTopkOracleSql: String =
+    audioPoolCtes + ",\n" + audioVCteSql +
+      VectorOps.ivfChainSql(8) + "\n" + ivfPanelTopkTailSql
 
   /** The corpus's pooled-pixel feature table `(doc_id, f
     * array<bigint>)` — real decoded pixels through the 4×4 grid,
@@ -698,37 +758,44 @@ object MultimodalOps {
       .select(col("doc_id"),
         MultimodalPipeline.poolBmp(col("payload"), 4, 4).as("f"))
 
+  /** The recall fold over the IVF chain's `cand` + `v` — the tail
+    * shared by the media and audio IVF recall oracles (the ann_recall
+    * fold with nq = 8). */
+  private lazy val ivfPanelRecallTailSql: String =
+    s"""iv AS (SELECT query_id, neighbor_id FROM (
+    |  SELECT cand.query_id, cand.neighbor_id,
+    |    row_number() OVER (PARTITION BY cand.query_id
+    |      ORDER BY round(${VectorOps.cosSql("q.e", "n.e")}, 6) DESC,
+    |        cand.neighbor_id) AS rank
+    |  FROM cand JOIN v q ON q.vec_id = cand.query_id
+    |    JOIN v n ON n.vec_id = cand.neighbor_id)
+    |  WHERE rank <= ${VectorOps.ivfTopK}),
+    |ex AS (SELECT query_id, neighbor_id FROM (
+    |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+    |    row_number() OVER (PARTITION BY q.vec_id
+    |      ORDER BY round(${VectorOps.cosSql("q.e", "n.e")}, 6) DESC,
+    |        n.vec_id) AS rank
+    |  FROM v q JOIN v n ON q.vec_id < 8 AND q.vec_id <> n.vec_id)
+    |  WHERE rank <= 5)
+    |SELECT ex.query_id, count(*) AS n_exact,
+    |  count(iv.neighbor_id) AS n_hit,
+    |  round(count(iv.neighbor_id) / count(*), 6) AS recall
+    |FROM ex LEFT JOIN iv ON iv.query_id = ex.query_id
+    |  AND iv.neighbor_id = ex.neighbor_id
+    |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
   /** Oracle for ann_media_ivf_recall: the IVF chain's ranked
     * candidates vs the exact brute panel, both over the pooled
-    * features — the ann_recall fold with nq = 8. */
+    * features. */
   private[queries] lazy val mediaIvfRecallOracleSql: String =
-    featurePoolCtes + ",\n" +
-      """v AS (SELECT doc_id AS vec_id,
-      |    list(f::DOUBLE ORDER BY cell*3 + c) AS e
-      |  FROM pc GROUP BY doc_id),
-      |""".stripMargin +
-      VectorOps.ivfChainSql(8) + ",\n" +
-      s"""iv AS (SELECT query_id, neighbor_id FROM (
-      |  SELECT cand.query_id, cand.neighbor_id,
-      |    row_number() OVER (PARTITION BY cand.query_id
-      |      ORDER BY round(${VectorOps.cosSql("q.e", "n.e")}, 6) DESC,
-      |        cand.neighbor_id) AS rank
-      |  FROM cand JOIN v q ON q.vec_id = cand.query_id
-      |    JOIN v n ON n.vec_id = cand.neighbor_id)
-      |  WHERE rank <= ${VectorOps.ivfTopK}),
-      |ex AS (SELECT query_id, neighbor_id FROM (
-      |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-      |    row_number() OVER (PARTITION BY q.vec_id
-      |      ORDER BY round(${VectorOps.cosSql("q.e", "n.e")}, 6) DESC,
-      |        n.vec_id) AS rank
-      |  FROM v q JOIN v n ON q.vec_id < 8 AND q.vec_id <> n.vec_id)
-      |  WHERE rank <= 5)
-      |SELECT ex.query_id, count(*) AS n_exact,
-      |  count(iv.neighbor_id) AS n_hit,
-      |  round(count(iv.neighbor_id) / count(*), 6) AS recall
-      |FROM ex LEFT JOIN iv ON iv.query_id = ex.query_id
-      |  AND iv.neighbor_id = ex.neighbor_id
-      |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+    featurePoolCtes + ",\n" + mediaVCteSql +
+      VectorOps.ivfChainSql(8) + ",\n" + ivfPanelRecallTailSql
+
+  /** Oracle for ann_audio_ivf_recall: the same fold over the analytic
+    * AUDIO feature replay. */
+  private[queries] lazy val audioIvfRecallOracleSql: String =
+    audioPoolCtes + ",\n" + audioVCteSql +
+      VectorOps.ivfChainSql(8) + ",\n" + ivfPanelRecallTailSql
 
   /** Shared analytic replay of the encode→pool chain (4×4 grid, 48
     * dims): per (doc, cell, channel) the fixed-point mean of the

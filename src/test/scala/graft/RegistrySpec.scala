@@ -79,6 +79,11 @@ class RegistrySpec extends SparkTestBase {
       // audio twin of ann_media_topk: the 8-clip pooled-feature panel
       // broadcast against the corpus
       "ann_audio_topk",
+      // audio × IVF composition + its recall row: the same
+      // already-justified shapes as the media lane — the 16-row
+      // centroid broadcast (ivf) and the 8-clip panel BNLJ (the
+      // recall row's exact side)
+      "ann_audio_ivf_topk", "ann_audio_ivf_recall",
       // the 1-row capacity scalar crossed into the ≤5-row quota
       // table; the corpus itself joins the quota on lang equi-keys
       "t_domain_mix",
