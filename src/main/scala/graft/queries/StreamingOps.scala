@@ -2797,7 +2797,7 @@ object StreamingOps {
     // candidates, and scoring reads the int8 corpus — each rung's
     // scale story is unchanged from its batch row.
     Entry("s44_stream_ann_serving",
-      (spark, dir) => { import spark.implicits._
+      (spark, dir) => {
         withStreamConf(spark) {
           val tmp = java.nio.file.Files.createTempDirectory("graft_serve_")
           val relay = tmp.resolve("relay")
@@ -2805,64 +2805,24 @@ object StreamingOps {
           val ckpt1 = tmp.resolve("ckpt1")
           val ckpt2 = tmp.resolve("ckpt2")
           try {
-            val in = sharedChunkDir(dir, "embvec", "embeddings") { p =>
-              VectorOps.embSlim(spark, dir)
-                .repartitionByRange(chunks, col("vec_id"))
-                .write.parquet(p.toString)
-            }
+            val in = kmeansIngestChunks(spark, dir)
             val cent = VectorOps.ivfSeedCentroids(spark, dir)
               .localCheckpoint()
-            val q1 = spark.readStream
-              .schema("vec_id BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE")
-              .option("maxFilesPerTrigger", "1")
-              .option("pathGlobFilter", "part-*")
-              .parquet(in.toString)
-              .writeStream.outputMode("append")
-              .option("checkpointLocation", ckpt1.toString)
-              .foreachBatch { (df: DataFrame, _: Long) =>
-                df.crossJoin(broadcast(cent))
-                  .select(col("vec_id"),
-                    round(graft.functions.VectorFunctions.dot(
-                      col("e"), col("ce")) / (col("nrm") * col("cn")), 6)
-                      .as("csim"),
-                    col("cid"))
-                  .groupBy(col("vec_id"))
-                  .agg(max_by(col("cid"), struct(col("csim"), -col("cid")))
-                    .as("cell"))
-                  .write.mode("append").parquet(relay.toString)
-                ()
-              }.start()
+            val q1 = startIvfAssignStream(spark, in.toString, cent,
+              ckpt1, relay)
             java.nio.file.Files.createDirectories(relay)
-            val asgs = spark.readStream.schema("vec_id BIGINT, cell BIGINT")
-              .option("maxFilesPerTrigger", streamShufflePartitions.toString)
-              .option("pathGlobFilter", "part-*")
-              .parquet(relay.toString).as[AsgRow]
-            val dd = VersionedStreamDedup.latestPerKeyId[AsgRow](
-              asgs, _.cell.toString, _.vec_id.toString, _ => 0L)
-            val q2 = dd.toDF().writeStream.outputMode("update")
-              .option("checkpointLocation", ckpt2.toString)
-              .foreachBatch { (df: DataFrame, _: Long) =>
-                df.repartition(1).write.mode("append").parquet(log.toString)
-                ()
-              }.start()
+            val q2 = startIvfMembershipStream(spark, relay, ckpt2, log)
             try {
               q1.processAllAvailable()
               q2.processAllAvailable()
             } finally {
               try q1.stop() finally q2.stop()
             }
-            // the converged inverted index, read back from state output
-            val raw = spark.read.parquet(log.toString)
-            val wMax = Window.partitionBy(col("key"))
-            val asg = raw
-              .withColumn("max_seq", max(col("seq")).over(wMax))
-              .filter(col("seq") === col("max_seq"))
-              .select(explode(col("xs")).as("x"))
-              .select(col("x.vec_id").as("vec_id"), col("x.cell").as("cell"))
             // SERVE: probe → fetch members from the streamed index →
             // int8 score → top-k (the batch entry's exact tail)
             VectorOps.quantScoredTopk(spark, dir,
-                VectorOps.ivfCandidatesFrom(spark, dir, asg))
+                VectorOps.ivfCandidatesFrom(spark, dir,
+                  convergedMembershipFrom(spark, log)))
               .orderBy(col("query_id"), col("rank"))
               .localCheckpoint()
           } finally deleteRecursively(tmp)
@@ -4145,6 +4105,72 @@ object StreamingOps {
         .repartitionByRange(chunks, col("vec_id"))
         .write.parquet(p.toString)
     }
+
+  /** s44's stage 1 (also driven stop/restart by StreamAnnRecoverySpec):
+    * arriving vectors assign to the broadcast `cent` cells SCAN-LOCALLY
+    * in their microbatch (exact batch arithmetic — rounded cosine,
+    * lower-cid argmax) and relay slim (vec_id, cell) rows; the vectors
+    * themselves never enter streaming state. */
+  private[graft] def startIvfAssignStream(spark: SparkSession, in: String,
+      cent: DataFrame, ckpt: java.nio.file.Path, relay: java.nio.file.Path)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema("vec_id BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "part-*")
+      .parquet(in)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.crossJoin(broadcast(cent))
+          .select(col("vec_id"),
+            round(graft.functions.VectorFunctions.dot(
+              col("e"), col("ce")) / (col("nrm") * col("cn")), 6)
+              .as("csim"),
+            col("cid"))
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("cid"), struct(col("csim"), -col("cid")))
+            .as("cell"))
+          .write.mode("append").parquet(relay.toString)
+        ()
+      }.start()
+
+  /** s44's stage 2: the relayed (vec_id, cell) assignments upsert into
+    * cell-keyed membership state (two longs per vector), each update
+    * appending to the convergence log that
+    * [[convergedMembershipFrom]] folds. */
+  private[graft] def startIvfMembershipStream(spark: SparkSession,
+      relay: java.nio.file.Path, ckpt: java.nio.file.Path,
+      log: java.nio.file.Path)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val asgs = spark.readStream.schema("vec_id BIGINT, cell BIGINT")
+      .option("maxFilesPerTrigger", streamShufflePartitions.toString)
+      .option("pathGlobFilter", "part-*")
+      .parquet(relay.toString).as[AsgRow]
+    val dd = VersionedStreamDedup.latestPerKeyId[AsgRow](
+      asgs, _.cell.toString, _.vec_id.toString, _ => 0L)
+    dd.toDF().writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.repartition(1).write.mode("append").parquet(log.toString)
+        ()
+      }.start()
+  }
+
+  /** The converged inverted index (vec_id, cell) read back from a
+    * membership stream's convergence log: latest emission per cell
+    * key, members exploded. */
+  private[graft] def convergedMembershipFrom(spark: SparkSession,
+      log: java.nio.file.Path): DataFrame = {
+    val raw = spark.read.parquet(log.toString)
+    val wMax = Window.partitionBy(col("key"))
+    raw
+      .withColumn("max_seq", max(col("seq")).over(wMax))
+      .filter(col("seq") === col("max_seq"))
+      .select(explode(col("xs")).as("x"))
+      .select(col("x.vec_id").as("vec_id"), col("x.cell").as("cell"))
+  }
 
   /** ONE streamed Lloyd round (shared by s65 and s66): replay the
     * embedding chunks, assign each arriving vector to the broadcast
