@@ -1,0 +1,1009 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SketchFunctions, TextFunctions}
+import graft.streaming.{VersionedStreamDedup, VersionedStreamJoin}
+
+/** The document-dedup pipeline's streaming twins: fingerprint /
+  * minhash / LSH-band / semantic state, exact-substring spans and
+  * trim, CDC chunk dedup, the composed curation pipeline, and the
+  * incremental connected-components engine with its label-bucketed,
+  * restart-safe star-forest snapshots (s62). */
+private[graft] object StreamDedupTwins {
+
+  import StreamingHarness._
+
+  def entries: Seq[Entry] = Seq(
+
+    // INCREMENTAL EXACT-DEDUP over a GROWING documents corpus — the
+    // LLM-pipeline operator family (dedup_exact) in streaming form,
+    // tying the two halves of the engine together: each parquet drop
+    // landing in the ingest prefix upserts into fingerprint-keyed
+    // state (VersionedStreamDedup, the reference's D2 as a standalone
+    // op), and the compacted view converges to the same batch DuckDB
+    // oracle. Only (fp, doc_id) enters streaming state — the text
+    // stays in the scan, so state is O(corpus distinct-content), not
+    // O(corpus bytes). A production pipeline reads the keep-set off
+    // the converged state to admit only first-seen content.
+    Entry("s19_stream_doc_dedup",
+      (spark, dir) => { import spark.implicits._
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_docs_")
+          val log = tmp.resolve("log")
+          val ckpt = tmp.resolve("ckpt")
+          try {
+            val in = sharedChunkDir(dir, "docfp", "documents") { p =>
+              Registry.table(spark, dir, "documents")
+                .select(col("doc_id"), md5(col("text")).as("fp"))
+                .repartitionByRange(chunks, col("doc_id"))
+                .write.parquet(p.toString)
+            }
+            val src = spark.readStream.schema("doc_id BIGINT, fp STRING")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString).as[DocFp]
+            val dd = VersionedStreamDedup.latestPerKeyId[DocFp](
+              src, _.fp, _.doc_id.toString, _.doc_id)
+            val q = dd.toDF().writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("key"))
+            raw
+              .withColumn("max_seq", max(col("seq")).over(wMax))
+              .filter(col("seq") === col("max_seq"))
+              .select(col("key").as("fp"), explode(col("xs")).as("x"))
+              .groupBy(col("fp"))
+              .agg(count(lit(1)).as("n_docs"),
+                min(col("x.doc_id")).as("keep_doc_id"))
+              .orderBy(col("fp"))
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(DedupOps.exactDedupOracleSql)),
+
+    // INCREMENTAL NEAR-DUP SIGNATURES over a growing corpus — the
+    // minhash half of the streaming dedup story (s19 streams the exact
+    // half). A document arrives whole, so its k=8 signature is
+    // computed SCAN-LOCALLY in the microbatch (tokens → distinct
+    // 3-shingles → shingle hashes → per-permutation minima; no
+    // explode + groupBy, which on a stream would be a stateful
+    // aggregation), then upserted into signature-keyed state via
+    // VersionedStreamDedup — a re-crawled doc (newer version) replaces
+    // its signature in place. Only (doc_id, 8 minima) enters state;
+    // the converged view must equal the batch dedup_minhash_sig
+    // answer, so the LSH banding/bucket join downstream can run
+    // incrementally off this state at 100 TB.
+    Entry("s21_stream_minhash_sig",
+      (spark, dir) => { import spark.implicits._
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_sig_")
+          val log = tmp.resolve("log")
+          val ckpt = tmp.resolve("ckpt")
+          try {
+            val in = sharedChunkDir(dir, "doctext", "documents") { p =>
+              Registry.table(spark, dir, "documents")
+                .select(col("doc_id"), col("text"))
+                .repartitionByRange(chunks, col("doc_id"))
+                .write.parquet(p.toString)
+            }
+            val src = spark.readStream.schema("doc_id BIGINT, text STRING")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+            // each projection materializes the previous stage's array
+            // so the next HOF reads an attribute (shingles3FromTokens
+            // perf note), never a re-evaluated expression
+            val sigs = src
+              .select(col("doc_id"),
+                TextFunctions.tokens(col("text")).as("toks"))
+              .select(col("doc_id"), array_distinct(
+                TextFunctions.shingles3FromTokens(col("toks"))).as("shs"))
+              .select(col("doc_id"), transform(col("shs"),
+                s => TextFunctions.tokenHash(s)).as("ths"))
+              .select(col("doc_id") +:
+                SketchFunctions.rowSignature(col("ths")): _*)
+              .as[DocSig]
+            val dd = VersionedStreamDedup.latestPerKeyId[DocSig](
+              sigs, _.doc_id.toString, _.doc_id.toString, _ => 0L)
+            val q = dd.toDF().writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("key"))
+            raw
+              .withColumn("max_seq", max(col("seq")).over(wMax))
+              .filter(col("seq") === col("max_seq"))
+              .select(explode(col("xs")).as("x"))
+              .select(col("x.doc_id").as("doc_id") +:
+                (0 to 7).map(i => col(s"x.h$i").as(s"h$i")): _*)
+              .orderBy(col("doc_id"))
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(DedupOps.minhashSigOracleSql)),
+
+    // INCREMENTAL LSH CANDIDATE PAIRS — the banding half on top of
+    // s21's signatures, completing the streaming near-dup pipeline:
+    // each arriving document's signature is banded scan-locally and
+    // upserted into BUCKET-keyed state ((band index, band value) →
+    // member doc ids via VersionedStreamDedup), so a new document
+    // joins exactly the buckets its bands hash to — candidate
+    // generation stays an equi-join on buckets, never all-pairs, and
+    // the converged buckets reproduce the batch dedup_minhash_pairs
+    // answer (shared-band pair counts). At 100 TB the pair projection
+    // runs per-bucket off this state; only (bucket, doc_id) rows are
+    // ever stateful.
+    Entry("s24_stream_lsh_pairs",
+      (spark, dir) => { import spark.implicits._
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_")
+          val log = tmp.resolve("log")
+          val ckpt = tmp.resolve("ckpt")
+          try {
+            val in = sharedChunkDir(dir, "doctext", "documents") { p =>
+              Registry.table(spark, dir, "documents")
+                .select(col("doc_id"), col("text"))
+                .repartitionByRange(chunks, col("doc_id"))
+                .write.parquet(p.toString)
+            }
+            val src = spark.readStream.schema("doc_id BIGINT, text STRING")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+            val bandStructs = (0 until SketchFunctions.numBands).map { j =>
+              struct(lit(j).as("bi"),
+                concat_ws("_", col(s"h${2 * j}"), col(s"h${2 * j + 1}"))
+                  .as("bv"))
+            }
+            val bandRows = src
+              .select(col("doc_id"),
+                TextFunctions.tokens(col("text")).as("toks"))
+              .select(col("doc_id"), array_distinct(
+                TextFunctions.shingles3FromTokens(col("toks"))).as("shs"))
+              .select(col("doc_id"), transform(col("shs"),
+                s => TextFunctions.tokenHash(s)).as("ths"))
+              .select(col("doc_id") +:
+                SketchFunctions.rowSignature(col("ths")): _*)
+              .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+              .select(col("b.bi").as("bi"), col("b.bv").as("bv"),
+                col("doc_id"))
+              .as[BandRow]
+            val dd = VersionedStreamDedup.latestPerKeyId[BandRow](
+              bandRows, r => r.bi + "|" + r.bv, _.doc_id.toString, _ => 0L)
+            val q = dd.toDF().writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("key"))
+            val members = raw
+              .withColumn("max_seq", max(col("seq")).over(wMax))
+              .filter(col("seq") === col("max_seq"))
+              .select(col("key"), explode(col("xs")).as("x"))
+              .select(col("key"), col("x.doc_id").as("doc_id"))
+            members.as("a")
+              .join(members.as("b"), col("a.key") === col("b.key") &&
+                col("a.doc_id") < col("b.doc_id"))
+              .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+              .agg(count(lit(1)).as("n_bands"))
+              .orderBy(col("d1"), col("d2"))
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(DedupOps.minhashPairsOracleSql)),
+
+    // INCREMENTAL SEMANTIC DEDUP (streaming SemDeDup) — the admission
+    // pipeline a training-data ingest runs: each arriving embedding is
+    // coarse-quantized (stage 1, the s25 stateless relay shape), then
+    // judged against its CELL's members only
+    // ([[graft.streaming.SemanticStreamDedup]]): admitted if no
+    // earlier-id near-duplicate exists in the cell, and RETRACTED
+    // (kept=false superseding the earlier kept=true, CDC-style) if an
+    // earlier-id near-dup arrives late — the batch rule is an
+    // order-independent EXISTS, so the converged decisions match the
+    // batch dedup_semantic kept set for ANY arrival order. Work per
+    // batch is O(new × cell members), never cross-cell; state is
+    // cell-partitioned. Converges to the same oracle as
+    // dedup_semantic.
+    Entry("s30_stream_semantic_dedup",
+      (spark, dir) => { import spark.implicits._
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_sem_")
+          val relay = tmp.resolve("relay")
+          val log = tmp.resolve("log")
+          val ckpt1 = tmp.resolve("ckpt1")
+          val ckpt2 = tmp.resolve("ckpt2")
+          try {
+            val in = sharedChunkDir(dir, "embvec", "embeddings") { p =>
+              VectorOps.embSlim(spark, dir)
+                .repartitionByRange(chunks, col("vec_id"))
+                .write.parquet(p.toString)
+            }
+            val cent = VectorOps.ivfSeedCentroids(spark, dir)
+              .localCheckpoint()
+            val q1 = spark.readStream
+              .schema("vec_id BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+              .writeStream.outputMode("append")
+              .option("checkpointLocation", ckpt1.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.crossJoin(broadcast(cent))
+                  .select(col("vec_id"), col("e"), col("nrm"),
+                    round(graft.functions.VectorFunctions.dot(
+                      col("e"), col("ce")) / (col("nrm") * col("cn")), 6)
+                      .as("csim"),
+                    col("cid"))
+                  .groupBy(col("vec_id"))
+                  .agg(max_by(col("cid"), struct(col("csim"), -col("cid")))
+                    .as("cell"),
+                    first(col("e")).as("e"), first(col("nrm")).as("nrm"))
+                  .write.mode("append").parquet(relay.toString)
+                ()
+              }.start()
+            java.nio.file.Files.createDirectories(relay)
+            val asgs = spark.readStream
+              .schema("vec_id BIGINT, cell BIGINT, e ARRAY<DOUBLE>, " +
+                "nrm DOUBLE")
+              .option("maxFilesPerTrigger", streamShufflePartitions.toString)
+              .option("pathGlobFilter", "part-*")
+              .parquet(relay.toString)
+              .as[graft.streaming.AssignedVec]
+            val dec = graft.streaming.SemanticStreamDedup.decisions(
+              asgs, VectorOps.nearDupThreshold)
+            val q2 = dec.toDF().writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt2.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try {
+              q1.processAllAvailable()
+              q2.processAllAvailable()
+            } finally {
+              try q1.stop() finally q2.stop()
+            }
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("vec_id"))
+            raw
+              .withColumn("max_seq", max(col("seq")).over(wMax))
+              .filter(col("seq") === col("max_seq") && col("kept"))
+              .select(col("vec_id"), col("cell"))
+              .orderBy(col("vec_id"))
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(VectorOps.semanticKeptOracleSql)),
+
+    // THE STREAMING CURATION PIPELINE — pipe_curation's incremental
+    // half: documents arrive as a stream, embeddings join in as the
+    // STATIC side (computed upstream, the realistic shape), and the
+    // admission manifest converges over three queries:
+    //   q1 (stateless per batch): quality gate + content fingerprint +
+    //      split bucket + id-keyed static join to (cell, e, nrm),
+    //      relayed as slim rows;
+    //   q2 (stateful, keyed by fingerprint): exact-dup admission —
+    //      [[graft.streaming.SemanticStreamDedup]] at threshold −1,
+    //      where EVERY same-key pair is a duplicate, degenerates to
+    //      min-id-per-content admission with CDC retraction;
+    //   q3 (stateful, keyed by cell): semantic admission, the s30 op.
+    // COMPOSITION CONTRACT: the two drop-lists are computed
+    // INDEPENDENTLY over the gated corpus and ANDed (parallel
+    // composition) — each stage stays a monotone order-independent
+    // EXISTS rule, so late arrivals can only retract, never revive,
+    // and the converged manifest is arrival-order-free. (pipe_curation
+    // is the sequential composition — semantic pairs among exact
+    // survivors; the two differ only when an exact-dropped doc is
+    // itself a semantic dropper, and each is checked against its own
+    // oracle.) At 100 TB: one stateless pass + two cell/fp-keyed
+    // decision states holding slim members, the relay an object-store
+    // prefix.
+    Entry("s32_stream_curation",
+      (spark, dir) => { import spark.implicits._
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_cur_")
+          val relay = tmp.resolve("relay")
+          val logE = tmp.resolve("logE")
+          val logS = tmp.resolve("logS")
+          val ckpt1 = tmp.resolve("ckpt1")
+          val ckpt2 = tmp.resolve("ckpt2")
+          val ckpt3 = tmp.resolve("ckpt3")
+          try {
+            val in = sharedChunkDir(dir, "doctext", "documents") { p =>
+              Registry.table(spark, dir, "documents")
+                .select(col("doc_id"), col("text"))
+                .repartitionByRange(chunks, col("doc_id"))
+                .write.parquet(p.toString)
+            }
+            // the static sides, slim and materialized once
+            val emb = VectorOps.embSlim(spark, dir).localCheckpoint()
+            val asg = graft.core.VectorTools.assignCells(
+                emb.select(col("vec_id").as("id"), col("e")),
+                VectorOps.ivfSeedCentroids(spark, dir))
+              .select(col("id").as("vec_id"), col("cell"))
+              .localCheckpoint()
+            val docsMeta = Registry.table(spark, dir, "documents")
+              .select(col("doc_id").as("mid"), col("lang"),
+                TextFunctions.qualityScore(col("text")).as("quality"))
+              .localCheckpoint()
+            val q1 = spark.readStream
+              .schema("doc_id BIGINT, text STRING")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+              .writeStream.outputMode("append")
+              .option("checkpointLocation", ckpt1.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.select(col("doc_id"),
+                    TextFunctions.qualityScore(col("text")).as("quality"),
+                    TextFunctions.fingerprint64(col("text")).as("fp64"),
+                    TextFunctions.splitBucket(col("doc_id")).as("bucket"))
+                  .filter(col("quality") >= lit(0.6))
+                  .join(emb, col("vec_id") === col("doc_id"))
+                  .join(asg.withColumnRenamed("vec_id", "avid"),
+                    col("avid") === col("doc_id"))
+                  .select(col("doc_id"), col("bucket"), col("fp64"),
+                    col("cell"), col("e"), col("nrm"))
+                  .write.mode("append").parquet(relay.toString)
+                ()
+              }.start()
+            java.nio.file.Files.createDirectories(relay)
+            val relaySchema = "doc_id BIGINT, bucket BIGINT, " +
+              "fp64 BIGINT, cell BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE"
+            def tail(): DataFrame = spark.readStream.schema(relaySchema)
+              .option("maxFilesPerTrigger", streamShufflePartitions)
+              .option("pathGlobFilter", "part-*")
+              .parquet(relay.toString)
+            val exactIn = tail()
+              .select(col("doc_id").as("vec_id"),
+                col("fp64").as("cell"), col("e"), col("nrm"))
+              .as[graft.streaming.AssignedVec]
+            val q2 = graft.streaming.SemanticStreamDedup
+              .decisions(exactIn, -1.0)
+              .toDF().writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt2.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.repartition(1).write.mode("append").parquet(logE.toString)
+                ()
+              }.start()
+            val semIn = tail()
+              .select(col("doc_id").as("vec_id"), col("cell"),
+                col("e"), col("nrm"))
+              .as[graft.streaming.AssignedVec]
+            val q3 = graft.streaming.SemanticStreamDedup
+              .decisions(semIn, VectorOps.nearDupThreshold)
+              .toDF().writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt3.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.repartition(1).write.mode("append").parquet(logS.toString)
+                ()
+              }.start()
+            try {
+              q1.processAllAvailable()
+              q2.processAllAvailable()
+              q3.processAllAvailable()
+            } finally {
+              try q1.stop() finally { try q2.stop() finally q3.stop() }
+            }
+            def latestKept(log: java.nio.file.Path): DataFrame = {
+              val w = Window.partitionBy(col("vec_id"))
+              spark.read.parquet(log.toString)
+                .withColumn("mx", max(col("seq")).over(w))
+                .filter(col("seq") === col("mx") && col("kept"))
+                .select(col("vec_id"))
+            }
+            spark.read.parquet(relay.toString)
+              .select(col("doc_id"), col("bucket"), col("cell"))
+              .join(latestKept(logE)
+                .withColumnRenamed("vec_id", "ke"), col("ke") === col("doc_id"))
+              .join(latestKept(logS)
+                .withColumnRenamed("vec_id", "ks"), col("ks") === col("doc_id"))
+              .join(docsMeta, col("mid") === col("doc_id"))
+              .select(col("doc_id"), col("lang"),
+                TextFunctions.splitFromBucket(col("bucket")).as("split"),
+                col("quality"), col("cell"))
+              .orderBy(col("doc_id"))
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(s"""WITH g AS (SELECT doc_id, lang,
+        |    round(0.5 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |        / len(string_split(text, ' '))::DOUBLE)
+        |      + 0.5 * least(1.0, length(text)::DOUBLE / 200.0), 6) AS quality,
+        |    ${TextFunctions.fp64Sql("text")} AS fp64,
+        |    ${TextFunctions.splitBucketSql("doc_id")} AS bucket
+        |  FROM documents),
+        |gated AS (SELECT * FROM g WHERE quality >= 0.6),
+        |v AS (${VectorOps.embSql}),
+        |c AS (SELECT vec_id AS cid, e AS ce FROM v
+        |  WHERE vec_id < ${VectorOps.ivfCells}),
+        |s AS (SELECT v.vec_id, c.cid,
+        |    round(${VectorOps.cosSql("v.e", "c.ce")}, 6) AS csim
+        |  FROM v CROSS JOIN c),
+        |asg AS (SELECT vec_id, cid AS cell FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY csim DESC, cid) AS r FROM s) WHERE r = 1),
+        |drop_e AS (SELECT DISTINCT b.doc_id
+        |  FROM gated a JOIN gated b
+        |    ON a.fp64 = b.fp64 AND a.doc_id < b.doc_id),
+        |sv AS (SELECT gated.*, asg.cell FROM gated
+        |  JOIN asg ON asg.vec_id = gated.doc_id),
+        |drop_s AS (SELECT DISTINCT b.doc_id
+        |  FROM sv a JOIN sv b ON a.cell = b.cell AND a.doc_id < b.doc_id
+        |  JOIN v va ON va.vec_id = a.doc_id
+        |  JOIN v vb ON vb.vec_id = b.doc_id
+        |  WHERE round(${VectorOps.cosSql("va.e", "vb.e")}, 6)
+        |    >= ${VectorOps.nearDupThreshold})
+        |SELECT doc_id, lang,
+        |  ${TextFunctions.splitCaseSql("bucket")} AS split,
+        |  quality, cell
+        |FROM sv
+        |WHERE doc_id NOT IN (SELECT doc_id FROM drop_e)
+        |  AND doc_id NOT IN (SELECT doc_id FROM drop_s)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // INCREMENTAL EXACT-SUBSTRING DUPLICATION —
+    // dedup_substring_spans' stateful half over a growing corpus
+    // (completing the streaming dedup family alongside s19/s21/s24):
+    // each arriving document's 8-token windows are fingerprinted and
+    // counted scan-locally, then upserted into GRAM-keyed state
+    // (VersionedStreamDedup: gram → member docs with window counts —
+    // exactly the batch shuffle rows, never the text). A gram's df IS
+    // its converged member count, so duplicated-span status derives
+    // at read time: a later document repeating an earlier document's
+    // span flips that span duplicated for BOTH without any retraction
+    // machinery, because the per-doc rollup is a projection over
+    // converged state — arrival-order-free by construction. At 100 TB
+    // the rollup runs per gram partition off this state; only
+    // (gram, doc_id, cnt) rows are ever stateful.
+    Entry("s36_stream_substring_spans",
+      (spark, dir) => { import spark.implicits._
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_sub_")
+          val log = tmp.resolve("log")
+          val ckpt = tmp.resolve("ckpt")
+          try {
+            val in = sharedChunkDir(dir, "doctext", "documents") { p =>
+              Registry.table(spark, dir, "documents")
+                .select(col("doc_id"), col("text"))
+                .repartitionByRange(chunks, col("doc_id"))
+                .write.parquet(p.toString)
+            }
+            val src = spark.readStream.schema("doc_id BIGINT, text STRING")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+            val k = DedupOps.substringGramLen
+            // window fingerprints materialized as an attribute before
+            // the counting HOF reads it twice (shingles3FromTokens
+            // perf note); per-distinct-gram counts are scan-local
+            val gramRows = src
+              .select(col("doc_id"),
+                TextFunctions.tokens(col("text")).as("t"))
+              .filter(size(col("t")) >= k)
+              .select(col("doc_id"),
+                transform(sequence(lit(1), size(col("t")) - (k - 1)),
+                  i => md5(concat_ws(" ", slice(col("t"), i, lit(k)))))
+                  .as("gs"))
+              .select(col("doc_id"),
+                explode(transform(array_distinct(col("gs")), g =>
+                  struct(g.as("g"),
+                    size(filter(col("gs"), x => x === g)).cast("long")
+                      .as("cnt")))).as("gc"))
+              .select(col("gc.g").as("g"), col("doc_id"),
+                col("gc.cnt").as("cnt"))
+              .as[GramRow]
+            val dd = VersionedStreamDedup.latestPerKeyId[GramRow](
+              gramRows, _.g, _.doc_id.toString, _ => 0L)
+            val q = dd.toDF().writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("key"))
+            val members = raw
+              .withColumn("max_seq", max(col("seq")).over(wMax))
+              .filter(col("seq") === col("max_seq"))
+              .select(col("key"), explode(col("xs")).as("x"))
+              .select(col("key"), col("x.doc_id").as("doc_id"),
+                col("x.cnt").as("cnt"))
+            val df2 = members.groupBy(col("key"))
+              .agg(count(lit(1)).as("nd"))
+            members.join(df2, "key")
+              .groupBy(col("doc_id"))
+              .agg(sum(col("cnt")).as("n_grams"),
+                sum(when(col("nd") >= 2, col("cnt")).otherwise(0L))
+                  .as("dup_grams"))
+              .withColumn("dup_coverage",
+                round(col("dup_grams").cast("double") / col("n_grams"), 6))
+              .orderBy(col("doc_id"))
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(DedupOps.substringSpansOracleSql)),
+
+    // INCREMENTAL CDC CHUNK DEDUP — the multimodal storage-dedup
+    // pipeline's stateful half (m_chunk_cdc over a growing media
+    // lake): each arriving payload is content-defined-chunked
+    // scan-locally (the same Rabin-style boundary rule and codegen'd
+    // rolling hash as the batch row), its chunk-hash multiplicities
+    // counted per document, and the slim (chunk_md5, doc_id, cnt)
+    // rows upserted into CHUNK-keyed state. The converged sharing
+    // report (chunks held by >1 document — what a media lake
+    // single-instances) is a projection over that state, so it is
+    // arrival-order-free and converges to the batch m_chunk_cdc
+    // oracle. At 100 TB the state holds 16-byte hashes with counts,
+    // never payload bytes; an arriving near-duplicate video re-chunks
+    // only its edited neighborhood (the CDC property), so its
+    // unchanged chunks land on existing state keys.
+    Entry("s37_stream_cdc_chunk_dedup",
+      (spark, dir) => { import spark.implicits._
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_")
+          val log = tmp.resolve("log")
+          val ckpt = tmp.resolve("ckpt")
+          try {
+            val in = sharedChunkDir(dir, "doctext", "documents") { p =>
+              Registry.table(spark, dir, "documents")
+                .select(col("doc_id"), col("text"))
+                .repartitionByRange(chunks, col("doc_id"))
+                .write.parquet(p.toString)
+            }
+            val src = spark.readStream.schema("doc_id BIGINT, text STRING")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+            val chunkRows = cdcChunkCountRows(src).as[ChunkRow]
+            val dd = VersionedStreamDedup.latestPerKeyId[ChunkRow](
+              chunkRows, _.chunk_md5, _.doc_id.toString, _ => 0L)
+            val q = dd.toDF().writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("key"))
+            raw
+              .withColumn("max_seq", max(col("seq")).over(wMax))
+              .filter(col("seq") === col("max_seq"))
+              .select(col("key").as("chunk_md5"), explode(col("xs")).as("x"))
+              .groupBy(col("chunk_md5"))
+              .agg(sum(col("x.cnt")).as("n_chunks"),
+                count(lit(1)).as("n_docs"))
+              .filter(col("n_docs") > 1)
+              .orderBy(col("chunk_md5"))
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(MultimodalOps.cdcChunkOracleSql)),
+
+    // INCREMENTAL EXACT-SUBSTRING TRIM — dedup_substring_trim's
+    // streaming twin, completing the Lee et al. pipeline incrementally
+    // (s36 SCORES duplicated spans; this row CUTS them). Each arriving
+    // document's k-token windows are fingerprinted scan-locally and
+    // the per-gram window-start POSITIONS (not just counts — the trim
+    // needs to know where a duplicated span sits) are upserted into
+    // GRAM-keyed state. The removable-window rule — gram held by ≥2
+    // distinct docs, and this doc is not the lowest-id holder — is a
+    // pure function of the converged membership, so the trimmed corpus
+    // derives as a projection over final state with zero retraction
+    // machinery: a later doc repeating an earlier doc's span flips
+    // that span removable for the LATER doc only (the first holder
+    // keeps its copy), arrival-order-free by construction. The text
+    // re-enters only at the final projection, joined back from the
+    // static table by doc_id — state holds (gram, doc_id, positions)
+    // rows, never the corpus, exactly the s24 slim-state /
+    // re-fetch-payload-post-dedup pattern. Converges to the batch
+    // dedup_substring_trim oracle bit-for-bit.
+    Entry("s42_stream_substring_trim",
+      (spark, dir) => { import spark.implicits._
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_trim_")
+          val log = tmp.resolve("log")
+          val ckpt = tmp.resolve("ckpt")
+          try {
+            val in = sharedChunkDir(dir, "doctext", "documents") { p =>
+              Registry.table(spark, dir, "documents")
+                .select(col("doc_id"), col("text"))
+                .repartitionByRange(chunks, col("doc_id"))
+                .write.parquet(p.toString)
+            }
+            val src = spark.readStream.schema("doc_id BIGINT, text STRING")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+            val k = DedupOps.substringGramLen
+            // Per-distinct-gram position lists in ONE O(n log n) pass
+            // over the SORTED (gram, pos) pairs (the cdcChunkCountRows
+            // run-detection shape): run starts are where the gram
+            // changes, a run's positions slice out contiguously and
+            // ascending. Scan-local and LINEAR in document length —
+            // replaces the filter-per-distinct-gram extraction that
+            // rescanned the full window array once per distinct gram
+            // (O(|windows| × |distinct grams|), quadratic on a
+            // long-document ingest). Each staged array is a
+            // materialized column consumed by reference (the
+            // shingles3FromTokens inlining note).
+            val gramRows = src
+              .select(col("doc_id"),
+                TextFunctions.tokens(col("text")).as("t"))
+              .filter(size(col("t")) >= k)
+              .select(col("doc_id"),
+                transform(sequence(lit(1), size(col("t")) - (k - 1)),
+                  i => struct(
+                    md5(concat_ws(" ", slice(col("t"), i, lit(k)))).as("g"),
+                    i.cast("long").as("p"))).as("gp"))
+              .withColumn("sorted", array_sort(col("gp")))
+              .withColumn("starts",
+                filter(sequence(lit(1), size(col("sorted"))), i =>
+                  (i === 1) ||
+                    element_at(col("sorted"), i).getField("g") =!=
+                      element_at(col("sorted"), i - 1).getField("g")))
+              .select(col("doc_id"), explode(zip_with(
+                col("starts"),
+                concat(slice(col("starts"), lit(2), size(col("starts"))),
+                  array(size(col("sorted")) + 1)),
+                (s, nxt) => struct(
+                  element_at(col("sorted"), s).getField("g").as("g"),
+                  transform(sequence(s, nxt - 1), j =>
+                    element_at(col("sorted"), j).getField("p"))
+                    .as("ps")))).as("gp"))
+              .select(col("gp.g").as("g"), col("doc_id"),
+                col("gp.ps").as("ps"))
+              .as[GramPosRow]
+            val dd = VersionedStreamDedup.latestPerKeyId[GramPosRow](
+              gramRows, _.g, _.doc_id.toString, _ => 0L)
+            val q = dd.toDF().writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("key"))
+            val members = raw
+              .withColumn("max_seq", max(col("seq")).over(wMax))
+              .filter(col("seq") === col("max_seq"))
+              .select(col("key").as("g"), explode(col("xs")).as("x"))
+              .select(col("g"), col("x.doc_id").as("doc_id"),
+                col("x.ps").as("ps"))
+            val gstat = members.groupBy(col("g"))
+              .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("mind"))
+            val covered = members.join(gstat, "g")
+              .filter(col("nd") >= 2 && col("doc_id") > col("mind"))
+              .select(col("doc_id"), explode(col("ps")).as("i"))
+              .select(col("doc_id"),
+                explode(sequence(col("i"), col("i") + (k - 1))).as("p"))
+              .groupBy(col("doc_id"))
+              .agg(collect_set(col("p")).as("cov"))
+            val toks = Registry.table(spark, dir, "documents")
+              .select(col("doc_id"),
+                TextFunctions.tokens(col("text")).as("t"))
+            toks.join(covered, Seq("doc_id"), "left")
+              .select(col("doc_id"), col("t"),
+                coalesce(col("cov"), array().cast("array<long>")).as("cov"))
+              .select(col("doc_id"),
+                size(col("t")).cast("long").as("n_tokens"),
+                filter(col("t"), (_, idx) =>
+                  !array_contains(col("cov"), idx.cast("long") + 1L))
+                  .as("kept"))
+              .select(col("doc_id"), col("n_tokens"),
+                size(col("kept")).cast("long").as("n_kept"),
+                concat_ws(" ", col("kept")).as("trimmed_text"))
+              .orderBy(col("doc_id"))
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(DedupOps.substringTrimOracleSql)),
+
+    // STREAMING CONNECTED COMPONENTS — the dedup graph maintained
+    // incrementally, closing the one dedup-family member without a
+    // streamed twin: near-dup candidate edges arrive in chunks and
+    // merge into a label FOREST (doc → component) held as the state
+    // table — incremental union-find semantics, distributed. Each
+    // microbatch contracts (current star edges ∪ new edges) back to a
+    // star forest via the same min-label propagation the batch row
+    // runs (GraphTools.connectedComponents); because the carried
+    // stars are depth-1, the per-batch round count is bounded by the
+    // NEW edges' diameter after contraction, not the accumulated
+    // graph's — the streaming analog of path compression. The union
+    // of connectivity is order-insensitive and the fixpoint (min
+    // reachable id) unique, so arrival order cannot change the
+    // result; the converged labels serve the exact batch kept-corpus
+    // tail, hash-matching the dedup_canonical oracle. At 100 TB the
+    // state is two longs per clustered doc (docs with no near-dup
+    // never enter it) and per-batch work is proportional to touched
+    // components — in COMPUTE (only touched components re-contract)
+    // AND in WRITE (the snapshot is label-bucketed; only touched
+    // buckets are rewritten, untouched buckets carry over as
+    // hardlinks). The forest is RESTART-SAFE: each batch commits an
+    // atomically-renamed _SUCCESS-gated snapshot (the compacted state
+    // table a production deployment keeps in Delta) and recovery
+    // seeds the fold from the latest committed one —
+    // StreamCcRecoverySpec drives stop/restart, the partial-write
+    // fallback, and the untouched-bucket byte-identity.
+    Entry("s62_stream_dedup_clusters",
+      (spark, dir) => withStreamConf(spark) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_cc_")
+        val ckpt = tmp.resolve("ckpt")
+        val state = tmp.resolve("state")
+        try {
+          val in = sharedChunkDir(dir, "duppairs", "documents") { p =>
+            DedupOps.jaccardPairs(spark, dir)
+              .select(col("d1"), col("d2"))
+              .repartitionByRange(chunks, col("d1"))
+              .write.parquet(p.toString)
+          }
+          val q = incrementalCcQuery(spark, in.toString,
+            ckpt.toString, state.toString)
+          try q.processAllAvailable() finally q.stop()
+          DedupOps.canonicalFrom(spark, dir,
+              loadStarForest(spark, state.toString)
+                .select(col("d1").as("doc_id"), col("d2").as("cluster_id")))
+            .localCheckpoint()
+        } finally deleteRecursively(tmp)
+      },
+      Some(DedupOps.canonicalOracleSql)),
+  )
+
+
+  /** s37's scan-local stage: content-defined-chunk each document and
+    * count per-doc chunk-hash multiplicities in ONE pass over the
+    * SORTED hash array — run starts are the positions where the value
+    * changes, run length = distance to the next start (O(n log n) per
+    * document vs the O(distinct·n) filter-per-distinct-hash form it
+    * replaces). `sorted` and `starts` are materialized columns (each
+    * referenced more than once) so Catalyst keeps the staging
+    * projections — the RegistrySpec rolling-hash plan guard pins this
+    * batch-side. Emits slim (chunk_md5, doc_id, cnt) rows. */
+  private[graft] def cdcChunkCountRows(docs: DataFrame): DataFrame =
+    graft.multimodal.MultimodalPipeline
+      .cdcChunkMd5s(docs, col("text"), window = 16, divisor = 32)
+      .withColumn("sorted", array_sort(col("chs")))
+      .withColumn("starts",
+        filter(sequence(lit(1), size(col("sorted"))), i =>
+          (i === 1) ||
+            element_at(col("sorted"), i) =!=
+              element_at(col("sorted"), i - 1)))
+      .select(col("doc_id"), explode(zip_with(
+        col("starts"),
+        concat(slice(col("starts"), lit(2), size(col("starts"))),
+          array(size(col("sorted")) + 1)),
+        (s, nxt) => struct(
+          element_at(col("sorted"), s).as("h"),
+          (nxt - s).cast("long").as("cnt")))).as("hc"))
+      .select(col("hc.h").as("chunk_md5"), col("doc_id"),
+        col("hc.cnt").as("cnt"))
+
+  /** Bucket count of the star-forest snapshot layout: component labels
+    * hash into `pmod(label, ccForestBuckets)` directory partitions so a
+    * microbatch REWRITES ONLY the buckets whose components it touched
+    * (all rows of a component share its label, hence its bucket). 16 is
+    * sized to the test corpus; at 100 TB this is thousands — the knob
+    * trades per-bucket file size against rewrite amplification from
+    * untouched components sharing a touched bucket. Must stay stable
+    * across restarts: it is baked into the committed snapshot layout. */
+  private[graft] val ccForestBuckets = 16
+
+  /** Immediate children of `root`, with the listing stream CLOSED
+    * (an unclosed Files.list leaks a directory fd per call — this is
+    * invoked every microbatch of the s62 stream). */
+  private[graft] def listDir(root: java.nio.file.Path): Seq[java.nio.file.Path] =
+    if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(root)
+      try s.iterator().asScala.toVector finally s.close()
+    }
+
+  private[graft] def isSnapshotName(n: String): Boolean =
+    n.length > 1 && n.startsWith("b") && n.drop(1).forall(_.isDigit)
+
+  /** The latest COMMITTED star-forest snapshot dir under `stateDir`
+    * (highest b<bid> carrying a _SUCCESS marker), if any. Partial
+    * writes — `.stage_b*` dirs or a b<bid> without the marker — are
+    * never selected, so recovery always seeds from a complete forest. */
+  private[graft] def latestCommittedForest(
+      stateDir: String): Option[java.nio.file.Path] =
+    listDir(java.nio.file.Paths.get(stateDir))
+      .filter { p =>
+        isSnapshotName(p.getFileName.toString) &&
+          java.nio.file.Files.exists(p.resolve("_SUCCESS"))
+      }
+      .sortBy(_.getFileName.toString.drop(1).toLong).lastOption
+
+  /** The committed snapshot's label-bucketed forest with its `bucket`
+    * partition column (for partition-pruned touched-bucket reads), or
+    * None when no committed snapshot with data exists. */
+  private[graft] def loadBucketedForest(spark: SparkSession,
+                                 stateDir: String): Option[DataFrame] =
+    latestCommittedForest(stateDir)
+      .filter(p => listDir(p)
+        .exists(_.getFileName.toString.startsWith("bucket=")))
+      .map(p => spark.read.parquet(p.toString))
+
+  /** The latest committed star forest as (d1 = doc, d2 = component
+    * label), or the empty forest. */
+  private[graft] def loadStarForest(spark: SparkSession,
+                                    stateDir: String): DataFrame =
+    loadBucketedForest(spark, stateDir)
+      .map(_.select(col("d1"), col("d2")))
+      .getOrElse(spark.range(0)
+        .select(col("id").as("d1"), col("id").as("d2")))
+
+  /** s62's incremental connected-components engine, RESTART-SAFE and
+    * TOUCHED-BUCKET INCREMENTAL: edges stream from `edgesDir`; each
+    * microbatch re-contracts ONLY the components its edges touch (via
+    * the batch min-label propagation) and commits a label-bucketed
+    * parquet snapshot under `stateDir/b<bid>` in which only touched
+    * buckets are rewritten — untouched buckets are HARDLINKED from the
+    * previous committed snapshot, so their files are byte-identical
+    * (same inodes) and per-batch write work is proportional to touched
+    * components, not accumulated state. (Hardlinks are the local-FS
+    * analog of a Delta/manifest commit that references unchanged files;
+    * a production deployment keeps this table in Delta and this commit
+    * step IS that transaction.) The snapshot is assembled in a
+    * `.stage_b<bid>` sibling and atomically renamed into place with its
+    * _SUCCESS marker inside, so recovery (latest b<bid> WITH _SUCCESS)
+    * can never observe a partial multi-bucket write. On restart the
+    * latest committed forest seeds the fold — driver loss cannot lose
+    * accumulated connectivity — and a foreachBatch re-delivery of an
+    * already-committed bid is detected by its marker and skipped
+    * (connectivity union is idempotent anyway; the skip just avoids
+    * the rewrite). StreamCcRecoverySpec drives stop/restart, the
+    * partial-write fallback, and the untouched-bucket byte-identity. */
+  private[graft] def incrementalCcQuery(spark: SparkSession,
+      edgesDir: String, ckpt: String, stateDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema("d1 BIGINT, d2 BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "part-*")
+      .parquet(edgesDir)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        applyCcBatch(df.sparkSession, df, bid, stateDir)
+        ()
+      }.start()
+
+  /** One microbatch of the incremental CC engine (see
+    * [[incrementalCcQuery]]). The only driver-resident values are the
+    * touched BUCKET ids (≤ 2·ccForestBuckets ints after distinct —
+    * bounded by the layout constant, never by data). */
+  private[graft] def applyCcBatch(spark: SparkSession, newEdges: DataFrame,
+                                  bid: Long, stateDir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = Paths.get(stateDir)
+    Files.createDirectories(root)
+    val bdir = root.resolve(s"b$bid")
+    // exactly-once: a committed b<bid> already contains this batch's
+    // edges (the marker is written before the checkpoint advances), so
+    // a post-crash re-delivery only needs to re-prune
+    if (Files.exists(bdir.resolve("_SUCCESS"))) {
+      pruneStarForest(stateDir, bid); return
+    }
+    val bucketOf = pmod(col("d2"), lit(ccForestBuckets.toLong)).cast("int")
+    val forest = loadBucketedForest(spark, stateDir) // (d1, d2, bucket)
+    val edges = newEdges.select(col("d1"), col("d2")).localCheckpoint()
+    // current labels of the batch's endpoints: a broadcast-hash probe of
+    // the forest (no state shuffle; one scan — a production Delta table
+    // would add a doc-keyed secondary index / file-level bloom to prune
+    // this lookup too). Endpoints per batch are small by construction.
+    val endpoints = edges.select(col("d1").as("ep"))
+      .unionAll(edges.select(col("d2").as("ep"))).distinct()
+    val touchedLabels = forest match {
+      case Some(f) => f.join(broadcast(endpoints), f("d1") === col("ep"))
+        .select(f("d2").as("lab")).distinct().localCheckpoint()
+      case None => spark.range(0).select(col("id").as("lab"))
+    }
+    val labelBuckets = touchedLabels
+      .select(pmod(col("lab"), lit(ccForestBuckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    // rows of the touched components only — partition-pruned to their
+    // label buckets, then semi-joined on the (small) touched label set
+    val touchedRows = forest match {
+      case Some(f) => f
+        .filter(col("bucket").isin(labelBuckets.toSeq: _*))
+        .join(broadcast(touchedLabels), col("d2") === col("lab"), "left_semi")
+        .select(col("d1"), col("d2"))
+      case None => spark.range(0)
+        .select(col("id").as("d1"), col("id").as("d2"))
+    }
+    // contract (new edges ∪ touched stars) back to depth-1 stars: the
+    // carried rows are depth-1, so rounds track the NEW edges'
+    // post-contraction diameter, not the accumulated graph's.
+    // connectedComponents materializes eagerly (localCheckpoint), so
+    // every read of the old snapshot completes before any mutation.
+    val newStars = graft.core.GraphTools
+      .connectedComponents(edges.unionAll(touchedRows), "d1", "d2")
+      .select(col("id").as("d1"), col("component").as("d2"))
+      .localCheckpoint()
+    val starBuckets = newStars.select(bucketOf.as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val touched = labelBuckets ++ starBuckets
+    // stage the new snapshot: touched buckets = survivors (rows of
+    // UNtouched components that share a touched bucket) + the new stars
+    val stage = root.resolve(s".stage_b$bid")
+    if (Files.exists(stage)) deleteRecursively(stage)
+    val survivors = forest match {
+      case Some(f) => f
+        .filter(col("bucket").isin(touched.toSeq: _*))
+        .join(broadcast(touchedLabels), col("d2") === col("lab"), "left_anti")
+        .select(col("d1"), col("d2"))
+      case None => spark.range(0)
+        .select(col("id").as("d1"), col("id").as("d2"))
+    }
+    survivors.unionAll(newStars)
+      .withColumn("bucket", bucketOf)
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(stage.toString)
+    // untouched buckets carry over as hardlinks from the previous
+    // committed snapshot (same inode — zero copy, byte-identical)
+    latestCommittedForest(stateDir).foreach { prev =>
+      listDir(prev)
+        .filter(_.getFileName.toString.startsWith("bucket="))
+        .foreach { bk =>
+          val k = bk.getFileName.toString.stripPrefix("bucket=").toInt
+          if (!touched(k)) {
+            val dst = stage.resolve(bk.getFileName.toString)
+            Files.createDirectories(dst)
+            listDir(bk).filter(Files.isRegularFile(_)).foreach { f =>
+              Files.createLink(dst.resolve(f.getFileName.toString), f)
+            }
+          }
+        }
+    }
+    // commit: the marker rides INSIDE the staged dir (Spark's committer
+    // wrote it; create it defensively if not), and the rename is the
+    // atomic commit point — a crash anywhere before it leaves only a
+    // `.stage_*` dir that recovery ignores
+    if (!Files.exists(stage.resolve("_SUCCESS")))
+      Files.createFile(stage.resolve("_SUCCESS"))
+    if (Files.exists(bdir)) deleteRecursively(bdir) // uncommitted remnant
+    Files.move(stage, bdir, StandardCopyOption.ATOMIC_MOVE)
+    pruneStarForest(stateDir, bid)
+  }
+
+  /** Drop everything under `stateDir` except the just-committed
+    * b<keepBid> — superseded committed snapshots (their hardlinked
+    * inodes live on in the new snapshot), uncommitted b* remnants, and
+    * stale stage dirs. State stays one snapshot deep. */
+  private[graft] def pruneStarForest(stateDir: String, keepBid: Long): Unit =
+    listDir(java.nio.file.Paths.get(stateDir))
+      .filter { p =>
+        val n = p.getFileName.toString
+        (isSnapshotName(n) && n.drop(1).toLong != keepBid) ||
+          (n.startsWith(".stage_") && n != s".stage_b$keepBid")
+      }
+      .foreach(deleteRecursively)
+}

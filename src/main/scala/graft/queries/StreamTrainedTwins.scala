@@ -1,0 +1,369 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SketchFunctions, TextFunctions}
+import graft.streaming.{VersionedStreamDedup, VersionedStreamJoin}
+
+/** Trained-statistic twins: every statistic a training pipeline
+  * maintains (PCA moment matrix, hard-negative pool, BPE vocabulary,
+  * k-means sufficient statistics, and the full re-seeded Lloyd
+  * trajectory) kept current by streaming state and hash-matched
+  * against the batch training oracles. */
+private[graft] object StreamTrainedTwins {
+
+  import StreamingHarness._
+
+  def entries: Seq[Entry] = Seq(
+
+    // STREAMING PCA TRAINING — the moment matrix M = Σ x·xᵀ is a pure
+    // SUM, so Spark's native streaming aggregation maintains it with
+    // no custom state code at all (the mergeable-sketch argument,
+    // applied to a training statistic): arriving vectors grid and
+    // fan out scan-locally to their (i, j, xi·xj) outer-product
+    // cells, a groupBy(i, j) sum in update mode accumulates them —
+    // state is exactly the 64×64 matrix, independent of corpus size —
+    // and the CONVERGED matrix runs the identical power-iteration
+    // tail, hash-matching the batch v_pca_power3 oracle bit-for-bit.
+    // The third training primitive with a streamed twin (IVF index:
+    // s25/s44, PQ codes: s46, now the PCA direction); at 100 TB the
+    // training statistic updates incrementally while the corpus
+    // streams in, and the eigenvector re-derives from 32 KB whenever
+    // wanted.
+    Entry("s47_stream_pca_moment",
+      (spark, dir) => {
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_pcam_")
+          val log = tmp.resolve("log")
+          val ckpt = tmp.resolve("ckpt")
+          try {
+            val in = sharedChunkDir(dir, "embvec", "embeddings") { p =>
+              VectorOps.embSlim(spark, dir)
+                .repartitionByRange(chunks, col("vec_id"))
+                .write.parquet(p.toString)
+            }
+            val src = spark.readStream
+              .schema("vec_id BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+            val cells = src
+              .select(col("vec_id"), VectorOps.gridOf(col("e")).as("g"))
+              .select(col("vec_id"), col("g"),
+                posexplode(col("g")).as(Seq("i", "xi")))
+              .select(col("i"), col("xi"),
+                posexplode(col("g")).as(Seq("j", "xj")))
+              .groupBy(col("i"), col("j"))
+              .agg(sum(col("xi") * col("xj")).cast("long").as("m"))
+            val q = cells.writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: DataFrame, bid: Long) =>
+                df.withColumn("bid", lit(bid))
+                  .repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            // converged matrix = each cell's LAST emitted running sum
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("i"), col("j"))
+            val entries = raw
+              .withColumn("max_bid", max(col("bid")).over(wMax))
+              .filter(col("bid") === col("max_bid"))
+              .select(col("i"), col("j"), col("m"))
+            VectorOps.pcaPowerFromMoment(spark,
+                VectorOps.momentArrays(entries).localCheckpoint(), 3)
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(VectorOps.pcaPowerOracleSql(3))),
+
+    // STREAMED HARD-NEGATIVE MINING — the contrastive-training data
+    // loop served live: labeled vectors stream in and upsert into
+    // vec-keyed state (the s44 ingest shape widened by the class
+    // label — the one vector state that keeps full precision, because
+    // mining verifies exactly), and the converged corpus mines the
+    // standing query panel through the exact batch tail
+    // (label-mismatch predicate fused into the candidate join,
+    // map-side top-k, neighbor label re-fetched after the k-trim) —
+    // hash-matching the v_hard_negatives oracle. At 100 TB this is
+    // how a contrastive run keeps its negative pool current while the
+    // corpus grows: state holds vector+label per id, and each
+    // re-mine is the candidate-join read path against state that is
+    // already up to date.
+    Entry("s63_stream_hard_negatives",
+      (spark, dir) => { import spark.implicits._
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_hneg_")
+          val log = tmp.resolve("log")
+          val ckpt = tmp.resolve("ckpt")
+          try {
+            val in = sharedChunkDir(dir, "emblab", "embeddings") { p =>
+              VectorOps.embLabeled(spark, dir)
+                .repartitionByRange(chunks, col("vec_id"))
+                .write.parquet(p.toString)
+            }
+            val rows = spark.readStream
+              .schema("vec_id BIGINT, label INT, e ARRAY<DOUBLE>, nrm DOUBLE")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString).as[EmbLabRow]
+            val dd = VersionedStreamDedup.latestPerKeyId[EmbLabRow](
+              rows, _.vec_id.toString, _ => "v", _ => 0L)
+            // KEY-BUCKETED log write: unlike the ≤5-row convergence
+            // logs elsewhere (where repartition(1) is documented and
+            // fine), this log's rows carry full 64-dim vector payloads
+            // per upserted key — the payload, not the row count, is
+            // the per-batch cost, so the append is hash-bucketed by
+            // the upsert key across the stream's shuffle width instead
+            // of funneled through one task.
+            val q = dd.toDF().writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                df.repartition(streamShufflePartitions.toInt, col("key"))
+                  .write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("key"))
+            val corpus = raw
+              .withColumn("max_seq", max(col("seq")).over(wMax))
+              .filter(col("seq") === col("max_seq"))
+              .select(explode(col("xs")).as("x"))
+              .select(col("x.vec_id").as("vec_id"),
+                col("x.label").as("label"), col("x.e").as("e"),
+                col("x.nrm").as("nrm"))
+            VectorOps.hardNegativesFrom(corpus).localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(VectorOps.hardNegOracleSql)),
+
+    // STREAMED BPE TRAINING — the tokenizer-training statistic
+    // maintained incrementally: BPE's only corpus-wide input is the
+    // word-frequency table, a pure sum over scan-local pre-tokens
+    // (the s60 df-model shape — each document contributes its counts
+    // exactly once at ingest, no stateful dedup needed), so the
+    // native streaming groupBy-count IS the training-set state. The
+    // converged (w, cnt) vocabulary then drives the exact batch merge
+    // loop (vocab-sized pair-count rounds, 1-row broadcast
+    // merge-apply), hash-matching the t_bpe_train oracle's full merge
+    // trajectory. At 100 TB this is how a tokenizer retrains as the
+    // corpus grows: the corpus is never re-scanned — the merge rounds
+    // run over word-count state that is already current, orders of
+    // magnitude smaller than the text.
+    Entry("s64_stream_bpe_train",
+      (spark, dir) => {
+        withStreamConf(spark) {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_")
+          val log = tmp.resolve("log")
+          val ckpt = tmp.resolve("ckpt")
+          try {
+            val in = sharedChunkDir(dir, "doctext", "documents") { p =>
+              Registry.table(spark, dir, "documents")
+                .select(col("doc_id"), col("text"))
+                .repartitionByRange(chunks, col("doc_id"))
+                .write.parquet(p.toString)
+            }
+            val src = spark.readStream
+              .schema("doc_id BIGINT, text STRING")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "part-*")
+              .parquet(in.toString)
+            val counts = TextOps.bpePreTokens(src)
+              .groupBy(col("w"))
+              .agg(count(lit(1)).as("cnt"))
+            val q = counts.writeStream.outputMode("update")
+              .option("checkpointLocation", ckpt.toString)
+              .foreachBatch { (df: DataFrame, bid: Long) =>
+                df.withColumn("bid", lit(bid))
+                  .repartition(1).write.mode("append").parquet(log.toString)
+                ()
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+            // converged vocabulary = each word's LAST emitted count
+            val raw = spark.read.parquet(log.toString)
+            val wMax = Window.partitionBy(col("w"))
+            val converged = raw
+              .withColumn("max_bid", max(col("bid")).over(wMax))
+              .filter(col("bid") === col("max_bid"))
+              .select(col("w"), col("cnt"))
+            TextOps.bpeTrainFromCounts(spark, converged.localCheckpoint())
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
+        }
+      },
+      Some(TextOps.bpeTrainSharedOracleSql)),
+
+    // STREAMED K-MEANS SUFFICIENT STATISTICS — the last trained
+    // statistic without a streamed twin: Lloyd's M-step needs only
+    // per-(cell, dim) (Σv, n), a pure sum, so arriving vectors assign
+    // to the broadcast seed centroids SCAN-LOCALLY in their
+    // microbatch (the exact batch assignment — rounded cosine,
+    // lower-cid argmax) and fan out to slim (cell, pos, v) rows whose
+    // native streaming aggregation IS the training-set state
+    // (16 cells × 64 dims of (sum, count) regardless of corpus
+    // size — the s47 moment-matrix argument applied to k-means). The
+    // converged stats produce the round-1 centroids exactly as the
+    // batch updateCentroids does (round(Σv/n, 6) per component) and
+    // the final assignment hash-matches the v_kmeans_assign oracle.
+    // At 100 TB this is how an IVF index's centroids refresh while
+    // the corpus streams in: the M-step reads 1,024 stat rows that
+    // are already current, never the vectors.
+    Entry("s65_stream_kmeans_stats",
+      (spark, dir) => {
+        withStreamConf(spark) {
+          val in = kmeansIngestChunks(spark, dir)
+          val cent = VectorOps.ivfSeedCentroids(spark, dir)
+            .select(col("cid"), col("ce")).localCheckpoint()
+          // SERVE: the final assignment against the streamed-trained
+          // round-1 centroids (the batch v_kmeans_assign tail)
+          graft.core.VectorTools.assignCells(
+              VectorOps.embSlim(spark, dir)
+                .select(col("vec_id").as("id"), col("e")),
+              streamedLloydRound(spark, in, cent))
+            .select(col("id").as("vec_id"), col("cell"), col("csim"))
+            .orderBy(col("vec_id"))
+            .localCheckpoint()
+        }
+      },
+      Some(VectorOps.kmeansAssignOracleSql)),
+
+    // STREAMED FULL LLOYD TRAJECTORY — s65's sufficient-statistics
+    // pass RE-SEEDED per round (the s64 merge-round discipline applied
+    // to Lloyd): round r replays the embedding chunks through a fresh
+    // streaming pass whose scan-local assignment broadcasts round
+    // r-1's streamed-trained centroids, maintains the per-(cell, dim)
+    // (Σv, n) state, and hands its round(Σv/n, 6) centroids to round
+    // r+1. Three such passes reproduce the batch VectorTools.lloyd
+    // 3-round trajectory — including cross-round assignment migration
+    // and empty-cell dropout — and the final assignment hash-matches
+    // the v_kmeans_lloyd3 oracle. Unlike BPE (whose merge rounds run
+    // over vocab-sized state), Lloyd's round-r statistic depends on
+    // round r-1's model for EVERY vector, so a full re-scan per round
+    // is the honest cost — identical to batch Lloyd's; what streaming
+    // buys is that each pass is the live-ingest stat maintenance
+    // (1,024 (Σ, n) rows of state, never the vectors), so a centroid
+    // refresh never needs the corpus materialized as a batch table.
+    Entry("s66_stream_kmeans_lloyd3",
+      (spark, dir) => {
+        withStreamConf(spark) {
+          val in = kmeansIngestChunks(spark, dir)
+          var cent = VectorOps.ivfSeedCentroids(spark, dir)
+            .select(col("cid"), col("ce")).localCheckpoint()
+          for (_ <- 1 to 3)
+            cent = streamedLloydRound(spark, in, cent)
+          graft.core.VectorTools.assignCells(
+              VectorOps.embSlim(spark, dir)
+                .select(col("vec_id").as("id"), col("e")),
+              cent)
+            .select(col("id").as("vec_id"), col("cell"), col("csim"))
+            .orderBy(col("vec_id"))
+            .localCheckpoint()
+        }
+      },
+      Some(VectorOps.kmeansLloyd3OracleSql)),
+  )
+
+
+  /** The shared slim-embedding replay chunks for the streamed k-means
+    * rows (s65, s66). */
+  private[graft] def kmeansIngestChunks(spark: SparkSession,
+                                 dir: String): java.nio.file.Path =
+    sharedChunkDir(dir, "embvec", "embeddings") { p =>
+      VectorOps.embSlim(spark, dir)
+        .repartitionByRange(chunks, col("vec_id"))
+        .write.parquet(p.toString)
+    }
+
+  /** ONE streamed Lloyd round (shared by s65 and s66): replay the
+    * embedding chunks, assign each arriving vector to the broadcast
+    * `cent` table SCAN-LOCALLY in its microbatch (the exact batch
+    * assignment — rounded cosine, lower-cid argmax), fan out to slim
+    * (cell, pos, v) rows whose native streaming aggregation maintains
+    * the per-(cell, dim) (Σv, n) sufficient statistics — 16 cells ×
+    * 64 dims of state regardless of corpus size — and return the
+    * updated centroid table (cid, ce) via the batch updateCentroids
+    * arithmetic round(Σv/n, 6) over the converged sums. */
+  private[graft] def streamedLloydRound(spark: SparkSession,
+      in: java.nio.file.Path, cent: DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kmeans_")
+    val relay = tmp.resolve("relay")
+    val log = tmp.resolve("log")
+    val ckpt1 = tmp.resolve("ckpt1")
+    val ckpt2 = tmp.resolve("ckpt2")
+    try {
+      val q1 = spark.readStream
+        .schema("vec_id BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "part-*")
+        .parquet(in.toString)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt1.toString)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val b = df.select(col("vec_id").as("id"), col("e"))
+          graft.core.VectorTools.assignCells(b, cent)
+            .select(col("id"), col("cell"))
+            .join(b, "id")
+            .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
+            .write.mode("append").parquet(relay.toString)
+          ()
+        }.start()
+      java.nio.file.Files.createDirectories(relay)
+      val stats = spark.readStream
+        .schema("cell BIGINT, pos INT, v DOUBLE")
+        .option("maxFilesPerTrigger", streamShufflePartitions.toString)
+        .option("pathGlobFilter", "part-*")
+        .parquet(relay.toString)
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      val q2 = stats.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt2.toString)
+        .foreachBatch { (df: DataFrame, bid: Long) =>
+          df.withColumn("bid", lit(bid))
+            .repartition(1).write.mode("append").parquet(log.toString)
+          ()
+        }.start()
+      // Sequencing: q1.processAllAvailable() is a BARRIER — it returns
+      // only after every q1 microbatch has committed, i.e. after every
+      // relay part-file is fully written and visible (the NIO manager
+      // renames completed files into place; the directory listing is
+      // deterministic). Only then does q2.processAllAvailable() run,
+      // so q2's file source cannot list a half-written relay file or
+      // miss q1's last one. A refactor that overlaps the two calls
+      // (or swaps their order) silently breaks this.
+      try {
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+      } finally {
+        try q1.stop() finally q2.stop()
+      }
+      // converged stats → updated centroids (the batch updateCentroids
+      // arithmetic over maintained sums). Summation-order tolerance
+      // (the s47 moment-matrix argument): the streamed Σv accumulates
+      // in microbatch arrival order while the batch oracle's avg()
+      // sums in partition order, so the doubles can differ in the last
+      // ulps; round(·, 6) absorbs that except for a component sitting
+      // EXACTLY on a 6-decimal rounding boundary — measured green
+      // across all SFs (including three compounded rounds in s66), and
+      // were it ever to flake, the fix is an integer/fixed-point lane
+      // for the sums, not a wider round.
+      val raw = spark.read.parquet(log.toString)
+      val wMax = Window.partitionBy(col("cell"), col("pos"))
+      raw
+        .withColumn("max_bid", max(col("bid")).over(wMax))
+        .filter(col("bid") === col("max_bid"))
+        .select(col("cell"), col("pos"),
+          round(col("s") / col("n"), 6).as("c"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+          .as("pc"))
+        .select(col("cell").as("cid"),
+          expr("transform(pc, x -> x.c)").as("ce"))
+        .localCheckpoint() // materialize before tmp is deleted
+    } finally deleteRecursively(tmp)
+  }
+}

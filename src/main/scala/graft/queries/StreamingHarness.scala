@@ -1,0 +1,410 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SketchFunctions, TextFunctions}
+import graft.streaming.{VersionedStreamDedup, VersionedStreamJoin}
+
+/** Shared machinery of every streaming replay row: the synchronous
+  * file-source harnesses (chunked ingest dirs, shared immutable chunk
+  * cache, converged-log folds), the stream-tuned session conf (NIO
+  * checkpoint manager, replay-sized shuffle width), and the
+  * watermark/append replay with its sentinel flush. Every temp-dir
+  * lifecycle helper lives here so the per-family files hold only
+  * query logic. */
+private[graft] object StreamingHarness {
+
+
+  private[graft] val chunks = 8
+
+  /** State-store parallelism for the replay runs. Each microbatch
+    * writes one checkpoint delta file per state partition, and on a
+    * local filesystem without native Hadoop libs every file costs an
+    * exec'd `chmod` (measured: the dominant cost of these queries).
+    * 8 partitions is ample for ~150 join keys; a real cluster against
+    * object storage would size this to executor count instead. */
+  private[graft] val streamShufflePartitions = "8"
+
+  private[graft] def withStreamConf[T](spark: SparkSession)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
+    // All replay checkpoints live under the local /tmp dirs these
+    // harnesses create, so commit them through the fork-free NIO
+    // manager (see [[graft.streaming.NioCheckpointFileManager]]: the
+    // Hadoop local FS forks a `chmod` process per checkpoint file —
+    // measured ~1,600 forks for ONE stream-stream join replay, the
+    // dominant cost of the streaming suite).
+    val prevFm = spark.conf.getOption(
+      "spark.sql.streaming.checkpointFileManagerClass")
+    spark.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+      classOf[graft.streaming.NioCheckpointFileManager].getName)
+    // Spark 4.1 wraps the manager with checksum-sidecar generation by
+    // default, DOUBLING the per-commit file count. Corruption detection
+    // buys nothing for a throwaway local replay checkpoint (it exists
+    // for long-lived checkpoints on remote storage) — keep it off here.
+    val prevCk = spark.conf.getOption(
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled")
+    spark.conf.set(
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    try body finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      def restore(k: String, v: Option[String]): Unit = v match {
+        case Some(x) => spark.conf.set(k, x)
+        case None    => spark.conf.unset(k)
+      }
+      restore("spark.sql.streaming.checkpointFileManagerClass", prevFm)
+      restore("spark.sql.streaming.checkpoint.fileChecksum.enabled", prevCk)
+    }
+  }
+
+  /** Shared by every temp-dir harness below (deepest paths first). */
+  private[graft] def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(root).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  // -- shared immutable replay-ingest chunk dirs ----------------------
+  //
+  // Every streaming row replays a table as range-split parquet chunks.
+  // The chunk files are a pure function of (sf dir, projection, chunk
+  // count), so they are written ONCE into a shared immutable dir and
+  // reused by all replay rows — each row keeps its own checkpoint and
+  // sink-log dirs (the stateful parts), only the read-only ingest
+  // prefix is shared. Previously each of the 20 s-rows paid the
+  // repartition+write fixed cost (~the dominant non-state cost of the
+  // streaming suite). Publication is atomic (write to a pid-suffixed
+  // sibling, rename into place) so a concurrent second process either
+  // wins the rename or reuses the winner's dir; _SUCCESS (written by
+  // Spark's committer) marks completeness across JVM restarts.
+
+  private[graft] val sharedIngestRoot = java.nio.file.Paths
+    .get(sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_shared_ingest")
+
+  /** Content fingerprint of a source table file/dir: total byte size +
+    * newest mtime over its files. Part of the shared-ingest cache key so
+    * a driver-side testdata regeneration invalidates the cache instead
+    * of silently replaying stale chunks into the streaming rows (the
+    * events regeneration between r07 and r08 made this a live hazard:
+    * the oracle reads fresh parquet while a keyed-on-path cache would
+    * keep serving the old vintage). */
+  private[graft] def srcFingerprint(sfDir: String, srcTable: String): String = {
+    val p = java.nio.file.Paths.get(sfDir, srcTable + ".parquet")
+    if (!java.nio.file.Files.exists(p)) "absent"
+    else {
+      // digest over every file's (relative path, size, mtime): a
+      // regeneration that happens to preserve the TOTAL size and lands
+      // within the filesystem's mtime granularity must still change
+      // the key (the aggregate size+max-mtime form it replaces could
+      // silently replay stale chunks in exactly that case)
+      import scala.jdk.CollectionConverters._
+      val parts = {
+        val s = java.nio.file.Files.walk(p)
+        try s.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(f => p.relativize(f).toString + ":" +
+            java.nio.file.Files.size(f) + ":" +
+            java.nio.file.Files.getLastModifiedTime(f).toMillis)
+          .toSeq.sorted
+        finally s.close()
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      parts.foreach(x => md.update(x.getBytes("UTF-8")))
+      md.digest().map("%02x".format(_)).mkString.take(16)
+    }
+  }
+
+  private[graft] def sharedChunkDir(sfDir: String, name: String,
+      srcTable: String)(
+      write: java.nio.file.Path => Unit): java.nio.file.Path = synchronized {
+    val prefix = (sfDir + "_" + name + "_" + chunks + "_")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = prefix + srcFingerprint(sfDir, srcTable)
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val target = sharedIngestRoot.resolve(key)
+    // prune superseded cache dirs for the same (sfDir, name, chunks):
+    // a regenerated source changes the fingerprint suffix, and without
+    // this the stale chunk dirs accumulate under /tmp forever (in-
+    // flight ".tmp.<pid>" dirs of other processes are left alone)
+    if (java.nio.file.Files.isDirectory(sharedIngestRoot)) {
+      import scala.jdk.CollectionConverters._
+      val ls = java.nio.file.Files.list(sharedIngestRoot)
+      try ls.iterator().asScala
+        .filter { d =>
+          val n = d.getFileName.toString
+          n.startsWith(prefix) && n != key && !n.contains(".tmp.")
+        }.toSeq.foreach(deleteRecursively)
+      finally ls.close()
+    }
+    if (java.nio.file.Files.exists(target.resolve("_SUCCESS"))) target
+    else {
+      java.nio.file.Files.createDirectories(sharedIngestRoot)
+      val tmp = sharedIngestRoot.resolve(
+        key + ".tmp." + ProcessHandle.current().pid())
+      if (java.nio.file.Files.exists(tmp)) deleteRecursively(tmp)
+      write(tmp)
+      try java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileSystemException =>
+        deleteRecursively(tmp) // another process published first; reuse
+      }
+      target
+    }
+  }
+
+  /** The events table as `chunks` range-split replay files (the shape
+    * every events-replay row consumes; see [[evReplaySchema]]). */
+  private[graft] def sharedEventsChunks(spark: SparkSession,
+                                 dir: String): java.nio.file.Path =
+    sharedChunkDir(dir, "events", "events") { p =>
+      Registry.table(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("ts_us"), col("value"))
+        .repartitionByRange(chunks, col("event_id"))
+        .write.parquet(p.toString)
+    }
+
+  /** The chained-join tables (customer / orders / lineitem) as chunked
+    * replay dirs — shared by s11 and s22. `l_ver` packs (shipdate
+    * epoch-days, price cents) so its strict ordering equals the batch
+    * oracle's dedup (see [[LiRow]]). */
+  private[graft] def chainChunkDirs(spark: SparkSession, dir: String)
+      : (java.nio.file.Path, java.nio.file.Path, java.nio.file.Path) = {
+    val cust = sharedChunkDir(dir, "chain_cust", "customer") { p =>
+      Registry.table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+        .repartitionByRange(chunks, col("c_custkey"))
+        .write.parquet(p.toString)
+    }
+    // "_v2" = the +1 o_ver shift below: sharedChunkDir keys fingerprint
+    // the SOURCE data but not this derivation logic, so a
+    // schema/derivation change must still bump the name or a stale
+    // cache from an older build poisons the replay
+    val ord = sharedChunkDir(dir, "chain_ord_v2", "orders") { p =>
+      Registry.table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          // +1: versions must stay POSITIVE — o_orderkey 0 exists, and
+          // under s22's event-time TTL an epoch-zero version is dropped
+          // by the watermarked union (EventTimeZeroVersionSpec); a
+          // strictly monotone shift changes no dedup outcome
+          (col("o_orderkey") + lit(1)).as("o_ver"), col("o_totalprice"))
+        .repartitionByRange(chunks, col("o_orderkey"))
+        .write.parquet(p.toString)
+    }
+    val li = sharedChunkDir(dir, "chain_li", "lineitem") { p =>
+      Registry.table(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (expr("unix_date(cast(l_shipdate as date))") * lit(10000000000L)
+            + expr("cast(round(l_extendedprice * 100) as bigint)"))
+            .as("l_ver"),
+          col("l_extendedprice"))
+        .repartitionByRange(chunks, col("l_orderkey"))
+        .write.parquet(p.toString)
+    }
+    (cust, ord, li)
+  }
+
+  /** Schema of the range-split events replay files (runFileStream and
+    * s13 must agree — the same writer feeds both). */
+  private[graft] val evReplaySchema = "event_id BIGINT, user_id BIGINT, " +
+    "event_type STRING, ts_us BIGINT, value DOUBLE"
+
+  /** File-source streaming harness (the production shape — nothing is
+    * EVER driver-resident, sink included): the events table is
+    * range-split into `chunks` parquet files (a stand-in for a growing
+    * ingest directory — at 100 TB this is the object-store prefix new
+    * files land in), then readStream consumes one file per trigger
+    * through `build`, and every microbatch's emissions land in a
+    * parquet LOG via foreachBatch (append for update/append mode;
+    * overwrite for complete mode, where each trigger carries the full
+    * current answer). Raw update-mode emission volume (typically 5–10×
+    * the converged answer) therefore lives only in executor-written
+    * files, never in a driver-side memory sink. `finish` reduces the
+    * re-read log to the small converged answer (e.g. the max-seq
+    * filter), which is localCheckpointed so the temp log can be
+    * deleted. Arrival order varies with file mtimes, but versions are
+    * unique per (key, id) so converged state is order-independent. */
+  private[graft] def runFileStream(spark: SparkSession, dir: String,
+                            mode: String = "update")(
+      build: (() => org.apache.spark.sql.Dataset[Ev]) => DataFrame)(
+      finish: DataFrame => DataFrame): DataFrame =
+    withStreamConf(spark) {
+      import spark.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fs_")
+      val log = tmp.resolve("log")
+      val ckpt = tmp.resolve("ckpt")
+      try {
+        // read-only ingest chunks are shared across rows; checkpoint
+        // and sink log stay private to this row
+        val in = sharedEventsChunks(spark, dir)
+        def src = spark.readStream.schema(evReplaySchema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "part-*")
+          .parquet(in.toString).as[Ev]
+        val logMode = if (mode == "complete") "overwrite" else "append"
+        val q = build(() => src).writeStream
+          .outputMode(mode)
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            // Bound the log's file count: without this, every microbatch
+            // appends one file PER SHUFFLE PARTITION (32 × trigger count
+            // small files), and the converge-scan pays the open/footer
+            // tax per file. repartition — not coalesce — so the stateful
+            // stage keeps its full parallelism and only the (small)
+            // emission set funnels through the single write task; a
+            // production deployment sizes this to emission volume
+            // (one file per few hundred MB) rather than 1.
+            df.repartition(1).write.mode(logMode).parquet(log.toString)
+            ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+        // converge BEFORE materializing: only the small final answer is
+        // pinned (executor block manager, not driver), then the raw log
+        // — which carries every emission — can be deleted.
+        finish(spark.read.parquet(log.toString)).localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }
+
+  /** Converged view of a raw update-mode join sink: keep each key's
+    * rows from its highest emission seq, then project to the batch
+    * J1/J2 output shape (shared by s1, s4 and s5 — all must hash-match
+    * their batch oracles). */
+  private[graft] def convergedJ1(raw: DataFrame): DataFrame = {
+    val wMax = Window.partitionBy(col("key"))
+    raw
+      .withColumn("max_seq", max(col("seq")).over(wMax))
+      .filter(col("seq") === col("max_seq"))
+      .select(
+        col("key").cast("long").as("user_id"),
+        col("x.event_id").as("x_event_id"),
+        col("x.event_type").as("x_type"),
+        expr("timestamp_micros(x.ts_us)").as("x_ts"),
+        col("y.event_id").as("y_event_id"),
+        col("y.event_type").as("y_type"),
+        expr("timestamp_micros(y.ts_us)").as("y_ts"))
+      .orderBy(col("user_id"), asc_nulls_first("x_type"),
+        asc_nulls_first("y_type"))
+  }
+
+  private[graft] def isX(e: Ev): Boolean =
+    (e.event_type == "signup" || e.event_type == "error") && e.user_id % 3 != 0
+  private[graft] def isY(e: Ev): Boolean =
+    (e.event_type == "click" || e.event_type == "purchase" ||
+      e.event_type == "view") && e.user_id % 5 != 0
+
+  /** Watermark + append-mode replay harness with the sentinel flush
+    * (shared by s13 tumbling and s15 session windows): the events table
+    * is range-split into chunked ingest files, a sentinel event 40 days
+    * past max event time is appended as the LAST file (mtime-bumped so
+    * the source lists it last — were it processed early, its watermark
+    * would mark every later-arriving real event beyond-late), and the
+    * 35-day watermark delay EXCEEDS the corpus time span so no real
+    * window can close before the sentinel arrives, making file arrival
+    * order irrelevant (no late-drop risk). The sentinel's own window /
+    * session never closes, so it is never emitted. `agg` builds the
+    * watermarked windowed aggregation over the `ets`-stamped source;
+    * each closed window lands exactly once in a parquet FILE sink (a
+    * downstream consumer needs no upsert handling) and closed-window
+    * state is dropped. */
+  private[graft] def runAppendReplay(spark: SparkSession, dir: String,
+                              stableTarget: Int = 1)(
+      agg: (() => DataFrame) => DataFrame)(
+      finish: DataFrame => DataFrame): DataFrame = withStreamConf(spark) {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_app_")
+    val in = tmp.resolve("in"); val out = tmp.resolve("out")
+    val ckpt = tmp.resolve("ckpt")
+    try {
+      import spark.implicits._
+      // the immutable shared chunks, HARDLINKED into this row's private
+      // dir (the sentinel below must not pollute the shared prefix);
+      // links cost no copy and no re-write
+      java.nio.file.Files.createDirectories(in)
+      locally {
+        import scala.jdk.CollectionConverters._
+        val shared = sharedEventsChunks(spark, dir)
+        java.nio.file.Files.list(shared).iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .foreach { p =>
+            java.nio.file.Files.createLink(in.resolve(p.getFileName), p)
+          }
+      }
+      // sentinel bounds: one scalar row to the driver, not a data
+      // collect — read back from the narrow chunk files, not a second
+      // source scan. Fail fast if data growth ever breaks the
+      // delay-exceeds-span invariant.
+      val bounds = spark.read.parquet(in.toString)
+        .agg(min(col("ts_us")), max(col("ts_us"))).head()
+      val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
+      require(maxUs - minUs < 34L * 86400000000L,
+        s"events span ${(maxUs - minUs) / 86400000000L} days; " +
+          "raise the 35-day watermark or arrival order can drop rows")
+      import scala.jdk.CollectionConverters._
+      def parts() = java.nio.file.Files.list(in).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSet
+      val mainParts = parts()
+      // THREE sentinel rows, one per downstream filter shape: consumers
+      // prune their event types below the watermark operator (Catalyst
+      // pushes the filter through EventTimeWatermark), so a sentinel
+      // only advances a branch's watermark if it SURVIVES that branch's
+      // filter. The negative user ids ride the never-emitted trick
+      // (their windows / sessions / match-ranges never close before the
+      // stream ends) and differ so the sentinels cannot join each other.
+      Seq((-1L, -1L, "sentinel", maxUs + 40L * 86400000000L, 0.0),
+          (-2L, -1L, "signup", maxUs + 40L * 86400000000L, 0.0),
+          (-3L, -2L, "click", maxUs + 40L * 86400000000L, 0.0))
+        .toDF("event_id", "user_id", "event_type", "ts_us", "value")
+        .coalesce(1).write.mode("append").parquet(in.toString)
+      (parts() -- mainParts).foreach { p =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() + 60000L))
+      }
+      // a FACTORY so joins can open two independently-watermarked
+      // streams over the same replay dir (the sentinel advances both)
+      def src(): DataFrame = spark.readStream.schema(evReplaySchema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "part-*")
+        .parquet(in.toString)
+        .withColumn("ets", expr("timestamp_micros(ts_us)"))
+        .withWatermark("ets", "35 days")
+      val q = agg(() => src())
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        // the append emission happens in the no-data batch AFTER the
+        // sentinel advances the watermark (nothing at all is emitted
+        // before the sentinel); processAllAvailable can return before
+        // that batch commits, so poll until the sink exists, is
+        // non-empty, and has gone quiet
+        def sinkCount(): Long =
+          try spark.read.parquet(out.toString).count()
+          catch { case _: Exception => -1L } // sink not created yet
+        // `stableTarget` consecutive stable non-empty samples: the
+        // window rows land everything in the one post-sentinel batch
+        // (one stable pair suffices, the default), but an outer join
+        // emits matched rows across many batches and its null flush
+        // arrives in a LATER no-data batch — those rows demand a 2 s
+        // observed-quiet window so a lucky stable pair can never end
+        // the poll between the matched rows and the flush
+        var prev = -2L
+        var cur = sinkCount()
+        var stable = 0
+        var spins = 0
+        while ((stable < stableTarget || cur <= 0) && spins < 120) {
+          Thread.sleep(500)
+          prev = cur
+          cur = sinkCount()
+          stable = if (cur == prev && cur > 0) stable + 1 else 0
+          spins += 1
+        }
+      } finally q.stop()
+      finish(spark.read.parquet(out.toString))
+        .localCheckpoint() // materialize before the tmp dir is deleted
+    } finally deleteRecursively(tmp)
+  }
+}

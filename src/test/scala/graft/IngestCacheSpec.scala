@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import graft.queries.StreamingOps
+import graft.queries.StreamingHarness
 
 /** The shared-ingest chunk cache must be invalidated when the driver
   * regenerates a source table IN PLACE (same path, new data): the key
@@ -18,7 +18,7 @@ class IngestCacheSpec extends SparkTestBase {
     Files.write(src, "v1".getBytes)
     var writes = 0
     def publish() =
-      StreamingOps.sharedChunkDir(sf.toString, "cachespec_t", "t") { p =>
+      StreamingHarness.sharedChunkDir(sf.toString, "cachespec_t", "t") { p =>
         writes += 1
         Files.createDirectories(p)
         Files.createFile(p.resolve("_SUCCESS"))
@@ -49,10 +49,10 @@ class IngestCacheSpec extends SparkTestBase {
     val tdir = sf.resolve("t.parquet")
     Files.createDirectories(tdir)
     Files.write(tdir.resolve("part-0"), "aaaa".getBytes)
-    val fp1 = StreamingOps.srcFingerprint(sf.toString, "t")
+    val fp1 = StreamingHarness.srcFingerprint(sf.toString, "t")
     Files.write(tdir.resolve("part-1"), "bbbb".getBytes)
-    val fp2 = StreamingOps.srcFingerprint(sf.toString, "t")
+    val fp2 = StreamingHarness.srcFingerprint(sf.toString, "t")
     assert(fp1 != fp2, "adding a file under the table dir must change the fingerprint")
-    assert(StreamingOps.srcFingerprint(sf.toString, "missing") == "absent")
+    assert(StreamingHarness.srcFingerprint(sf.toString, "missing") == "absent")
   }
 }

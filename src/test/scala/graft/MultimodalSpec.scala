@@ -68,7 +68,7 @@ class MultimodalSpec extends SparkTestBase {
     val texts = Seq(1L -> (base + " " + base), 2L -> base,
       3L -> "short", 4L -> "")
     val df = texts.toDF("doc_id", "text")
-    val got = graft.queries.StreamingOps.cdcChunkCountRows(df)
+    val got = graft.queries.StreamDedupTwins.cdcChunkCountRows(df)
       .groupBy(col("doc_id"), col("chunk_md5"))
       .agg(sum(col("cnt")).as("cnt"))
     val want = MultimodalPipeline.cdcChunkHashes(df, col("text"),

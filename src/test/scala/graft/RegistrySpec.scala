@@ -342,7 +342,7 @@ class RegistrySpec extends SparkTestBase {
       "t_winnow_fingerprint" -> entryDf("t_winnow_fingerprint"),
       // s37's scan-local stage, built batch-side over the real scan
       // (a literal df would be constant-folded away)
-      "s37_cdc_scan_stage" -> graft.queries.StreamingOps.cdcChunkCountRows(
+      "s37_cdc_scan_stage" -> graft.queries.StreamDedupTwins.cdcChunkCountRows(
         Registry.table(spark, sfDir, "documents")
           .select(org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.col("text"))))

@@ -60,9 +60,9 @@ class StreamAnnRecoverySpec extends graft.SparkTestBase {
 
       val cent = VectorOps.ivfSeedCentroids(spark, sfDir).localCheckpoint()
       def runOnce(): Unit = {
-        val q1 = StreamingOps.startIvfAssignStream(
+        val q1 = StreamServingTwins.startIvfAssignStream(
           spark, in.toString, cent, ckpt1, relay)
-        val q2 = StreamingOps.startIvfMembershipStream(
+        val q2 = StreamServingTwins.startIvfMembershipStream(
           spark, relay, ckpt2, log)
         try {
           q1.processAllAvailable() // barrier: all relay files committed
@@ -75,7 +75,7 @@ class StreamAnnRecoverySpec extends graft.SparkTestBase {
       // ---- phase 1: half the corpus, then the "crash" (stop) ----
       arrive(firstHalf)
       runOnce()
-      val midCount = StreamingOps.convergedMembershipFrom(spark, log).count()
+      val midCount = StreamServingTwins.convergedMembershipFrom(spark, log).count()
       val total = VectorOps.embSlim(spark, sfDir).count()
       assert(midCount > 0 && midCount < total,
         s"phase 1 should hold a strict subset: $midCount of $total")
@@ -83,7 +83,7 @@ class StreamAnnRecoverySpec extends graft.SparkTestBase {
       // ---- phase 2: the rest arrives, NEW queries resume the ckpts ----
       arrive(secondHalf)
       runOnce()
-      val asg = StreamingOps.convergedMembershipFrom(spark, log)
+      val asg = StreamServingTwins.convergedMembershipFrom(spark, log)
         .localCheckpoint()
       assert(asg.count() == total,
         "restarted membership lost phase-1 vectors (state not recovered)")

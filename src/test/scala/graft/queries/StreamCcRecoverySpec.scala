@@ -53,7 +53,7 @@ class StreamCcRecoverySpec extends graft.SparkTestBase {
 
       def append(rows: (Long, Long)*): Unit =
         rows.toDF("d1", "d2").coalesce(1).write.mode("append").parquet(edges)
-      def committedSnap(): Path = StreamingOps.latestCommittedForest(state)
+      def committedSnap(): Path = StreamDedupTwins.latestCommittedForest(state)
         .getOrElse(fail("no committed snapshot"))
 
       // phase 1: two separate chains land before the "crash".
@@ -61,9 +61,9 @@ class StreamCcRecoverySpec extends graft.SparkTestBase {
       // (bucket 10) under pmod(label, 16).
       append((1L, 2L), (2L, 3L))
       append((10L, 11L), (11L, 12L))
-      val q1 = StreamingOps.incrementalCcQuery(spark, edges, ckpt, state)
+      val q1 = StreamDedupTwins.incrementalCcQuery(spark, edges, ckpt, state)
       try q1.processAllAvailable() finally q1.stop()
-      val mid = StreamingOps.loadStarForest(spark, state)
+      val mid = StreamDedupTwins.loadStarForest(spark, state)
         .as[(Long, Long)].collect().toMap
       assert(mid == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
         10L -> 10L, 11L -> 10L, 12L -> 10L),
@@ -74,9 +74,9 @@ class StreamCcRecoverySpec extends graft.SparkTestBase {
       // phase 2: restart; the new edge touches ONLY component 1, so
       // bucket 10 must carry over byte-identical (hardlink, no rewrite)
       append((1L, 4L))
-      val q2 = StreamingOps.incrementalCcQuery(spark, edges, ckpt, state)
+      val q2 = StreamDedupTwins.incrementalCcQuery(spark, edges, ckpt, state)
       try q2.processAllAvailable() finally q2.stop()
-      val grown = StreamingOps.loadStarForest(spark, state)
+      val grown = StreamDedupTwins.loadStarForest(spark, state)
         .as[(Long, Long)].collect().toMap
       assert(grown == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
         10L -> 10L, 11L -> 10L, 12L -> 10L),
@@ -93,7 +93,7 @@ class StreamCcRecoverySpec extends graft.SparkTestBase {
       Files.createDirectories(partial.resolve("bucket=10"))
       Files.write(partial.resolve("bucket=0").resolve("part-junk.parquet"),
         Array[Byte](1, 2, 3))
-      val fallback = StreamingOps.loadStarForest(spark, state)
+      val fallback = StreamDedupTwins.loadStarForest(spark, state)
         .as[(Long, Long)].collect().toMap
       assert(fallback == grown,
         s"partial uncommitted b999 leaked into recovery: $fallback")
@@ -102,9 +102,9 @@ class StreamCcRecoverySpec extends graft.SparkTestBase {
       // must MERGE the pre-restart components (provable only if the
       // persisted forest survived), plus a fresh component
       append((3L, 10L), (20L, 21L))
-      val q3 = StreamingOps.incrementalCcQuery(spark, edges, ckpt, state)
+      val q3 = StreamDedupTwins.incrementalCcQuery(spark, edges, ckpt, state)
       try q3.processAllAvailable() finally q3.stop()
-      val got = StreamingOps.loadStarForest(spark, state)
+      val got = StreamDedupTwins.loadStarForest(spark, state)
         .as[(Long, Long)].collect().toMap
       val oneShot = graft.core.GraphTools
         .connectedComponents(
