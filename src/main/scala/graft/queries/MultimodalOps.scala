@@ -499,6 +499,28 @@ object MultimodalOps {
         .orderBy(col("query_id"), col("rank")),
       Some(videoTopkOracleSql)),
 
+    // VIDEO × IVF COMPOSITION — the last lane of the modality × index
+    // matrix: the per-SCENE vectors behind ann_video_topk (shot-level
+    // retrieval items, ≤4 per asset) feed the exact embeddings IVF
+    // pipeline. At 100 TB this is the video lake's production layout:
+    // scene vectors partition by cell, a query touches nprobe
+    // partitions, and re-indexing after a segmentation change touches
+    // scene vectors only — never frames. Every modality (embeddings,
+    // image, audio, video) now serves through both the exact panel
+    // and the partitioned IVF index, each with a measured recall row.
+    Entry("ann_video_ivf_topk",
+      (spark, dir) => mediaIvfTopkFrom(videoSceneVectors(videoFrameStats(
+        Registry.table(spark, dir, "documents").select(col("doc_id"))))),
+      Some(videoIvfTopkOracleSql)),
+
+    // MEASURED RECALL OF THE VIDEO IVF RUNG — recall@5 of the
+    // IVF-probed scene index against the exact brute panel over the
+    // SAME scene vectors; retuning nprobe re-runs one query.
+    Entry("ann_video_ivf_recall",
+      (spark, dir) => ivfRecallFrom(videoSceneVectors(videoFrameStats(
+        Registry.table(spark, dir, "documents").select(col("doc_id"))))),
+      Some(videoIvfRecallOracleSql)),
+
     // MEDIA × IVF COMPOSITION — the hash-checked proof of the claim
     // the ANN family has documented all along: the rungs consume ANY
     // (id, vector) input unchanged. The pooled media features (real
@@ -891,6 +913,18 @@ object MultimodalOps {
     * frames per doc are (re-)rendered for pooling; segmentation
     * itself moves 3-sum stat rows, never pixels. */
   private[queries] def videoTopkFrom(stats: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    mediaTopkFrom(videoSceneVectors(stats))
+
+  /** The per-SCENE pooled feature table `(doc_id = doc·4+scene, f
+    * array<bigint>)` from a frame-stat table: scene-cut segmentation
+    * ([[sceneCutFrom]]) picks each scene's representative (first)
+    * frame, whose decoded pixels pool through the m_feature_pool grid.
+    * Only ≤4 representative frames per doc are (re-)rendered;
+    * segmentation itself moves 3-sum stat rows, never pixels. The
+    * video index items behind ann_video_topk and the IVF composition. */
+  private[queries] def videoSceneVectors(
+      stats: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val cuts = sceneCutFrom(stats)
       .select(col("doc_id"), col("frame_idx"), col("is_cut"))
@@ -904,17 +938,18 @@ object MultimodalOps {
         sum(coalesce(col("is_cut"), lit(0))).over(wCum))
     val rep = scenes.groupBy(col("doc_id"), col("scene"))
       .agg(min(col("frame_idx")).as("rf"))
-    val items = rep
+    rep
       .withColumn("payload",
         MultimodalPipeline.encodeBmp(col("doc_id") * 80 + col("rf") * 20))
       .select((col("doc_id") * 4 + col("scene")).as("doc_id"),
         MultimodalPipeline.poolBmp(col("payload"), 4, 4).as("f"))
-    mediaTopkFrom(items)
   }
 
-  /** Shared with StreamingOps (s58): the streamed frame-stat state
-    * must serve exactly this batch panel answer. */
-  private[queries] val videoTopkOracleSql: String =
+  /** Analytic replay of the scene-cut → representative-frame →
+    * pooled-scene-vector chain (the oracle twin of
+    * [[videoSceneVectors]]) — shared by the video brute/IVF oracles.
+    * Callers append a `v` CTE over `pc` then their tail. */
+  private lazy val videoSceneCtes: String =
     """WITH fr AS (SELECT doc_id, f, doc_id * 80 + f * 20 AS fid
       |  FROM documents, unnest(generate_series(0, 3)) t(f)),
       |px AS (SELECT doc_id, f,
@@ -945,23 +980,46 @@ object MultimodalOps {
       |  FROM rep r, unnest(generate_series(0, 3)) gx(x),
       |    unnest(generate_series(0, 4)) gy(y),
       |    unnest(generate_series(0, 2)) gc(c)
-      |  GROUP BY 1, 2, 3, 4),
-      |v AS (SELECT CAST(doc_id*4 + scene AS BIGINT) AS vid,
-      |    list(f::DOUBLE ORDER BY cell*3 + c) AS e
-      |  FROM pc GROUP BY doc_id, scene)
-      |SELECT q.vid AS query_id,
-      |  CAST(row_number() OVER (PARTITION BY q.vid
+      |  GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  /** The per-scene vector corpus as the oracles' `v` CTE — scene keys
+    * doc·4+scene, fixed cell*3+c component order. */
+  private lazy val videoVCteSql: String =
+    """v AS (SELECT CAST(doc_id*4 + scene AS BIGINT) AS vec_id,
+    |    list(f::DOUBLE ORDER BY cell*3 + c) AS e
+    |  FROM pc GROUP BY doc_id, scene),
+    |""".stripMargin
+
+  /** Shared with StreamingOps (s58): the streamed frame-stat state
+    * must serve exactly this batch panel answer. */
+  private[queries] lazy val videoTopkOracleSql: String =
+    videoSceneCtes + ",\n" + videoVCteSql.stripSuffix(",\n") +
+      s"""
+      |SELECT q.vec_id AS query_id,
+      |  CAST(row_number() OVER (PARTITION BY q.vec_id
       |    ORDER BY round(list_inner_product(q.e, n.e) /
       |      (sqrt(list_inner_product(q.e, q.e)) *
-      |       sqrt(list_inner_product(n.e, n.e))), 6) DESC, n.vid)
+      |       sqrt(list_inner_product(n.e, n.e))), 6) DESC, n.vec_id)
       |    AS INT) AS rank,
-      |  n.vid AS neighbor_id,
+      |  n.vec_id AS neighbor_id,
       |  round(list_inner_product(q.e, n.e) /
       |    (sqrt(list_inner_product(q.e, q.e)) *
       |     sqrt(list_inner_product(n.e, n.e))), 6) AS sim
-      |FROM v q JOIN v n ON q.vid < 8 AND q.vid <> n.vid
+      |FROM v q JOIN v n ON q.vec_id < 8 AND q.vec_id <> n.vec_id
       |QUALIFY rank <= 5
       |ORDER BY query_id, rank""".stripMargin
+
+  /** Oracle for ann_video_ivf_topk: the IVF chain over the per-scene
+    * vector corpus. */
+  private[queries] lazy val videoIvfTopkOracleSql: String =
+    videoSceneCtes + ",\n" + videoVCteSql +
+      VectorOps.ivfChainSql(8) + "\n" + ivfPanelTopkTailSql
+
+  /** Oracle for ann_video_ivf_recall: the recall fold over the same
+    * per-scene corpus. */
+  private[queries] lazy val videoIvfRecallOracleSql: String =
+    videoSceneCtes + ",\n" + videoVCteSql +
+      VectorOps.ivfChainSql(8) + ",\n" + ivfPanelRecallTailSql
 
   /** Shared with StreamingOps (s57): the streamed per-frame stat
     * state must reproduce exactly this batch cut report. */

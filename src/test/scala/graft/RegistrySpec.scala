@@ -39,6 +39,10 @@ class RegistrySpec extends SparkTestBase {
       // per-scene media vectors: the broadcast side is the ≤8-item
       // scene panel (docs 0–1), the corpus side per-scene vectors
       "ann_video_topk", "s58_stream_video_serving",
+      // video × IVF composition + its recall row: the 16-row scene-
+      // vector centroid broadcast (ivf) and the ≤8-item scene panel
+      // BNLJ (the recall row's exact side)
+      "ann_video_ivf_topk", "ann_video_ivf_recall",
       // the two-stage rung: the same panel BNLJ generates the binary
       // shortlist; the int8 rerank itself is id-keyed equi-joins
       "ann_hamming_rerank_topk", "ann_hamming_rerank_recall",
@@ -172,12 +176,14 @@ class RegistrySpec extends SparkTestBase {
     //   m_video_scene_cut: sum(diff) OVER builds the per-doc running
     //   mean consumed only by a comparison (cut decision), never
     //   projected;
-    //   ann_video_topk: sum(diff) OVER is the same comparison-only
+    //   ann_video_topk (and the IVF composition + recall over the
+    //   same scene CTEs): sum(diff) OVER is the same comparison-only
     //   bar, and sum(is_cut) OVER (the scene id) reaches the output
     //   only through CAST(doc_id*4 + scene AS BIGINT)
     val exempt = Set("q_session_window", "s12_stream_session_window",
       "s15_stream_session_append", "dedup_simhash", "m_video_scene_cut",
-      "ann_video_topk", "s58_stream_video_serving")
+      "ann_video_topk", "s58_stream_video_serving",
+      "ann_video_ivf_topk", "ann_video_ivf_recall")
     def floatish(arg: String): Boolean = {
       val a = arg.toLowerCase.replaceAll("'[^']*'", "''")
       floatCols.exists(c => s"(?s).*\\b$c\\b.*".r.matches(a)) ||
