@@ -279,51 +279,28 @@ private[graft] object StreamServingTwins {
     // proof; at 100 TB features stream into the index as clips land,
     // never a corpus-wide refeaturize.
     Entry("s52_stream_audio_features",
-      (spark, dir) => { import spark.implicits._
-        withStreamConf(spark) {
-          val tmp = java.nio.file.Files.createTempDirectory("graft_afeat_")
-          val log = tmp.resolve("log")
-          val ckpt = tmp.resolve("ckpt")
-          try {
-            val in = sharedChunkDir(dir, "docid", "documents") { p =>
-              Registry.table(spark, dir, "documents").select(col("doc_id"))
-                .repartitionByRange(chunks, col("doc_id"))
-                .write.parquet(p.toString)
-            }
-            val src = spark.readStream.schema("doc_id BIGINT")
-              .option("maxFilesPerTrigger", "1")
-              .option("pathGlobFilter", "part-*")
-              .parquet(in.toString)
-            val featRows = src
-              .withColumn("payload",
-                graft.multimodal.MultimodalPipeline.encodeWav(col("doc_id")))
-              .select(col("doc_id"),
-                graft.multimodal.MultimodalPipeline
-                  .poolWav(col("payload"), 16).as("f"))
-              .as[MediaFeatRow]
-            val dd = VersionedStreamDedup.latestPerKeyId[MediaFeatRow](
-              featRows, _.doc_id.toString, _ => "f", _ => 0L)
-            val q = dd.toDF().writeStream.outputMode("update")
-              .option("checkpointLocation", ckpt.toString)
-              .foreachBatch { (df: DataFrame, _: Long) =>
-                df.repartition(1).write.mode("append").parquet(log.toString)
-                ()
-              }.start()
-            try q.processAllAvailable() finally q.stop()
-            val raw = spark.read.parquet(log.toString)
-            val wMax = Window.partitionBy(col("key"))
-            val feats = raw
-              .withColumn("max_seq", max(col("seq")).over(wMax))
-              .filter(col("seq") === col("max_seq"))
-              .select(explode(col("xs")).as("x"))
-              .select(col("x.doc_id").as("doc_id"), col("x.f").as("f"))
-            MultimodalOps.mediaTopkFrom(feats)
-              .orderBy(col("query_id"), col("rank"))
-              .localCheckpoint()
-          } finally deleteRecursively(tmp)
-        }
+      (spark, dir) => runMediaFeatureStream(spark, dir, wavPooled) { feats =>
+        MultimodalOps.mediaTopkFrom(feats)
+          .orderBy(col("query_id"), col("rank"))
       },
       Some(MultimodalOps.audioTopkOracleSql)),
+
+    // STREAMED AUDIO-IVF SERVING — s52's live-ingest feature state put
+    // behind the production index layout (the s61 pattern for the
+    // second modality): the converged banded-energy features
+    // seed/assign/probe through the exact embeddings IVF pipeline,
+    // hash-matching the ann_audio_ivf_topk oracle. Every modality's
+    // IVF lane is now ALSO served from streamed state — the full
+    // modality × index × (batch|streamed) cube has no missing corner
+    // on the audio side. At 100 TB this is the audio lake's ingest
+    // story: clips featurize scan-locally as they land, state holds
+    // 32 longs per clip, and a query touches nprobe cell partitions
+    // of a corpus that was never batch-indexed.
+    Entry("s67_stream_audio_ivf",
+      (spark, dir) => runMediaFeatureStream(spark, dir, wavPooled) { feats =>
+        MultimodalOps.mediaIvfTopkFrom(feats)
+      },
+      Some(MultimodalOps.audioIvfTopkOracleSql)),
 
     // STREAMING 1-BIT INDEX SERVING — the maintenance→serving loop
     // closed for the THIRD and smallest codec (IVF+SQ8: s44, PQ: s46,
@@ -396,47 +373,8 @@ private[graft] object StreamServingTwins {
     // and cut reports re-derive from state as late frames of a video
     // arrive — never a re-decode of what's already ingested.
     Entry("s57_stream_scene_cut",
-      (spark, dir) => { import spark.implicits._
-        withStreamConf(spark) {
-          val tmp = java.nio.file.Files.createTempDirectory("graft_scut_")
-          val log = tmp.resolve("log")
-          val ckpt = tmp.resolve("ckpt")
-          try {
-            val in = sharedChunkDir(dir, "docid", "documents") { p =>
-              Registry.table(spark, dir, "documents").select(col("doc_id"))
-                .repartitionByRange(chunks, col("doc_id"))
-                .write.parquet(p.toString)
-            }
-            val src = spark.readStream.schema("doc_id BIGINT")
-              .option("maxFilesPerTrigger", "1")
-              .option("pathGlobFilter", "part-*")
-              .parquet(in.toString)
-            val statRows = MultimodalOps.videoFrameStats(src)
-              .as[FrameStatRow]
-            val dd = VersionedStreamDedup.latestPerKeyId[FrameStatRow](
-              statRows, _.doc_id.toString, _.frame_idx.toString, _ => 0L)
-            val q = dd.toDF().writeStream.outputMode("update")
-              .option("checkpointLocation", ckpt.toString)
-              .foreachBatch { (df: DataFrame, _: Long) =>
-                df.repartition(1).write.mode("append").parquet(log.toString)
-                ()
-              }.start()
-            try q.processAllAvailable() finally q.stop()
-            val raw = spark.read.parquet(log.toString)
-            val wMax = Window.partitionBy(col("key"))
-            val stats = raw
-              .withColumn("max_seq", max(col("seq")).over(wMax))
-              .filter(col("seq") === col("max_seq"))
-              .select(explode(col("xs")).as("x"))
-              .select(col("x.doc_id").as("doc_id"),
-                col("x.frame_idx").as("frame_idx"),
-                col("x.sum_r").as("sum_r"), col("x.sum_g").as("sum_g"),
-                col("x.sum_b").as("sum_b"))
-            MultimodalOps.sceneCutFrom(stats.localCheckpoint())
-              .localCheckpoint()
-          } finally deleteRecursively(tmp)
-        }
-      },
+      (spark, dir) => runFrameStatStream(spark, dir)(
+        MultimodalOps.sceneCutFrom),
       Some(MultimodalOps.sceneCutOracleSql)),
 
     // STREAMING VIDEO INDEX SERVING — the s50/s52 live-index proof
@@ -452,49 +390,28 @@ private[graft] object StreamServingTwins {
     // frame state (late frames re-segment their own doc only), and
     // the query panel is answered from the index while ingest runs.
     Entry("s58_stream_video_serving",
-      (spark, dir) => { import spark.implicits._
-        withStreamConf(spark) {
-          val tmp = java.nio.file.Files.createTempDirectory("graft_vserve_")
-          val log = tmp.resolve("log")
-          val ckpt = tmp.resolve("ckpt")
-          try {
-            val in = sharedChunkDir(dir, "docid", "documents") { p =>
-              Registry.table(spark, dir, "documents").select(col("doc_id"))
-                .repartitionByRange(chunks, col("doc_id"))
-                .write.parquet(p.toString)
-            }
-            val src = spark.readStream.schema("doc_id BIGINT")
-              .option("maxFilesPerTrigger", "1")
-              .option("pathGlobFilter", "part-*")
-              .parquet(in.toString)
-            val statRows = MultimodalOps.videoFrameStats(src)
-              .as[FrameStatRow]
-            val dd = VersionedStreamDedup.latestPerKeyId[FrameStatRow](
-              statRows, _.doc_id.toString, _.frame_idx.toString, _ => 0L)
-            val q = dd.toDF().writeStream.outputMode("update")
-              .option("checkpointLocation", ckpt.toString)
-              .foreachBatch { (df: DataFrame, _: Long) =>
-                df.repartition(1).write.mode("append").parquet(log.toString)
-                ()
-              }.start()
-            try q.processAllAvailable() finally q.stop()
-            val raw = spark.read.parquet(log.toString)
-            val wMax = Window.partitionBy(col("key"))
-            val stats = raw
-              .withColumn("max_seq", max(col("seq")).over(wMax))
-              .filter(col("seq") === col("max_seq"))
-              .select(explode(col("xs")).as("x"))
-              .select(col("x.doc_id").as("doc_id"),
-                col("x.frame_idx").as("frame_idx"),
-                col("x.sum_r").as("sum_r"), col("x.sum_g").as("sum_g"),
-                col("x.sum_b").as("sum_b"))
-            MultimodalOps.videoTopkFrom(stats.localCheckpoint())
-              .orderBy(col("query_id"), col("rank"))
-              .localCheckpoint()
-          } finally deleteRecursively(tmp)
-        }
+      (spark, dir) => runFrameStatStream(spark, dir) { stats =>
+        MultimodalOps.videoTopkFrom(stats)
+          .orderBy(col("query_id"), col("rank"))
       },
       Some(MultimodalOps.videoTopkOracleSql)),
+
+    // STREAMED VIDEO-IVF SERVING — the s61/s67 pattern for the third
+    // modality, finishing the modality × index × (batch|streamed)
+    // cube: the CONVERGED frame-stat state re-derives the per-scene
+    // vectors (s58's segmentation + representative-frame pooling) and
+    // serves them through the exact embeddings IVF pipeline,
+    // hash-matching the ann_video_ivf_topk oracle. At 100 TB this is
+    // live shot-level retrieval behind the production index layout:
+    // 3-longs-per-frame state streams in as videos land, scene
+    // vectors partition by cell, and a query touches nprobe
+    // partitions while ingest runs.
+    Entry("s68_stream_video_ivf",
+      (spark, dir) => runFrameStatStream(spark, dir) { stats =>
+        MultimodalOps.mediaIvfTopkFrom(
+          MultimodalOps.videoSceneVectors(stats))
+      },
+      Some(MultimodalOps.videoIvfTopkOracleSql)),
   )
 
 
@@ -571,7 +488,10 @@ private[graft] object StreamServingTwins {
     * feature vector upserts into doc-keyed state, and `serve` runs an
     * arbitrary batch scoring tail over the CONVERGED feature table
     * (brute panel for s50, the IVF index layout for s61). */
-  private[graft] def runMediaFeatureStream(spark: SparkSession, dir: String)(
+  private[graft] def runMediaFeatureStream(spark: SparkSession, dir: String,
+      featurize: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        id => graft.multimodal.MultimodalPipeline.poolBmp(
+          graft.multimodal.MultimodalPipeline.encodeBmp(id), 4, 4))(
       serve: DataFrame => DataFrame): DataFrame = {
     import spark.implicits._
     withStreamConf(spark) {
@@ -589,16 +509,12 @@ private[graft] object StreamServingTwins {
           .option("pathGlobFilter", "part-*")
           .parquet(in.toString)
         val featRows = src
-          .withColumn("payload",
-            graft.multimodal.MultimodalPipeline.encodeBmp(col("doc_id")))
-          .select(col("doc_id"),
-            graft.multimodal.MultimodalPipeline
-              .poolBmp(col("payload"), 4, 4).as("f"))
+          .select(col("doc_id"), featurize(col("doc_id")).as("f"))
           .as[MediaFeatRow]
         val dd = VersionedStreamDedup.latestPerKeyId[MediaFeatRow](
           featRows, _.doc_id.toString, _ => "f", _ => 0L)
-        // key-bucketed like s63's log: these rows carry the 48-long
-        // pooled feature per asset, so the payload — not the row
+        // key-bucketed like s63's log: these rows carry the pooled
+        // feature vector per asset, so the payload — not the row
         // count — is the per-batch write cost
         val q = dd.toDF().writeStream.outputMode("update")
           .option("checkpointLocation", ckpt.toString)
@@ -616,6 +532,64 @@ private[graft] object StreamServingTwins {
           .select(explode(col("xs")).as("x"))
           .select(col("x.doc_id").as("doc_id"), col("x.f").as("f"))
         serve(feats).localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }
+  }
+
+  /** The WAV banded-energy featurizer for [[runMediaFeatureStream]]
+    * (s52, s67): the identical batch featurizer behind
+    * ann_audio_topk. */
+  private[graft] val wavPooled
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    id => graft.multimodal.MultimodalPipeline.poolWav(
+      graft.multimodal.MultimodalPipeline.encodeWav(id), 16)
+
+  /** The streamed frame-stat ingest shared by the video rows (s57,
+    * s58, s68): arriving videos' frames decode and reduce to
+    * per-(doc, frame) channel sums SCAN-LOCALLY in their microbatch
+    * (pixels never enter state — 3 longs per frame do), the stat rows
+    * upsert into (doc, frame)-keyed state, and `serve` runs an
+    * arbitrary batch tail over the CONVERGED stat table (cut report
+    * for s57, brute panel for s58, the IVF index layout for s68). */
+  private[graft] def runFrameStatStream(spark: SparkSession, dir: String)(
+      serve: DataFrame => DataFrame): DataFrame = {
+    import spark.implicits._
+    withStreamConf(spark) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_vstat_")
+      val log = tmp.resolve("log")
+      val ckpt = tmp.resolve("ckpt")
+      try {
+        val in = sharedChunkDir(dir, "docid", "documents") { p =>
+          Registry.table(spark, dir, "documents").select(col("doc_id"))
+            .repartitionByRange(chunks, col("doc_id"))
+            .write.parquet(p.toString)
+        }
+        val src = spark.readStream.schema("doc_id BIGINT")
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "part-*")
+          .parquet(in.toString)
+        val statRows = MultimodalOps.videoFrameStats(src)
+          .as[FrameStatRow]
+        val dd = VersionedStreamDedup.latestPerKeyId[FrameStatRow](
+          statRows, _.doc_id.toString, _.frame_idx.toString, _ => 0L)
+        val q = dd.toDF().writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            df.repartition(1).write.mode("append").parquet(log.toString)
+            ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+        val raw = spark.read.parquet(log.toString)
+        val wMax = Window.partitionBy(col("key"))
+        val stats = raw
+          .withColumn("max_seq", max(col("seq")).over(wMax))
+          .filter(col("seq") === col("max_seq"))
+          .select(explode(col("xs")).as("x"))
+          .select(col("x.doc_id").as("doc_id"),
+            col("x.frame_idx").as("frame_idx"),
+            col("x.sum_r").as("sum_r"), col("x.sum_g").as("sum_g"),
+            col("x.sum_b").as("sum_b"))
+        serve(stats.localCheckpoint()).localCheckpoint()
       } finally deleteRecursively(tmp)
     }
   }

@@ -183,7 +183,8 @@ class RegistrySpec extends SparkTestBase {
     val exempt = Set("q_session_window", "s12_stream_session_window",
       "s15_stream_session_append", "dedup_simhash", "m_video_scene_cut",
       "ann_video_topk", "s58_stream_video_serving",
-      "ann_video_ivf_topk", "ann_video_ivf_recall")
+      "ann_video_ivf_topk", "ann_video_ivf_recall",
+      "s68_stream_video_ivf")
     def floatish(arg: String): Boolean = {
       val a = arg.toLowerCase.replaceAll("'[^']*'", "''")
       floatCols.exists(c => s"(?s).*\\b$c\\b.*".r.matches(a)) ||
