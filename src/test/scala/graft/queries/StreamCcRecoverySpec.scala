@@ -112,6 +112,11 @@ class StreamCcRecoverySpec extends graft.SparkTestBase {
             (3L, 10L), (20L, 21L)).toDF("d1", "d2"), "d1", "d2")
         .as[(Long, Long)].collect().toMap
       assert(got == oneShot, s"post-restart labels $got != $oneShot")
+      // the merge re-labeled component 10's rows into bucket 1, so
+      // bucket 10 must be EMPTIED (a touched bucket whose new content
+      // is empty writes no dir), not carried over stale
+      assert(bucketFiles(committedSnap(), 10).isEmpty,
+        "bucket 10 should vanish after its component merged into bucket 1")
       // the committed state is exactly one snapshot deep, and the
       // partial b999 remnant was pruned with the stale snapshots
       import scala.jdk.CollectionConverters._
