@@ -258,12 +258,14 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
-  /** DuckDB oracle unrolling `rounds` identical Lloyd iterations
-    * (rounded cosines, rounded centroid components, lower-cid argmax
-    * tiebreak — the VectorTools cross-engine determinism contract),
-    * then the final assignment. Cells that lose every member drop out
-    * of the next round's centroid CTE on both engines alike. */
-  private def lloydOracleSql(rounds: Int): String = {
+  /** The `rounds`-iteration Lloyd CTE chain (v, c0, s1…c$rounds) —
+    * rounded cosines, rounded centroid components, lower-cid argmax
+    * tiebreak (the VectorTools cross-engine determinism contract).
+    * Cells that lose every member drop out of the next round's
+    * centroid CTE on both engines alike. Shared by the assignment
+    * oracles ([[lloydOracleSql]]) and the trained-IVF oracles, which
+    * probe the final `c$rounds` table. */
+  private def lloydCtesSql(rounds: Int): String = {
     val sb = new StringBuilder(
       s"WITH v AS ($embSql),\n" +
         s"c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $ivfCells)")
@@ -279,16 +281,20 @@ object VectorOps {
       |  GROUP BY 1, 2),
       |c$r AS (SELECT cell AS cid, list(c ORDER BY i) AS ce FROM m$r
       |  GROUP BY cell)""".stripMargin)
-    sb.append(s""",
+    sb.toString
+  }
+
+  /** DuckDB oracle unrolling `rounds` Lloyd iterations
+    * ([[lloydCtesSql]]), then the final assignment. */
+  private def lloydOracleSql(rounds: Int): String =
+    lloydCtesSql(rounds) + s""",
       |sf AS (SELECT v.vec_id, c.cid,
       |    round(${cosSql("v.e", "c.ce")}, 6) AS csim
       |  FROM v CROSS JOIN c$rounds c)
       |SELECT vec_id, cid AS cell, csim FROM (
       |  SELECT vec_id, cid, csim, row_number() OVER (PARTITION BY vec_id
       |    ORDER BY csim DESC, cid) AS r FROM sf) WHERE r = 1
-      |ORDER BY vec_id""".stripMargin)
-    sb.toString
-  }
+      |ORDER BY vec_id""".stripMargin
 
   /** v_kmeans_assign's oracle (one unrolled Lloyd round) — shared
     * with the streamed sufficient-statistics twin s65, whose
@@ -711,6 +717,44 @@ object VectorOps {
         |FROM ex LEFT JOIN iv ON iv.query_id = ex.query_id
         |  AND iv.neighbor_id = ex.neighbor_id
         |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin)),
+
+    // IVF OVER TRAINED CENTROIDS — the full production
+    // train→index→serve loop in ONE hash-checked row: 3 Lloyd rounds
+    // refine the seed (exactly v_kmeans_lloyd3's trajectory, rounded
+    // components and all), the corpus re-assigns to the trained
+    // cells, and queries probe nprobe trained cells before exact
+    // verification. This is how a real IVF index is actually built
+    // (FAISS trains centroids before adding vectors); pairing it with
+    // ann_ivf_topk (seed centroids) prices what training buys, the
+    // same seed/trained pairing the PQ rung carries. The plan shape
+    // is ann_ivf_topk's — training changes only the broadcast
+    // centroid table, never the partitioning story.
+    Entry("ann_ivf_trained_topk",
+      (spark, dir) => ivfTrainedTopkPairs(spark, dir)
+        .orderBy(col("query_id"), col("rank")),
+      Some(ivfTrainedTopkOracleSql)),
+
+    // MEASURED RECALL OF THE TRAINED-IVF RUNG — ann_recall's fold
+    // over the trained index, completing the priced pair: recall@5
+    // of seed-IVF (ann_recall) vs trained-IVF (this row) against the
+    // same exact panel is the measured answer to "what did 3 Lloyd
+    // rounds buy at this nprobe".
+    Entry("ann_ivf_trained_recall",
+      (spark, dir) => {
+        val exact = bruteTopkPairs(spark, dir)
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = ivfTrainedTopkPairs(spark, dir)
+          .select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1))
+        exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_exact"),
+            count(col("hit")).as("n_hit"))
+          .withColumn("recall",
+            round(col("n_hit") / col("n_exact"), 6))
+          .orderBy(col("query_id"))
+      },
+      Some(ivfTrainedRecallOracleSql)),
 
     // SEMANTIC DEDUPLICATION (the SemDeDup recipe, Abbas et al. 2023,
     // arXiv:2303.09540 — public paper): coarse-cluster the embedding
@@ -1485,10 +1529,20 @@ object VectorOps {
     * (ann_media_ivf_topk) proves it with a hash check: pooled media
     * features index and probe through exactly this pipeline. */
   private[queries] def ivfCandidatesOn(base: DataFrame,
-                                       nq: Int): DataFrame = {
-    val cent = base.filter(col("vec_id") < ivfCells)
-      .select(col("vec_id").as("cid"), col("e").as("ce"),
-        col("nrm").as("cn"))
+                                       nq: Int): DataFrame =
+    ivfCandidatesWith(base,
+      base.filter(col("vec_id") < ivfCells)
+        .select(col("vec_id").as("cid"), col("e").as("ce"),
+          col("nrm").as("cn")),
+      nq)
+
+  /** [[ivfCandidatesOn]] against a SUPPLIED centroid table
+    * (cid, ce, cn) — the seed variant passes the first-ivfCells
+    * vectors, the trained variant (ann_ivf_trained_topk) the Lloyd
+    * output. The centroid SOURCE is the only difference; assignment,
+    * probe selection and tiebreaks are identical. */
+  private[queries] def ivfCandidatesWith(base: DataFrame, cent: DataFrame,
+                                         nq: Int): DataFrame = {
     // (vector × centroid) scored rows, projected slim map-side
     // before any shuffle. Materialized ONCE: both the assignment
     // and the probe branches consume it, and their differing
@@ -1534,8 +1588,13 @@ object VectorOps {
     * candidates from [[ivfCandidatesOn]], full-precision verify,
     * map-side top-k. */
   private[queries] def ivfTopkPairsOn(base: DataFrame,
-                                      nq: Int): DataFrame = {
-    val cand = ivfCandidatesOn(base, nq)
+                                      nq: Int): DataFrame =
+    ivfVerifiedTopk(base, ivfCandidatesOn(base, nq))
+
+  /** Full-precision verification + mergeable map-side top-k over an
+    * arbitrary (query_id, neighbor_id) candidate set — the exact-cos
+    * serving tail shared by the seed and trained IVF rungs. */
+  private def ivfVerifiedTopk(base: DataFrame, cand: DataFrame): DataFrame = {
     val q = base.select(col("vec_id").as("query_id"),
       col("e").as("qe"), col("nrm").as("qn"))
     val n = base.select(col("vec_id").as("neighbor_id"),
@@ -1545,6 +1604,26 @@ object VectorOps {
         round(VectorFunctions.dot(col("qe"), col("ne")) /
           (col("qn") * col("nn")), 6).as("sim"))
     topkTail(scored, ivfTopK, "sim", desc = true)
+  }
+
+  /** IVF probing against TRAINED centroids — the full production
+    * train→index→serve loop in one row: 3 Lloyd rounds refine the
+    * seed (exactly v_kmeans_lloyd3's trajectory), the corpus assigns
+    * to the trained cells, queries probe nprobe trained cells, and
+    * candidates verify at full precision through the mergeable top-k
+    * (the ann_pq_trained pairing applied to the IVF rung). Training
+    * changes only the centroid table — the plan shape, partitioning
+    * story and every tiebreak are ann_ivf_topk's. */
+  private def ivfTrainedTopkPairs(spark: SparkSession,
+                                  dir: String): DataFrame = {
+    val base = emb(spark, dir)
+    val vectors = base.select(col("vec_id").as("id"), col("e"))
+    val seed = vectors.filter(col("id") < ivfCells)
+      .select(col("id").as("cid"), col("e").as("ce"))
+    val cent = graft.core.VectorTools.lloyd(vectors, seed, 3)
+      .select(col("cid"), col("ce"),
+        VectorFunctions.norm(col("ce")).as("cn"))
+    ivfVerifiedTopk(base, ivfCandidatesWith(base, cent, queryCount))
   }
 
   /** The IVF candidate-generation CTE chain (v → centroids → scored →
@@ -1560,9 +1639,16 @@ object VectorOps {
     * feature table instead. */
   private[queries] def ivfChainSql(nq: Int): String =
     s"""c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $ivfCells),
-       |s AS (SELECT v.vec_id, c.cid,
+       |${ivfProbeChainSql("c", nq)}""".stripMargin
+
+  /** The assign → probe → candidate chain against an ARBITRARY
+    * centroid CTE (the seed `c` table for [[ivfChainSql]], the
+    * trained `c3` table for the trained-IVF oracles) — the SQL twin
+    * of [[ivfCandidatesWith]]. Expects `v (vec_id, e)` in scope. */
+  private def ivfProbeChainSql(cent: String, nq: Int): String =
+    s"""s AS (SELECT v.vec_id, c.cid,
        |    round(${cosSql("v.e", "c.ce")}, 6) AS csim
-       |  FROM v CROSS JOIN c),
+       |  FROM v CROSS JOIN $cent c),
        |asg AS (SELECT vec_id, cid AS cell FROM (
        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
        |    ORDER BY csim DESC, cid) AS r FROM s) WHERE r = 1),
@@ -1573,6 +1659,49 @@ object VectorOps {
        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
        |  FROM probes p JOIN asg a ON a.cell = p.pcell
        |  WHERE a.vec_id <> p.query_id)""".stripMargin
+
+  /** Oracle for ann_ivf_trained_topk: the 3-round Lloyd chain, then
+    * the probe chain against the trained `c3` table, then the exact
+    * verify tail — ann_ivf_topk with training spliced in. */
+  private lazy val ivfTrainedTopkOracleSql: String =
+    lloydCtesSql(3) + ",\n" + ivfProbeChainSql("c3", queryCount) +
+      s"""
+      |SELECT cand.query_id,
+      |  CAST(row_number() OVER (PARTITION BY cand.query_id
+      |    ORDER BY round(${cosSql("q.e", "n.e")}, 6) DESC,
+      |      cand.neighbor_id) AS INT) AS rank,
+      |  cand.neighbor_id,
+      |  round(${cosSql("q.e", "n.e")}, 6) AS sim
+      |FROM cand JOIN v q ON q.vec_id = cand.query_id
+      |  JOIN v n ON n.vec_id = cand.neighbor_id
+      |QUALIFY rank <= $ivfTopK
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Oracle for ann_ivf_trained_recall: the same trained chain folded
+    * against the exact panel (ann_recall's measurement). */
+  private lazy val ivfTrainedRecallOracleSql: String =
+    lloydCtesSql(3) + ",\n" + ivfProbeChainSql("c3", queryCount) +
+      s""",
+      |iv AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT cand.query_id, cand.neighbor_id,
+      |    row_number() OVER (PARTITION BY cand.query_id
+      |      ORDER BY round(${cosSql("q.e", "n.e")}, 6) DESC,
+      |        cand.neighbor_id) AS rank
+      |  FROM cand JOIN v q ON q.vec_id = cand.query_id
+      |    JOIN v n ON n.vec_id = cand.neighbor_id)
+      |  WHERE rank <= $ivfTopK),
+      |ex AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY round(${cosSql("q.e", "n.e")}, 6) DESC, n.vec_id) AS rank
+      |  FROM v q JOIN v n ON q.vec_id < $queryCount AND q.vec_id <> n.vec_id)
+      |  WHERE rank <= 5)
+      |SELECT ex.query_id, count(*) AS n_exact,
+      |  count(iv.neighbor_id) AS n_hit,
+      |  round(count(iv.neighbor_id) / count(*), 6) AS recall
+      |FROM ex LEFT JOIN iv ON iv.query_id = ex.query_id
+      |  AND iv.neighbor_id = ex.neighbor_id
+      |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
 
   /** Int8 scoring + top-k over an arbitrary (query_id, neighbor_id)
     * candidate set — the serving tail of the IVF+SQ8 stack, shared by

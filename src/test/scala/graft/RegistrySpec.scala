@@ -52,6 +52,11 @@ class RegistrySpec extends SparkTestBase {
       // IVF+SQ8 composition: candidate gen reuses the 16-row centroid
       // broadcast; scoring itself is id-keyed equi-joins
       "ann_ivf_quantized_topk",
+      // trained-IVF rung + its recall row: the Lloyd rounds and the
+      // probe chain are the same ≤16-row centroid broadcasts as
+      // v_kmeans_lloyd3 / ann_ivf_topk; the recall row adds the
+      // 20-query exact-panel BNLJ (ann_recall's shape)
+      "ann_ivf_trained_topk", "ann_ivf_trained_recall",
       // 3-row threshold panel + two 1-row corpus aggregates broadcast
       // against the slim pair stream
       "dedup_lsh_prune_ratio",
