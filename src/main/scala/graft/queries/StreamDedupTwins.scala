@@ -746,12 +746,20 @@ private[graft] object StreamDedupTwins {
     // components — in COMPUTE (only touched components re-contract)
     // AND in WRITE (the snapshot is label-bucketed; only touched
     // buckets are rewritten, untouched buckets carry over as
-    // hardlinks). The forest is RESTART-SAFE: each batch commits an
+    // hardlinks; bulk/backfill batches that touch every existing
+    // bucket skip the bookkeeping and contract the full forest
+    // directly). The forest is RESTART-SAFE: each batch commits an
     // atomically-renamed _SUCCESS-gated snapshot (the compacted state
     // table a production deployment keeps in Delta) and recovery
     // seeds the fold from the latest committed one —
     // StreamCcRecoverySpec drives stop/restart, the partial-write
-    // fallback, and the untouched-bucket byte-identity.
+    // fallback, the untouched-bucket byte-identity, and the emptied-
+    // bucket drop. Measured premium vs the r15 single-file full
+    // rewrite at sf0.1: ~2x wall (the per-batch state probe + the
+    // 16-dir staged commit are fixed costs the replay's small batches
+    // can't amortize) — the trade bought is per-batch write work
+    // bounded by touched components instead of accumulated state,
+    // which is the term that survives the 100x scale-up.
     Entry("s62_stream_dedup_clusters",
       (spark, dir) => withStreamConf(spark) {
         val tmp = java.nio.file.Files.createTempDirectory("graft_cc_")
@@ -914,24 +922,53 @@ private[graft] object StreamDedupTwins {
     }
     val bucketOf = pmod(col("d2"), lit(ccForestBuckets.toLong)).cast("int")
     val forest = loadBucketedForest(spark, stateDir) // (d1, d2, bucket)
-    val edges = newEdges.select(col("d1"), col("d2")).localCheckpoint()
-    // current labels of the batch's endpoints: a broadcast-hash probe of
-    // the forest (no state shuffle; one scan — a production Delta table
-    // would add a doc-keyed secondary index / file-level bloom to prune
-    // this lookup too). Endpoints per batch are small by construction.
+    // the microbatch is one small replayed file — re-reading it per
+    // consumer is cheaper than a checkpoint job
+    val edges = newEdges.select(col("d1"), col("d2"))
+    val t0 = System.nanoTime()
+    def mark(s: String): Unit = if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(f"[cc] b$bid $s ${(System.nanoTime() - t0) / 1e9}%.2f")
+    // current labels of the batch's endpoints: ONE broadcast-hash probe
+    // of the forest (no state shuffle; one scan — a production Delta
+    // table would add a doc-keyed secondary index / file-level bloom to
+    // prune this lookup too), collected in one job. Driver residency is
+    // not new risk: the touched label set must be broadcast to the
+    // semi/anti joins below either way, so collect-then-broadcast costs
+    // the same memory as checkpoint-then-broadcast and saves the extra
+    // materialization job per microbatch.
     val endpoints = edges.select(col("d1").as("ep"))
       .unionAll(edges.select(col("d2").as("ep"))).distinct()
-    val touchedLabels = forest match {
+    val labels: Array[Long] = forest match {
       case Some(f) => f.join(broadcast(endpoints), f("d1") === col("ep"))
-        .select(f("d2").as("lab")).distinct().localCheckpoint()
-      case None => spark.range(0).select(col("id").as("lab"))
+        .select(f("d2").as("lab")).distinct().collect().map(_.getLong(0))
+      case None => Array.empty
     }
-    val labelBuckets = touchedLabels
-      .select(pmod(col("lab"), lit(ccForestBuckets.toLong)).cast("int").as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    import spark.implicits._
+    val touchedLabels = labels.toSeq.toDF("lab")
+    val labelBuckets: Set[Int] =
+      labels.map(l => java.lang.Math.floorMod(l, ccForestBuckets.toLong).toInt).toSet
+    mark("labels")
+    // BULK-batch detection (initial backfill): when the batch's
+    // endpoints touch components in EVERY bucket the state currently
+    // has, the per-component bookkeeping (semi/anti joins, per-star
+    // bucket collect, hardlink carry-over) can't save anything — every
+    // existing bucket rewrites regardless — so it is pure overhead.
+    // Contract (edges ∪ full forest) directly instead: untouched stars
+    // contract to themselves, so the result is identical; only the
+    // work shape changes. Trickle batches (the 100 TB steady state)
+    // keep the incremental path; StreamCcRecoverySpec exercises both
+    // (its grow phase is trickle, its merge phase bulk).
+    val existingBuckets: Set[Int] = latestCommittedForest(stateDir)
+      .map(p => listDir(p).map(_.getFileName.toString)
+        .filter(_.startsWith("bucket="))
+        .map(_.stripPrefix("bucket=").toInt).toSet)
+      .getOrElse(Set.empty)
+    val bulk = forest.nonEmpty && existingBuckets.subsetOf(labelBuckets)
+    mark(s"bulk=$bulk nb=${labelBuckets.size}")
     // rows of the touched components only — partition-pruned to their
     // label buckets, then semi-joined on the (small) touched label set
     val touchedRows = forest match {
+      case Some(f) if bulk => f.select(col("d1"), col("d2"))
       case Some(f) => f
         .filter(col("bucket").isin(labelBuckets.toSeq: _*))
         .join(broadcast(touchedLabels), col("d2") === col("lab"), "left_semi")
@@ -942,31 +979,35 @@ private[graft] object StreamDedupTwins {
     // contract (new edges ∪ touched stars) back to depth-1 stars: the
     // carried rows are depth-1, so rounds track the NEW edges'
     // post-contraction diameter, not the accumulated graph's.
-    // connectedComponents materializes eagerly (localCheckpoint), so
-    // every read of the old snapshot completes before any mutation.
+    // connectedComponents materializes eagerly (its result IS a
+    // localCheckpoint), so every read of the old snapshot completes
+    // before any mutation and no extra checkpoint job is needed here.
     val newStars = graft.core.GraphTools
       .connectedComponents(edges.unionAll(touchedRows), "d1", "d2")
       .select(col("id").as("d1"), col("component").as("d2"))
-      .localCheckpoint()
-    val starBuckets = newStars.select(bucketOf.as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    val starBuckets =
+      if (bulk) Set.empty[Int] // touched already covers every bucket
+      else newStars.select(bucketOf.as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+    mark("contract")
     val touched = labelBuckets ++ starBuckets
     // stage the new snapshot: touched buckets = survivors (rows of
     // UNtouched components that share a touched bucket) + the new stars
     val stage = root.resolve(s".stage_b$bid")
     if (Files.exists(stage)) deleteRecursively(stage)
     val survivors = forest match {
-      case Some(f) => f
+      case Some(f) if !bulk => f
         .filter(col("bucket").isin(touched.toSeq: _*))
         .join(broadcast(touchedLabels), col("d2") === col("lab"), "left_anti")
         .select(col("d1"), col("d2"))
-      case None => spark.range(0)
+      case _ => spark.range(0) // bulk: the contraction carried every row
         .select(col("id").as("d1"), col("id").as("d2"))
     }
     survivors.unionAll(newStars)
       .withColumn("bucket", bucketOf)
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(stage.toString)
+    mark("stagewrite")
     // untouched buckets carry over as hardlinks from the previous
     // committed snapshot (same inode — zero copy, byte-identical)
     latestCommittedForest(stateDir).foreach { prev =>
@@ -992,6 +1033,7 @@ private[graft] object StreamDedupTwins {
     if (Files.exists(bdir)) deleteRecursively(bdir) // uncommitted remnant
     Files.move(stage, bdir, StandardCopyOption.ATOMIC_MOVE)
     pruneStarForest(stateDir, bid)
+    mark("commit")
   }
 
   /** Drop everything under `stateDir` except the just-committed
