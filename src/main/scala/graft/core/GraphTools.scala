@@ -47,14 +47,18 @@ object GraphTools {
     while (changed > 0 && rounds < maxRounds) {
       val nbrMin = both.join(labels, both("d") === labels("id"))
         .groupBy(both("s").as("nid")).agg(min(col("lab")).as("nlab"))
+      // the change flag rides the update row itself, so the convergence
+      // count below is a NARROW scan of the just-checkpointed blocks —
+      // not the extra join-plus-shuffle job per round it used to be
+      // (per-round fixed job cost dominates the incremental-CC batches
+      // that run this over near-empty inputs)
       val updated = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"),
-          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"),
+          (coalesce(col("nlab"), col("lab")) < col("lab")).as("chg"))
         .localCheckpoint()
-      changed = updated.as("u")
-        .join(labels.as("l"), col("u.id") === col("l.id"))
-        .filter(col("u.lab") =!= col("l.lab")).count()
-      labels = updated
+      changed = updated.filter(col("chg")).count()
+      labels = updated.select(col("id"), col("lab"))
       rounds += 1
     }
     // a silent exit on the round cap would return plausible-looking but
@@ -64,6 +68,36 @@ object GraphTools {
         s"($changed labels still changing); raise maxRounds or use " +
         "connectedComponentsLogN for high-diameter graphs")
     labels.select(col("id"), col("lab").as("component"))
+  }
+
+  /** In-memory min-label connected components over a SMALL edge list —
+    * the driver-side fast path for batch-bounded quotient graphs (the
+    * incremental CC engine maps a microbatch's edges into label space,
+    * whose size is bounded by the batch, then contracts the quotient
+    * here in microseconds instead of through O(diameter) Spark rounds;
+    * see StreamDedupTwins.applyCcBatch). Union-find with
+    * path compression, always attaching the larger root under the
+    * smaller, so every root IS its component's minimum id — the same
+    * deterministic contract as [[connectedComponents]]
+    * (property-tested against it in GraphToolsSpec). Never call this
+    * with data-scale edge lists; callers must bound the input by
+    * construction or by an explicit threshold. */
+  def unionFindComponents(edges: Iterable[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for ((a, b) <- edges) {
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keysIterator.map(k => k -> find(k)).toMap
   }
 
   /** Connected components by alternating large-star / small-star

@@ -400,8 +400,7 @@ private[graft] object StreamWindowTwins {
             def writeChunk(df: DataFrame, idx: Int): Unit = {
               val stage = tmp.resolve(s"stage$idx")
               df.coalesce(1).write.parquet(stage.toString)
-              import scala.jdk.CollectionConverters._
-              val part = java.nio.file.Files.list(stage).iterator().asScala
+              val part = listDir(stage)
                 .find(_.getFileName.toString.startsWith("part-")).get
               val dst = in.resolve(f"chunk$idx%02d.parquet")
               java.nio.file.Files.move(part, dst)

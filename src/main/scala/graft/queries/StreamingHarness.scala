@@ -66,6 +66,51 @@ private[graft] object StreamingHarness {
       .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
   }
 
+  /** Immediate children of `root`, with the listing stream CLOSED (an
+    * unclosed Files.list leaks a directory fd per call — some callers
+    * run every microbatch). The one flat-listing idiom for every
+    * harness and the s62 snapshot machinery. */
+  private[graft] def listDir(root: java.nio.file.Path): Seq[java.nio.file.Path] =
+    if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(root)
+      try s.iterator().asScala.toVector finally s.close()
+    }
+
+  /** IDEMPOTENT per-microbatch sink write for the converged-log /
+    * relay harnesses: stages the batch with Spark's committer, then
+    * atomically renames each part file to a DETERMINISTIC
+    * `b<bid>_p<i>` name inside `dir`. foreachBatch is at-least-once —
+    * a re-delivered batch (crash between the sink write and the
+    * checkpoint commit) re-runs this body with the SAME bid and, the
+    * computation being deterministic, the same content: the renames
+    * then REPLACE the first attempt's files instead of appending
+    * duplicates next to them, so downstream folds (max-bid/max-seq,
+    * streaming file sources tracking seen paths) observe exactly-once
+    * content with no dedup logic of their own. Stable names also mean
+    * a streaming file source that already consumed the first attempt
+    * sees nothing new. Plain `mode("append")` logs lack exactly this
+    * property (r16 ADVICE on the s65/s66 relay). */
+  private[graft] def writeBatchIdempotent(df: DataFrame,
+      dir: java.nio.file.Path, bid: Long): Unit = {
+    val stage = dir.resolveSibling(
+      dir.getFileName.toString + s".stage_b$bid")
+    if (java.nio.file.Files.exists(stage)) deleteRecursively(stage)
+    df.write.mode("overwrite").parquet(stage.toString)
+    java.nio.file.Files.createDirectories(dir)
+    listDir(stage)
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .sortBy(_.getFileName.toString)
+      .zipWithIndex.foreach { case (p, i) =>
+        // ATOMIC_MOVE on POSIX is rename(2): replaces an existing
+        // target atomically, so a reader never sees a partial file
+        java.nio.file.Files.move(p, dir.resolve(f"b${bid}_p$i%05d.parquet"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    deleteRecursively(stage)
+  }
+
   // -- shared immutable replay-ingest chunk dirs ----------------------
   //
   // Every streaming row replays a table as range-split parquet chunks.
@@ -128,16 +173,11 @@ private[graft] object StreamingHarness {
     // a regenerated source changes the fingerprint suffix, and without
     // this the stale chunk dirs accumulate under /tmp forever (in-
     // flight ".tmp.<pid>" dirs of other processes are left alone)
-    if (java.nio.file.Files.isDirectory(sharedIngestRoot)) {
-      import scala.jdk.CollectionConverters._
-      val ls = java.nio.file.Files.list(sharedIngestRoot)
-      try ls.iterator().asScala
-        .filter { d =>
-          val n = d.getFileName.toString
-          n.startsWith(prefix) && n != key && !n.contains(".tmp.")
-        }.toSeq.foreach(deleteRecursively)
-      finally ls.close()
-    }
+    listDir(sharedIngestRoot)
+      .filter { d =>
+        val n = d.getFileName.toString
+        n.startsWith(prefix) && n != key && !n.contains(".tmp.")
+      }.foreach(deleteRecursively)
     if (java.nio.file.Files.exists(target.resolve("_SUCCESS"))) target
     else {
       java.nio.file.Files.createDirectories(sharedIngestRoot)
@@ -321,15 +361,11 @@ private[graft] object StreamingHarness {
       // dir (the sentinel below must not pollute the shared prefix);
       // links cost no copy and no re-write
       java.nio.file.Files.createDirectories(in)
-      locally {
-        import scala.jdk.CollectionConverters._
-        val shared = sharedEventsChunks(spark, dir)
-        java.nio.file.Files.list(shared).iterator().asScala
-          .filter(_.getFileName.toString.startsWith("part-"))
-          .foreach { p =>
-            java.nio.file.Files.createLink(in.resolve(p.getFileName), p)
-          }
-      }
+      listDir(sharedEventsChunks(spark, dir))
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .foreach { p =>
+          java.nio.file.Files.createLink(in.resolve(p.getFileName), p)
+        }
       // sentinel bounds: one scalar row to the driver, not a data
       // collect — read back from the narrow chunk files, not a second
       // source scan. Fail fast if data growth ever breaks the
@@ -340,8 +376,7 @@ private[graft] object StreamingHarness {
       require(maxUs - minUs < 34L * 86400000000L,
         s"events span ${(maxUs - minUs) / 86400000000L} days; " +
           "raise the 35-day watermark or arrival order can drop rows")
-      import scala.jdk.CollectionConverters._
-      def parts() = java.nio.file.Files.list(in).iterator().asScala
+      def parts() = listDir(in)
         .filter(_.getFileName.toString.startsWith("part-")).toSet
       val mainParts = parts()
       // THREE sentinel rows, one per downstream filter shape: consumers

@@ -39,6 +39,12 @@ class GraphToolsSpec extends SparkTestBase {
         edges.toDF("a", "b"), "a", "b")
       .as[(Int, Int)].collect().toMap
     assert(gotLogN == expected)
+    // the library's own driver-side union-find (the incremental CC
+    // quotient fast path) must agree with both distributed operators
+    val gotUf = GraphTools.unionFindComponents(
+        edges.map { case (a, b) => (a.toLong, b.toLong) })
+      .map { case (k, v) => (k.toInt, v.toInt) }
+    assert(gotUf == expected)
   }
 
   test("random graphs match union-find components") {

@@ -125,8 +125,53 @@ class StreamCcRecoverySpec extends graft.SparkTestBase {
       assert(snaps.count(_.startsWith("b")) == 1 &&
         !snaps.exists(_.startsWith(".stage_")),
         s"stale snapshots not pruned: $snaps")
+
+      // phase 4: the BULK path (a backfill-scale bridge). 4a populates
+      // components across half the bucket layout; 4b's star touches a
+      // component in EVERY existing bucket, so the engine takes the
+      // full-forest contraction — and must still agree with the
+      // one-shot batch answer, with every merged-away bucket vanishing.
+      val chains = Seq((100L, 101L), (102L, 103L), (104L, 105L),
+        (106L, 107L), (108L, 109L), (110L, 111L), (112L, 113L))
+      append(chains: _*)
+      val q4 = StreamDedupTwins.incrementalCcQuery(spark, edges, ckpt, state)
+      try q4.processAllAvailable() finally q4.stop()
+      // existing buckets now: {1, 4} ∪ pmod({100,102,...,112}, 16)
+      // = 8 of 16 — a bulk-eligible span under the isBulkBatch floor
+      val star = Seq((1L, 20L), (1L, 100L), (1L, 102L), (1L, 104L),
+        (1L, 106L), (1L, 108L), (1L, 110L), (1L, 112L))
+      // the classifier itself (pure function): 4b's shape IS bulk,
+      // while a young stream touching its only populated bucket is NOT
+      // (the early-life full-contraction regression the floor prevents)
+      val existing8 = (Set(1L, 20L) ++ chains.map(_._1))
+        .map(l => java.lang.Math.floorMod(l, 16L).toInt)
+      assert(StreamDedupTwins.isBulkBatch(existing8, existing8),
+        s"full-cover bridge over $existing8 should classify bulk")
+      assert(!StreamDedupTwins.isBulkBatch(Set(1), Set(1)),
+        "single-bucket trickle must NOT classify bulk")
+      assert(!StreamDedupTwins.isBulkBatch(Set(1, 4), Set(1)),
+        "partial cover must NOT classify bulk")
+      assert(!StreamDedupTwins.isBulkBatch(Set.empty, Set.empty),
+        "empty state must NOT classify bulk")
+      append(star: _*)
+      val q5 = StreamDedupTwins.incrementalCcQuery(spark, edges, ckpt, state)
+      try q5.processAllAvailable() finally q5.stop()
+      val allEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L),
+        (1L, 4L), (3L, 10L), (20L, 21L)) ++ chains ++ star
+      val bulkGot = StreamDedupTwins.loadStarForest(spark, state)
+        .as[(Long, Long)].collect().toMap
+      val bulkExp = graft.core.GraphTools
+        .connectedComponents(allEdges.toDF("d1", "d2"), "d1", "d2")
+        .as[(Long, Long)].collect().toMap
+      assert(bulkGot == bulkExp, s"bulk-path labels $bulkGot != $bulkExp")
+      assert(bulkGot.values.toSet == Set(1L),
+        s"bridge star should collapse everything into component 1")
+      for (k <- existing8 - 1)
+        assert(bucketFiles(committedSnap(), k).isEmpty,
+          s"bucket $k should vanish after the bulk contraction")
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
+      StreamDedupTwins.dropForestHandle(tmp.resolve("state").toString)
       rmTree(tmp)
     }
   }
