@@ -60,8 +60,8 @@ private[graft] object StreamTrainedTwins {
             val q = cells.writeStream.outputMode("update")
               .option("checkpointLocation", ckpt.toString)
               .foreachBatch { (df: DataFrame, bid: Long) =>
-                df.withColumn("bid", lit(bid))
-                  .repartition(1).write.mode("append").parquet(log.toString)
+                writeBatchIdempotent(
+                  df.withColumn("bid", lit(bid)).repartition(1), log, bid)
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()
@@ -121,9 +121,10 @@ private[graft] object StreamTrainedTwins {
             // of funneled through one task.
             val q = dd.toDF().writeStream.outputMode("update")
               .option("checkpointLocation", ckpt.toString)
-              .foreachBatch { (df: DataFrame, _: Long) =>
-                df.repartition(streamShufflePartitions.toInt, col("key"))
-                  .write.mode("append").parquet(log.toString)
+              .foreachBatch { (df: DataFrame, bid: Long) =>
+                writeBatchIdempotent(
+                  df.repartition(streamShufflePartitions.toInt, col("key")),
+                  log, bid)
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()
@@ -179,8 +180,8 @@ private[graft] object StreamTrainedTwins {
             val q = counts.writeStream.outputMode("update")
               .option("checkpointLocation", ckpt.toString)
               .foreachBatch { (df: DataFrame, bid: Long) =>
-                df.withColumn("bid", lit(bid))
-                  .repartition(1).write.mode("append").parquet(log.toString)
+                writeBatchIdempotent(
+                  df.withColumn("bid", lit(bid)).repartition(1), log, bid)
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()
@@ -219,15 +220,18 @@ private[graft] object StreamTrainedTwins {
           val in = kmeansIngestChunks(spark, dir)
           val cent = VectorOps.ivfSeedCentroids(spark, dir)
             .select(col("cid"), col("ce")).localCheckpoint()
-          // SERVE: the final assignment against the streamed-trained
-          // round-1 centroids (the batch v_kmeans_assign tail)
-          graft.core.VectorTools.assignCells(
-              VectorOps.embSlim(spark, dir)
-                .select(col("vec_id").as("id"), col("e")),
-              streamedLloydRound(spark, in, cent))
-            .select(col("id").as("vec_id"), col("cell"), col("csim"))
-            .orderBy(col("vec_id"))
-            .localCheckpoint()
+          val tmp = java.nio.file.Files.createTempDirectory("graft_kmeans_")
+          try {
+            // SERVE: the final assignment against the streamed-trained
+            // round-1 centroids (the batch v_kmeans_assign tail)
+            graft.core.VectorTools.assignCells(
+                VectorOps.embSlim(spark, dir)
+                  .select(col("vec_id").as("id"), col("e")),
+                streamedLloydRound(spark, in, cent, tmp.resolve("r1")))
+              .select(col("id").as("vec_id"), col("cell"), col("csim"))
+              .orderBy(col("vec_id"))
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
         }
       },
       Some(VectorOps.kmeansAssignOracleSql)),
@@ -252,17 +256,23 @@ private[graft] object StreamTrainedTwins {
       (spark, dir) => {
         withStreamConf(spark) {
           val in = kmeansIngestChunks(spark, dir)
-          var cent = VectorOps.ivfSeedCentroids(spark, dir)
-            .select(col("cid"), col("ce")).localCheckpoint()
-          for (_ <- 1 to 3)
-            cent = streamedLloydRound(spark, in, cent)
-          graft.core.VectorTools.assignCells(
-              VectorOps.embSlim(spark, dir)
-                .select(col("vec_id").as("id"), col("e")),
-              cent)
-            .select(col("id").as("vec_id"), col("cell"), col("csim"))
-            .orderBy(col("vec_id"))
-            .localCheckpoint()
+          // ONE temp root for the whole trajectory, one subdir per
+          // round (each round is its own pair of streaming queries
+          // with its own checkpoints — the restart unit)
+          val tmp = java.nio.file.Files.createTempDirectory("graft_kmeans_")
+          try {
+            var cent = VectorOps.ivfSeedCentroids(spark, dir)
+              .select(col("cid"), col("ce")).localCheckpoint()
+            for (r <- 1 to 3)
+              cent = streamedLloydRound(spark, in, cent, tmp.resolve(s"r$r"))
+            graft.core.VectorTools.assignCells(
+                VectorOps.embSlim(spark, dir)
+                  .select(col("vec_id").as("id"), col("e")),
+                cent)
+              .select(col("id").as("vec_id"), col("cell"), col("csim"))
+              .orderBy(col("vec_id"))
+              .localCheckpoint()
+          } finally deleteRecursively(tmp)
         }
       },
       Some(VectorOps.kmeansLloyd3OracleSql)),
@@ -287,83 +297,94 @@ private[graft] object StreamTrainedTwins {
     * the per-(cell, dim) (Σv, n) sufficient statistics — 16 cells ×
     * 64 dims of state regardless of corpus size — and return the
     * updated centroid table (cid, ce) via the batch updateCentroids
-    * arithmetic round(Σv/n, 6) over the converged sums. */
+    * arithmetic round(Σv/n, 6) over the converged sums.
+    *
+    * RESTART-SAFE: the round's streaming artifacts (relay, converged
+    * log, both checkpoints) live under the caller-provided `work` dir,
+    * which is NOT deleted here — re-invoking with the same dir resumes
+    * the round from its checkpoints, and both sinks write through
+    * [[StreamingHarness.writeBatchIdempotent]], so an at-least-once
+    * foreachBatch re-delivery (crash between a sink write and its
+    * checkpoint commit) REPLACES its first attempt's files instead of
+    * appending duplicate (cell, pos, v) rows into the Σv/n statistics.
+    * A kill between q1's commit and q2's listing, a re-delivered
+    * microbatch on either query, and a mid-chain restart in s66's
+    * 3-round trajectory are all driven by StreamTrainedRecoverySpec. */
   private[graft] def streamedLloydRound(spark: SparkSession,
-      in: java.nio.file.Path, cent: DataFrame): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_kmeans_")
-    val relay = tmp.resolve("relay")
-    val log = tmp.resolve("log")
-    val ckpt1 = tmp.resolve("ckpt1")
-    val ckpt2 = tmp.resolve("ckpt2")
-    try {
-      val q1 = spark.readStream
-        .schema("vec_id BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE")
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "part-*")
-        .parquet(in.toString)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt1.toString)
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          val b = df.select(col("vec_id").as("id"), col("e"))
+      in: java.nio.file.Path, cent: DataFrame,
+      work: java.nio.file.Path): DataFrame = {
+    val relay = work.resolve("relay")
+    val log = work.resolve("log")
+    val ckpt1 = work.resolve("ckpt1")
+    val ckpt2 = work.resolve("ckpt2")
+    java.nio.file.Files.createDirectories(relay)
+    val q1 = spark.readStream
+      .schema("vec_id BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "part-*")
+      .parquet(in.toString)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt1.toString)
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        val b = df.select(col("vec_id").as("id"), col("e"))
+        writeBatchIdempotent(
           graft.core.VectorTools.assignCells(b, cent)
             .select(col("id"), col("cell"))
             .join(b, "id")
-            .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
-            .write.mode("append").parquet(relay.toString)
-          ()
-        }.start()
-      java.nio.file.Files.createDirectories(relay)
-      val stats = spark.readStream
-        .schema("cell BIGINT, pos INT, v DOUBLE")
-        .option("maxFilesPerTrigger", streamShufflePartitions.toString)
-        .option("pathGlobFilter", "part-*")
-        .parquet(relay.toString)
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-      val q2 = stats.writeStream.outputMode("update")
-        .option("checkpointLocation", ckpt2.toString)
-        .foreachBatch { (df: DataFrame, bid: Long) =>
-          df.withColumn("bid", lit(bid))
-            .repartition(1).write.mode("append").parquet(log.toString)
-          ()
-        }.start()
-      // Sequencing: q1.processAllAvailable() is a BARRIER — it returns
-      // only after every q1 microbatch has committed, i.e. after every
-      // relay part-file is fully written and visible (the NIO manager
-      // renames completed files into place; the directory listing is
-      // deterministic). Only then does q2.processAllAvailable() run,
-      // so q2's file source cannot list a half-written relay file or
-      // miss q1's last one. A refactor that overlaps the two calls
-      // (or swaps their order) silently breaks this.
-      try {
-        q1.processAllAvailable()
-        q2.processAllAvailable()
-      } finally {
-        try q1.stop() finally q2.stop()
-      }
-      // converged stats → updated centroids (the batch updateCentroids
-      // arithmetic over maintained sums). Summation-order tolerance
-      // (the s47 moment-matrix argument): the streamed Σv accumulates
-      // in microbatch arrival order while the batch oracle's avg()
-      // sums in partition order, so the doubles can differ in the last
-      // ulps; round(·, 6) absorbs that except for a component sitting
-      // EXACTLY on a 6-decimal rounding boundary — measured green
-      // across all SFs (including three compounded rounds in s66), and
-      // were it ever to flake, the fix is an integer/fixed-point lane
-      // for the sums, not a wider round.
-      val raw = spark.read.parquet(log.toString)
-      val wMax = Window.partitionBy(col("cell"), col("pos"))
-      raw
-        .withColumn("max_bid", max(col("bid")).over(wMax))
-        .filter(col("bid") === col("max_bid"))
-        .select(col("cell"), col("pos"),
-          round(col("s") / col("n"), 6).as("c"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
-          .as("pc"))
-        .select(col("cell").as("cid"),
-          expr("transform(pc, x -> x.c)").as("ce"))
-        .localCheckpoint() // materialize before tmp is deleted
-    } finally deleteRecursively(tmp)
+            .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v"))),
+          relay, bid)
+        ()
+      }.start()
+    val stats = spark.readStream
+      .schema("cell BIGINT, pos INT, v DOUBLE")
+      .option("maxFilesPerTrigger", streamShufflePartitions.toString)
+      .option("pathGlobFilter", "b*")
+      .parquet(relay.toString)
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+    val q2 = stats.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt2.toString)
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        writeBatchIdempotent(
+          df.withColumn("bid", lit(bid)).repartition(1), log, bid)
+        ()
+      }.start()
+    // Sequencing: q1.processAllAvailable() is a BARRIER — it returns
+    // only after every q1 microbatch has committed, i.e. after every
+    // relay file is fully written and atomically renamed into place
+    // (writeBatchIdempotent moves completed files; the directory
+    // listing is deterministic). Only then does q2.processAllAvailable()
+    // run, so q2's file source cannot list a half-written relay file or
+    // miss q1's last one. A refactor that overlaps the two calls
+    // (or swaps their order) silently breaks this.
+    try {
+      q1.processAllAvailable()
+      q2.processAllAvailable()
+    } finally {
+      try q1.stop() finally q2.stop()
+    }
+    // converged stats → updated centroids (the batch updateCentroids
+    // arithmetic over maintained sums). Summation-order tolerance
+    // (the s47 moment-matrix argument): the streamed Σv accumulates
+    // in microbatch arrival order while the batch oracle's avg()
+    // sums in partition order, so the doubles can differ in the last
+    // ulps; round(·, 6) absorbs that except for a component sitting
+    // EXACTLY on a 6-decimal rounding boundary — measured green
+    // across all SFs (including three compounded rounds in s66), and
+    // were it ever to flake, the fix is an integer/fixed-point lane
+    // for the sums, not a wider round.
+    val raw = spark.read.parquet(log.toString)
+    val wMax = Window.partitionBy(col("cell"), col("pos"))
+    raw
+      .withColumn("max_bid", max(col("bid")).over(wMax))
+      .filter(col("bid") === col("max_bid"))
+      .select(col("cell"), col("pos"),
+        round(col("s") / col("n"), 6).as("c"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+        .as("pc"))
+      .select(col("cell").as("cid"),
+        expr("transform(pc, x -> x.c)").as("ce"))
+      .localCheckpoint() // materialize before the caller deletes work
   }
 }
