@@ -754,12 +754,17 @@ private[graft] object StreamDedupTwins {
     // seeds the fold from the latest committed one —
     // StreamCcRecoverySpec drives stop/restart, the partial-write
     // fallback, the untouched-bucket byte-identity, and the emptied-
-    // bucket drop. Measured premium vs the r15 single-file full
-    // rewrite at sf0.1: ~2x wall (the per-batch state probe + the
-    // 16-dir staged commit are fixed costs the replay's small batches
-    // can't amortize) — the trade bought is per-batch write work
-    // bounded by touched components instead of accumulated state,
-    // which is the term that survives the 100x scale-up.
+    // bucket drop. The bucketed layout's fixed per-batch costs (state
+    // probe, staged 16-dir commit) initially bought a ~2x premium over
+    // the r15 single-file full rewrite; the cached committed-forest
+    // handle plus the driver-side QUOTIENT contraction (trickle
+    // batches contract the batch's edges mapped into label space —
+    // bounded by the microbatch — instead of O(diameter) Spark rounds
+    // over edges + touched stars) clawed that back (12.0s -> 8.0s solo
+    // min-of-3 at sf0.1; SCALE.md carries the full-run numbers) while
+    // KEEPING per-batch write work bounded by touched components
+    // instead of accumulated state — the term that survives the 100x
+    // scale-up.
     Entry("s62_stream_dedup_clusters",
       (spark, dir) => withStreamConf(spark) {
         val tmp = java.nio.file.Files.createTempDirectory("graft_cc_")
