@@ -974,8 +974,8 @@ private[graft] object StreamDedupTwins {
     * partial-write fallback, and the untouched-bucket byte-identity. */
   private[graft] def incrementalCcQuery(spark: SparkSession,
       edgesDir: String, ckpt: String, stateDir: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    spark.readStream.schema("d1 BIGINT, d2 BIGINT")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val q = spark.readStream.schema("d1 BIGINT, d2 BIGINT")
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "part-*")
       .parquet(edgesDir)
@@ -985,6 +985,27 @@ private[graft] object StreamDedupTwins {
         applyCcBatch(df.sparkSession, df, bid, stateDir)
         ()
       }.start()
+    // the cached handle's persisted blocks are released when THIS query
+    // terminates (the owner of the cache entry), not left to every call
+    // site's finally block; a restart simply rebuilds the handle from
+    // the committed snapshot on its first batch. The listener is
+    // one-shot and self-removing. (The event bus is async: a drop
+    // racing a restarted query's fresh install only costs that install
+    // a rebuild — handles are validated against the disk commit log on
+    // every access.)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == q.id) {
+          dropForestHandle(stateDir)
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    q
+  }
 
   /** One microbatch of the incremental CC engine (see
     * [[incrementalCcQuery]]). Driver-resident values per batch, all
@@ -1019,6 +1040,25 @@ private[graft] object StreamDedupTwins {
     val t0 = System.nanoTime()
     def mark(s: String): Unit = if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(f"[cc] b$bid $s ${(System.nanoTime() - t0) / 1e9}%.2f")
+    import spark.implicits._
+    // limit-probe the batch's edges FIRST: a trickle batch (≤
+    // ccQuotientMaxEdges rows — the 100 TB steady state) is then fully
+    // driver-resident, so its endpoint set derives in-memory instead of
+    // through a distributed distinct job, and the same array later
+    // feeds the quotient contraction; only an over-cap batch (backfill
+    // territory) pays the distributed endpoint distinct. Driver
+    // residency is bounded by the microbatch via the explicit cap.
+    val batchEdges: Option[Array[(Long, Long)]] = {
+      val probe = edges.limit(ccQuotientMaxEdges + 1).collect()
+      if (probe.length > ccQuotientMaxEdges) None
+      else Some(probe.map(r => (r.getLong(0), r.getLong(1))))
+    }
+    val endpoints = batchEdges match {
+      case Some(es) => es.iterator.flatMap(e => Iterator(e._1, e._2))
+        .toSeq.distinct.toDF("ep")
+      case None => edges.select(col("d1").as("ep"))
+        .unionAll(edges.select(col("d2").as("ep"))).distinct()
+    }
     // current labels of the batch's endpoints, as the (endpoint →
     // label) MAPPING: ONE broadcast-hash probe of the forest (no state
     // shuffle; one scan — a production Delta table would add a
@@ -1029,19 +1069,16 @@ private[graft] object StreamDedupTwins {
     // collect-then-broadcast costs the same memory as
     // checkpoint-then-broadcast and saves the extra materialization job
     // per microbatch.
-    val endpoints = edges.select(col("d1").as("ep"))
-      .unionAll(edges.select(col("d2").as("ep"))).distinct()
     val epLab: Map[Long, Long] = forest match {
       case Some(f) => f.join(broadcast(endpoints), f("d1") === col("ep"))
         .select(col("ep"), f("d2")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       case None => Map.empty
     }
-    val labels: Array[Long] = epLab.values.toSet.toArray
-    import spark.implicits._
-    val touchedLabels = labels.toSeq.toDF("lab")
-    val labelBuckets: Set[Int] =
-      labels.map(l => java.lang.Math.floorMod(l, ccForestBuckets.toLong).toInt).toSet
+    val oldLabels: Set[Long] = epLab.values.toSet
+    val touchedLabels = oldLabels.toSeq.toDF("lab")
+    val labelBuckets: Set[Int] = oldLabels
+      .map(l => java.lang.Math.floorMod(l, ccForestBuckets.toLong).toInt)
     mark("labels")
     // BULK-batch detection (initial backfill): when the batch's
     // endpoints touch components in EVERY bucket the state currently
@@ -1081,24 +1118,16 @@ private[graft] object StreamDedupTwins {
     // the min id of its component, so the quotient's min-label
     // fixpoint equals the min over all member docs ∪ new docs — the
     // same labeling the full contraction produces. The limit-probe
-    // bounds the driver residency explicitly: a batch larger than
-    // ccQuotientMaxEdges (bulk/backfill territory) falls back to the
-    // distributed contraction, which materializes eagerly (its result
-    // IS a localCheckpoint), so every read of the old snapshot
-    // completes before any mutation.
-    val batchEdges: Option[Array[(Long, Long)]] =
-      if (bulk) None
-      else {
-        val probe = edges.limit(ccQuotientMaxEdges + 1).collect()
-        if (probe.length > ccQuotientMaxEdges) None
-        else Some(probe.map(r => (r.getLong(0), r.getLong(1))))
-      }
+    // above bounds the driver residency explicitly: a batch larger
+    // than ccQuotientMaxEdges (bulk/backfill territory) — and any bulk
+    // batch — falls back to the distributed contraction, which
+    // materializes eagerly (its result IS a localCheckpoint), so every
+    // read of the old snapshot completes before any mutation.
     val (newStars, starBuckets) = batchEdges match {
-      case Some(es) =>
+      case Some(es) if !bulk =>
         val qcomp = graft.core.GraphTools.unionFindComponents(
           es.map { case (a, b) =>
             (epLab.getOrElse(a, a), epLab.getOrElse(b, b)) })
-        val oldLabels = epLab.values.toSet
         val qDf = qcomp.toSeq.toDF("qid", "qlab")
         val relabeled = touchedRows
           .join(broadcast(qDf), col("d2") === col("qid"))
@@ -1112,7 +1141,7 @@ private[graft] object StreamDedupTwins {
           .map(l => java.lang.Math.floorMod(l, ccForestBuckets.toLong).toInt)
           .toSet
         (stars, buckets)
-      case None =>
+      case _ =>
         val stars = graft.core.GraphTools
           .connectedComponents(edges.unionAll(touchedRows), "d1", "d2")
           .select(col("id").as("d1"), col("component").as("d2"))

@@ -99,15 +99,27 @@ private[graft] object StreamingHarness {
     if (java.nio.file.Files.exists(stage)) deleteRecursively(stage)
     df.write.mode("overwrite").parquet(stage.toString)
     java.nio.file.Files.createDirectories(dir)
-    listDir(stage)
+    val parts = listDir(stage)
       .filter(_.getFileName.toString.startsWith("part-"))
       .sortBy(_.getFileName.toString)
-      .zipWithIndex.foreach { case (p, i) =>
-        // ATOMIC_MOVE on POSIX is rename(2): replaces an existing
-        // target atomically, so a reader never sees a partial file
-        java.nio.file.Files.move(p, dir.resolve(f"b${bid}_p$i%05d.parquet"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      // ATOMIC_MOVE on POSIX is rename(2): replaces an existing
+      // target atomically, so a reader never sees a partial file
+      java.nio.file.Files.move(p, dir.resolve(f"b${bid}_p$i%05d.parquet"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    // a re-delivery that produced FEWER parts than the first attempt
+    // (partition-count drift across a restart) must not leave the
+    // first attempt's tail files beside the replacement — they would
+    // duplicate the batch for any fresh lister of the directory
+    val prefix = s"b${bid}_p"
+    listDir(dir)
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith(prefix) &&
+          n.stripPrefix(prefix).takeWhile(_.isDigit).toInt >= parts.length
       }
+      .foreach(java.nio.file.Files.delete(_))
     deleteRecursively(stage)
   }
 
