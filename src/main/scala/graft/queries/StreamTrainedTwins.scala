@@ -159,42 +159,13 @@ private[graft] object StreamTrainedTwins {
     Entry("s64_stream_bpe_train",
       (spark, dir) => {
         withStreamConf(spark) {
+          val in = bpeIngestChunks(spark, dir)
           val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_")
-          val log = tmp.resolve("log")
-          val ckpt = tmp.resolve("ckpt")
-          try {
-            val in = sharedChunkDir(dir, "doctext", "documents") { p =>
-              Registry.table(spark, dir, "documents")
-                .select(col("doc_id"), col("text"))
-                .repartitionByRange(chunks, col("doc_id"))
-                .write.parquet(p.toString)
-            }
-            val src = spark.readStream
-              .schema("doc_id BIGINT, text STRING")
-              .option("maxFilesPerTrigger", "1")
-              .option("pathGlobFilter", "part-*")
-              .parquet(in.toString)
-            val counts = TextOps.bpePreTokens(src)
-              .groupBy(col("w"))
-              .agg(count(lit(1)).as("cnt"))
-            val q = counts.writeStream.outputMode("update")
-              .option("checkpointLocation", ckpt.toString)
-              .foreachBatch { (df: DataFrame, bid: Long) =>
-                writeBatchIdempotent(
-                  df.withColumn("bid", lit(bid)).repartition(1), log, bid)
-                ()
-              }.start()
-            try q.processAllAvailable() finally q.stop()
-            // converged vocabulary = each word's LAST emitted count
-            val raw = spark.read.parquet(log.toString)
-            val wMax = Window.partitionBy(col("w"))
-            val converged = raw
-              .withColumn("max_bid", max(col("bid")).over(wMax))
-              .filter(col("bid") === col("max_bid"))
-              .select(col("w"), col("cnt"))
-            TextOps.bpeTrainFromCounts(spark, converged.localCheckpoint())
+          try
+            TextOps.bpeTrainFromCounts(spark,
+                streamedBpeCounts(spark, in, tmp))
               .localCheckpoint()
-          } finally deleteRecursively(tmp)
+          finally deleteRecursively(tmp)
         }
       },
       Some(TextOps.bpeTrainSharedOracleSql)),
@@ -278,6 +249,66 @@ private[graft] object StreamTrainedTwins {
       Some(VectorOps.kmeansLloyd3OracleSql)),
   )
 
+
+  /** The shared document-text replay chunks for the streamed BPE row
+    * (s64). */
+  private[graft] def bpeIngestChunks(spark: SparkSession,
+                                     dir: String): java.nio.file.Path =
+    sharedChunkDir(dir, "doctext", "documents") { p =>
+      Registry.table(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartitionByRange(chunks, col("doc_id"))
+        .write.parquet(p.toString)
+    }
+
+  /** The streamed BPE word-count ingest behind s64: replay the
+    * document chunks, pre-tokenize scan-locally, maintain the (w, cnt)
+    * streaming aggregation — the tokenizer's training-set state — and
+    * return the CONVERGED word-count table (each word's last emitted
+    * running count, the max-bid fold over the idempotent log).
+    *
+    * RESTART-SAFE: the streaming artifacts (converged log, checkpoint)
+    * live under the caller-provided `work` dir, which is NOT deleted
+    * here — re-invoking with the same dir resumes from the checkpoint
+    * (a replay stopped mid-corpus picks up exactly the unread chunk
+    * files, with the count state restored from the state store), and
+    * the sink writes through
+    * [[StreamingHarness.writeBatchIdempotent]], so an at-least-once
+    * foreachBatch re-delivery (crash between the sink write and the
+    * checkpoint commit) REPLACES its first attempt's files instead of
+    * appending duplicate counts into the max-bid fold. Both surfaces
+    * are driven by StreamTrainedRecoverySpec; s47 (PCA moment) and
+    * s63 (hard negatives) share the identical single-query
+    * converged-log discipline. */
+  private[graft] def streamedBpeCounts(spark: SparkSession,
+      in: java.nio.file.Path, work: java.nio.file.Path): DataFrame = {
+    val log = work.resolve("log")
+    val ckpt = work.resolve("ckpt")
+    val src = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "part-*")
+      .parquet(in.toString)
+    val counts = TextOps.bpePreTokens(src)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = counts.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        writeBatchIdempotent(
+          df.withColumn("bid", lit(bid)).repartition(1), log, bid)
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    // converged vocabulary = each word's LAST emitted count
+    val raw = spark.read.parquet(log.toString)
+    val wMax = Window.partitionBy(col("w"))
+    raw
+      .withColumn("max_bid", max(col("bid")).over(wMax))
+      .filter(col("bid") === col("max_bid"))
+      .select(col("w"), col("cnt"))
+      .localCheckpoint() // materialize before the caller deletes work
+  }
 
   /** The shared slim-embedding replay chunks for the streamed k-means
     * rows (s65, s66). */

@@ -119,4 +119,83 @@ class StreamTrainedRecoverySpec extends graft.SparkTestBase {
       } finally rmTree(tmp)
     }
   }
+
+  /** Same contract for the OTHER trained-twin shape: s64's
+    * single-query converged word-count stream (s47 and s63 share the
+    * identical discipline — one streaming aggregation, an idempotent
+    * per-bid log, a max-bid/max-seq converged fold). Surfaces:
+    *
+    *  (a) re-delivered microbatch — the idempotent writer must replace
+    *      its first attempt's log files, leaving the converged counts
+    *      unchanged;
+    *  (b) mid-replay restart — a replay stopped partway through the
+    *      corpus and resumed with the same work dir must pick up
+    *      exactly the unread chunk files (count state restored from
+    *      the state store) and converge to the clean full-corpus
+    *      counts.
+    *
+    * After both, the recovered counts must train the SAME merge table
+    * as the batch t_bpe_train oracle row. */
+  test("streamed BPE word counts survive re-delivery and mid-replay " +
+    "restarts and still train the batch merge table") {
+    StreamingHarness.withStreamConf(spark) {
+      val tmp = Files.createTempDirectory("graft_bperec_")
+      try {
+        val shared = StreamTrainedTwins.bpeIngestChunks(spark, sfDir)
+        def countsOf(df: DataFrame): Map[String, Long] =
+          df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        def logFiles(work: Path): Set[String] =
+          StreamingHarness.listDir(work.resolve("log"))
+            .map(_.getFileName.toString).toSet
+
+        // ---- clean full run: the reference answer ----
+        val wClean = tmp.resolve("clean")
+        val full = countsOf(
+          StreamTrainedTwins.streamedBpeCounts(spark, shared, wClean))
+        assert(full.nonEmpty, "clean run produced no word counts")
+
+        // ---- (a) re-delivered microbatch: drop its last commit ----
+        val logAfterClean = logFiles(wClean)
+        dropLatestCommit(wClean.resolve("ckpt"))
+        val redelivered = countsOf(
+          StreamTrainedTwins.streamedBpeCounts(spark, shared, wClean))
+        assert(logFiles(wClean) == logAfterClean,
+          "re-delivered count batch appended new files instead of " +
+            "replacing its first attempt")
+        assert(redelivered == full,
+          "re-delivery changed the converged word counts")
+
+        // ---- (b) mid-replay restart: half the corpus, then the rest ----
+        val in2 = tmp.resolve("in2")
+        Files.createDirectories(in2)
+        val parts = StreamingHarness.listDir(shared)
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .sortBy(_.getFileName.toString)
+        assert(parts.size >= 2, "need at least two chunk files to stop " +
+          "a replay mid-corpus")
+        val (firstHalf, rest) = parts.splitAt(parts.size / 2)
+        firstHalf.foreach(p => Files.createLink(in2.resolve(p.getFileName), p))
+        val wHalf = tmp.resolve("half")
+        val partial = countsOf(
+          StreamTrainedTwins.streamedBpeCounts(spark, in2, wHalf))
+        assert(partial != full,
+          "half-corpus run should not already equal the full counts")
+        rest.foreach(p => Files.createLink(in2.resolve(p.getFileName), p))
+        val resumedDf =
+          StreamTrainedTwins.streamedBpeCounts(spark, in2, wHalf)
+        assert(countsOf(resumedDf) == full,
+          "resuming the stopped replay with the remaining chunks " +
+            "diverged from the clean full-corpus counts")
+
+        // ---- batch-oracle comparison: train from recovered counts ----
+        val streamedTrain =
+          TextOps.bpeTrainFromCounts(spark, resumedDf).collect().toSeq
+        val batch = Registry.all.find(_.name == "t_bpe_train").get
+          .fn(spark, sfDir).collect().toSeq
+        assert(streamedTrain == batch,
+          "post-recovery counts trained a different merge table than " +
+            "batch t_bpe_train")
+      } finally rmTree(tmp)
+    }
+  }
 }
