@@ -49,8 +49,8 @@ private[graft] object StreamDedupTwins {
               src, _.fp, _.doc_id.toString, _.doc_id)
             val q = dd.toDF().writeStream.outputMode("update")
               .option("checkpointLocation", ckpt.toString)
-              .foreachBatch { (df: DataFrame, _: Long) =>
-                df.repartition(1).write.mode("append").parquet(log.toString)
+              .foreachBatch { (df: DataFrame, bid: Long) =>
+                writeBatchIdempotent(df.repartition(1), log, bid)
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()
@@ -116,8 +116,8 @@ private[graft] object StreamDedupTwins {
               sigs, _.doc_id.toString, _.doc_id.toString, _ => 0L)
             val q = dd.toDF().writeStream.outputMode("update")
               .option("checkpointLocation", ckpt.toString)
-              .foreachBatch { (df: DataFrame, _: Long) =>
-                df.repartition(1).write.mode("append").parquet(log.toString)
+              .foreachBatch { (df: DataFrame, bid: Long) =>
+                writeBatchIdempotent(df.repartition(1), log, bid)
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()
@@ -186,8 +186,8 @@ private[graft] object StreamDedupTwins {
               bandRows, r => r.bi + "|" + r.bv, _.doc_id.toString, _ => 0L)
             val q = dd.toDF().writeStream.outputMode("update")
               .option("checkpointLocation", ckpt.toString)
-              .foreachBatch { (df: DataFrame, _: Long) =>
-                df.repartition(1).write.mode("append").parquet(log.toString)
+              .foreachBatch { (df: DataFrame, bid: Long) =>
+                writeBatchIdempotent(df.repartition(1), log, bid)
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()
@@ -246,18 +246,19 @@ private[graft] object StreamDedupTwins {
               .parquet(in.toString)
               .writeStream.outputMode("append")
               .option("checkpointLocation", ckpt1.toString)
-              .foreachBatch { (df: DataFrame, _: Long) =>
-                df.crossJoin(broadcast(cent))
-                  .select(col("vec_id"), col("e"), col("nrm"),
-                    round(graft.functions.VectorFunctions.dot(
-                      col("e"), col("ce")) / (col("nrm") * col("cn")), 6)
-                      .as("csim"),
-                    col("cid"))
-                  .groupBy(col("vec_id"))
-                  .agg(max_by(col("cid"), struct(col("csim"), -col("cid")))
-                    .as("cell"),
-                    first(col("e")).as("e"), first(col("nrm")).as("nrm"))
-                  .write.mode("append").parquet(relay.toString)
+              .foreachBatch { (df: DataFrame, bid: Long) =>
+                writeBatchIdempotent(
+                  df.crossJoin(broadcast(cent))
+                    .select(col("vec_id"), col("e"), col("nrm"),
+                      round(graft.functions.VectorFunctions.dot(
+                        col("e"), col("ce")) / (col("nrm") * col("cn")), 6)
+                        .as("csim"),
+                      col("cid"))
+                    .groupBy(col("vec_id"))
+                    .agg(max_by(col("cid"), struct(col("csim"), -col("cid")))
+                      .as("cell"),
+                      first(col("e")).as("e"), first(col("nrm")).as("nrm")),
+                  relay, bid)
                 ()
               }.start()
             java.nio.file.Files.createDirectories(relay)
@@ -265,15 +266,15 @@ private[graft] object StreamDedupTwins {
               .schema("vec_id BIGINT, cell BIGINT, e ARRAY<DOUBLE>, " +
                 "nrm DOUBLE")
               .option("maxFilesPerTrigger", streamShufflePartitions.toString)
-              .option("pathGlobFilter", "part-*")
+              .option("pathGlobFilter", "b*")
               .parquet(relay.toString)
               .as[graft.streaming.AssignedVec]
             val dec = graft.streaming.SemanticStreamDedup.decisions(
               asgs, VectorOps.nearDupThreshold)
             val q2 = dec.toDF().writeStream.outputMode("update")
               .option("checkpointLocation", ckpt2.toString)
-              .foreachBatch { (df: DataFrame, _: Long) =>
-                df.repartition(1).write.mode("append").parquet(log.toString)
+              .foreachBatch { (df: DataFrame, bid: Long) =>
+                writeBatchIdempotent(df.repartition(1), log, bid)
                 ()
               }.start()
             try {
@@ -353,18 +354,19 @@ private[graft] object StreamDedupTwins {
               .parquet(in.toString)
               .writeStream.outputMode("append")
               .option("checkpointLocation", ckpt1.toString)
-              .foreachBatch { (df: DataFrame, _: Long) =>
-                df.select(col("doc_id"),
-                    TextFunctions.qualityScore(col("text")).as("quality"),
-                    TextFunctions.fingerprint64(col("text")).as("fp64"),
-                    TextFunctions.splitBucket(col("doc_id")).as("bucket"))
-                  .filter(col("quality") >= lit(0.6))
-                  .join(emb, col("vec_id") === col("doc_id"))
-                  .join(asg.withColumnRenamed("vec_id", "avid"),
-                    col("avid") === col("doc_id"))
-                  .select(col("doc_id"), col("bucket"), col("fp64"),
-                    col("cell"), col("e"), col("nrm"))
-                  .write.mode("append").parquet(relay.toString)
+              .foreachBatch { (df: DataFrame, bid: Long) =>
+                writeBatchIdempotent(
+                  df.select(col("doc_id"),
+                      TextFunctions.qualityScore(col("text")).as("quality"),
+                      TextFunctions.fingerprint64(col("text")).as("fp64"),
+                      TextFunctions.splitBucket(col("doc_id")).as("bucket"))
+                    .filter(col("quality") >= lit(0.6))
+                    .join(emb, col("vec_id") === col("doc_id"))
+                    .join(asg.withColumnRenamed("vec_id", "avid"),
+                      col("avid") === col("doc_id"))
+                    .select(col("doc_id"), col("bucket"), col("fp64"),
+                      col("cell"), col("e"), col("nrm")),
+                  relay, bid)
                 ()
               }.start()
             java.nio.file.Files.createDirectories(relay)
@@ -372,7 +374,7 @@ private[graft] object StreamDedupTwins {
               "fp64 BIGINT, cell BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE"
             def tail(): DataFrame = spark.readStream.schema(relaySchema)
               .option("maxFilesPerTrigger", streamShufflePartitions)
-              .option("pathGlobFilter", "part-*")
+              .option("pathGlobFilter", "b*")
               .parquet(relay.toString)
             val exactIn = tail()
               .select(col("doc_id").as("vec_id"),
@@ -382,8 +384,8 @@ private[graft] object StreamDedupTwins {
               .decisions(exactIn, -1.0)
               .toDF().writeStream.outputMode("update")
               .option("checkpointLocation", ckpt2.toString)
-              .foreachBatch { (df: DataFrame, _: Long) =>
-                df.repartition(1).write.mode("append").parquet(logE.toString)
+              .foreachBatch { (df: DataFrame, bid: Long) =>
+                writeBatchIdempotent(df.repartition(1), logE, bid)
                 ()
               }.start()
             val semIn = tail()
@@ -394,8 +396,8 @@ private[graft] object StreamDedupTwins {
               .decisions(semIn, VectorOps.nearDupThreshold)
               .toDF().writeStream.outputMode("update")
               .option("checkpointLocation", ckpt3.toString)
-              .foreachBatch { (df: DataFrame, _: Long) =>
-                df.repartition(1).write.mode("append").parquet(logS.toString)
+              .foreachBatch { (df: DataFrame, bid: Long) =>
+                writeBatchIdempotent(df.repartition(1), logS, bid)
                 ()
               }.start()
             try {
@@ -518,8 +520,8 @@ private[graft] object StreamDedupTwins {
               gramRows, _.g, _.doc_id.toString, _ => 0L)
             val q = dd.toDF().writeStream.outputMode("update")
               .option("checkpointLocation", ckpt.toString)
-              .foreachBatch { (df: DataFrame, _: Long) =>
-                df.repartition(1).write.mode("append").parquet(log.toString)
+              .foreachBatch { (df: DataFrame, bid: Long) =>
+                writeBatchIdempotent(df.repartition(1), log, bid)
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()
@@ -583,8 +585,8 @@ private[graft] object StreamDedupTwins {
               chunkRows, _.chunk_md5, _.doc_id.toString, _ => 0L)
             val q = dd.toDF().writeStream.outputMode("update")
               .option("checkpointLocation", ckpt.toString)
-              .foreachBatch { (df: DataFrame, _: Long) =>
-                df.repartition(1).write.mode("append").parquet(log.toString)
+              .foreachBatch { (df: DataFrame, bid: Long) =>
+                writeBatchIdempotent(df.repartition(1), log, bid)
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()
@@ -683,8 +685,8 @@ private[graft] object StreamDedupTwins {
               gramRows, _.g, _.doc_id.toString, _ => 0L)
             val q = dd.toDF().writeStream.outputMode("update")
               .option("checkpointLocation", ckpt.toString)
-              .foreachBatch { (df: DataFrame, _: Long) =>
-                df.repartition(1).write.mode("append").parquet(log.toString)
+              .foreachBatch { (df: DataFrame, bid: Long) =>
+                writeBatchIdempotent(df.repartition(1), log, bid)
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()

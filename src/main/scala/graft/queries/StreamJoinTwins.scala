@@ -599,10 +599,11 @@ private[graft] object StreamJoinTwins {
           val (custDir, ordDir, liDir) = chainChunkDirs(spark, dir)
 
           def src(d: java.nio.file.Path, schema: String,
-                  filesPerTrigger: Int = 1): DataFrame =
+                  filesPerTrigger: Int = 1,
+                  glob: String = "part-*"): DataFrame =
             spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", filesPerTrigger.toString)
-              .option("pathGlobFilter", "part-*")
+              .option("pathGlobFilter", glob)
               .parquet(d.toString)
 
           // stage 1: customer ⋈ orders keyed by custkey; every
@@ -622,13 +623,14 @@ private[graft] object StreamJoinTwins {
               _ => 0L, _.o_ver) // one customer version per id: ts moot
             .toDF()
             .writeStream.outputMode("update")
-            .foreachBatch { (df: DataFrame, _: Long) =>
-              df.select(col("key"), col("seq"),
+            .foreachBatch { (df: DataFrame, bid: Long) =>
+              writeBatchIdempotent(
+                df.select(col("key"), col("seq"),
                   col("x.c_custkey").as("c_custkey"),
                   col("x.c_name").as("c_name"),
                   col("y.o_orderkey").as("o_orderkey"),
-                  col("y.o_totalprice").as("o_totalprice"))
-                .write.mode("append").parquet(abLog.toString)
+                  col("y.o_totalprice").as("o_totalprice")),
+                abLog, bid)
               ()
             }.start()
 
@@ -645,7 +647,8 @@ private[graft] object StreamJoinTwins {
           // before the source starts listing it.
           java.nio.file.Files.createDirectories(abLog)
           val q2 = VersionedStreamJoin.fullOuter[AbRel, LiRow](
-              src(abLog, abSchema, filesPerTrigger = streamShufflePartitions.toInt)
+              src(abLog, abSchema,
+                filesPerTrigger = streamShufflePartitions.toInt, glob = "b*")
                 .where(col("o_orderkey").isNotNull)
                 .select(col("seq"), col("c_custkey"), col("c_name"),
                   col("o_orderkey"), col("o_totalprice")).as[AbRel],
@@ -657,15 +660,16 @@ private[graft] object StreamJoinTwins {
               _.seq, _.l_ver)
             .toDF()
             .writeStream.outputMode("update")
-            .foreachBatch { (df: DataFrame, _: Long) =>
-              df.select(col("key"), col("seq"),
+            .foreachBatch { (df: DataFrame, bid: Long) =>
+              writeBatchIdempotent(
+                df.select(col("key"), col("seq"),
                   col("x.c_custkey").as("c_custkey"),
                   col("x.c_name").as("c_name"),
                   col("x.o_orderkey").as("o_orderkey"),
                   col("x.o_totalprice").as("o_totalprice"),
                   col("y.l_linenumber").as("l_linenumber"),
-                  col("y.l_extendedprice").as("l_extendedprice"))
-                .write.mode("append").parquet(bcLog.toString)
+                  col("y.l_extendedprice").as("l_extendedprice")),
+                bcLog, bid)
               ()
             }.start()
           // drain stage 1 first (it feeds the relay), then stage 2;
@@ -747,10 +751,11 @@ private[graft] object StreamJoinTwins {
               val (custDir, ordDir, liDir) = chainChunkDirs(spark, dir)
 
               def src(d: java.nio.file.Path, schema: String,
-                      filesPerTrigger: Int = 1): DataFrame =
+                      filesPerTrigger: Int = 1,
+                      glob: String = "part-*"): DataFrame =
                 spark.readStream.schema(schema)
                   .option("maxFilesPerTrigger", filesPerTrigger.toString)
-                  .option("pathGlobFilter", "part-*")
+                  .option("pathGlobFilter", glob)
                   .parquet(d.toString)
 
               val q1 = VersionedStreamJoin.fullOuter[CustRow, OrdRow](
@@ -768,13 +773,14 @@ private[graft] object StreamJoinTwins {
                   _ => 1L, _.o_ver)
                 .toDF()
                 .writeStream.outputMode("update")
-                .foreachBatch { (df: DataFrame, _: Long) =>
-                  df.select(col("key"), col("seq"),
+                .foreachBatch { (df: DataFrame, bid: Long) =>
+                  writeBatchIdempotent(
+                    df.select(col("key"), col("seq"),
                       col("x.c_custkey").as("c_custkey"),
                       col("x.c_name").as("c_name"),
                       col("y.o_orderkey").as("o_orderkey"),
-                      col("y.o_totalprice").as("o_totalprice"))
-                    .write.mode("append").parquet(abLog.toString)
+                      col("y.o_totalprice").as("o_totalprice")),
+                    abLog, bid)
                   ()
                 }.start()
 
@@ -787,7 +793,8 @@ private[graft] object StreamJoinTwins {
                 .flatMap(li => (0 until salts).map(s => (s, li)))
               val q2 = VersionedStreamJoin.fullOuter[AbRel, (Int, LiRow)](
                   src(abLog, abSchema,
-                    filesPerTrigger = streamShufflePartitions.toInt)
+                    filesPerTrigger = streamShufflePartitions.toInt,
+                    glob = "b*")
                     .where(col("o_orderkey").isNotNull)
                     .select(col("seq"), col("c_custkey"), col("c_name"),
                       col("o_orderkey"), col("o_totalprice")).as[AbRel],
@@ -800,15 +807,16 @@ private[graft] object StreamJoinTwins {
                   _.seq, _._2.l_ver)
                 .toDF()
                 .writeStream.outputMode("update")
-                .foreachBatch { (df: DataFrame, _: Long) =>
-                  df.select(col("key"), col("seq"),
+                .foreachBatch { (df: DataFrame, bid: Long) =>
+                  writeBatchIdempotent(
+                    df.select(col("key"), col("seq"),
                       col("x.c_custkey").as("c_custkey"),
                       col("x.c_name").as("c_name"),
                       col("x.o_orderkey").as("o_orderkey"),
                       col("x.o_totalprice").as("o_totalprice"),
                       col("y._2.l_linenumber").as("l_linenumber"),
-                      col("y._2.l_extendedprice").as("l_extendedprice"))
-                    .write.mode("append").parquet(bcLog.toString)
+                      col("y._2.l_extendedprice").as("l_extendedprice")),
+                    bcLog, bid)
                   ()
                 }.start()
               try {

@@ -54,30 +54,31 @@ private[graft] object StreamServingTwins {
               .parquet(in.toString)
               .writeStream.outputMode("append")
               .option("checkpointLocation", ckpt1.toString)
-              .foreachBatch { (df: DataFrame, _: Long) =>
-                df.crossJoin(broadcast(cent))
-                  .select(col("vec_id"),
-                    round(graft.functions.VectorFunctions.dot(
-                      col("e"), col("ce")) / (col("nrm") * col("cn")), 6)
-                      .as("csim"),
-                    col("cid"))
-                  .groupBy(col("vec_id"))
-                  .agg(max_by(col("cid"), struct(col("csim"), -col("cid")))
-                    .as("cell"))
-                  .write.mode("append").parquet(relay.toString)
+              .foreachBatch { (df: DataFrame, bid: Long) =>
+                writeBatchIdempotent(
+                  df.crossJoin(broadcast(cent))
+                    .select(col("vec_id"),
+                      round(graft.functions.VectorFunctions.dot(
+                        col("e"), col("ce")) / (col("nrm") * col("cn")), 6)
+                        .as("csim"),
+                      col("cid"))
+                    .groupBy(col("vec_id"))
+                    .agg(max_by(col("cid"), struct(col("csim"), -col("cid")))
+                      .as("cell")),
+                  relay, bid)
                 ()
               }.start()
             java.nio.file.Files.createDirectories(relay)
             val asgs = spark.readStream.schema("vec_id BIGINT, cell BIGINT")
               .option("maxFilesPerTrigger", streamShufflePartitions.toString)
-              .option("pathGlobFilter", "part-*")
+              .option("pathGlobFilter", "b*")
               .parquet(relay.toString).as[AsgRow]
             val dd = VersionedStreamDedup.latestPerKeyId[AsgRow](
               asgs, _.cell.toString, _.vec_id.toString, _ => 0L)
             val q2 = dd.toDF().writeStream.outputMode("update")
               .option("checkpointLocation", ckpt2.toString)
-              .foreachBatch { (df: DataFrame, _: Long) =>
-                df.repartition(1).write.mode("append").parquet(log.toString)
+              .foreachBatch { (df: DataFrame, bid: Long) =>
+                writeBatchIdempotent(df.repartition(1), log, bid)
                 ()
               }.start()
             try {
@@ -182,24 +183,25 @@ private[graft] object StreamServingTwins {
               .parquet(in.toString)
               .writeStream.outputMode("append")
               .option("checkpointLocation", ckpt1.toString)
-              .foreachBatch { (df: DataFrame, _: Long) =>
-                VectorOps.pqEncode(spark,
-                    df.select(col("vec_id"), col("e")), cb)
-                  .write.mode("append").parquet(relay.toString)
+              .foreachBatch { (df: DataFrame, bid: Long) =>
+                writeBatchIdempotent(
+                  VectorOps.pqEncode(spark,
+                    df.select(col("vec_id"), col("e")), cb),
+                  relay, bid)
                 ()
               }.start()
             java.nio.file.Files.createDirectories(relay)
             val codesIn = spark.readStream
               .schema("vec_id BIGINT, s INT, code BIGINT")
               .option("maxFilesPerTrigger", streamShufflePartitions.toString)
-              .option("pathGlobFilter", "part-*")
+              .option("pathGlobFilter", "b*")
               .parquet(relay.toString).as[PqCodeRow]
             val dd = VersionedStreamDedup.latestPerKeyId[PqCodeRow](
               codesIn, _.vec_id.toString, _.s.toString, _ => 0L)
             val q2 = dd.toDF().writeStream.outputMode("update")
               .option("checkpointLocation", ckpt2.toString)
-              .foreachBatch { (df: DataFrame, _: Long) =>
-                df.repartition(1).write.mode("append").parquet(log.toString)
+              .foreachBatch { (df: DataFrame, bid: Long) =>
+                writeBatchIdempotent(df.repartition(1), log, bid)
                 ()
               }.start()
             try {
@@ -338,8 +340,8 @@ private[graft] object StreamServingTwins {
               codeRows, _.vec_id.toString, _ => "c", _ => 0L)
             val q = dd.toDF().writeStream.outputMode("update")
               .option("checkpointLocation", ckpt.toString)
-              .foreachBatch { (df: DataFrame, _: Long) =>
-                df.repartition(1).write.mode("append").parquet(log.toString)
+              .foreachBatch { (df: DataFrame, bid: Long) =>
+                writeBatchIdempotent(df.repartition(1), log, bid)
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()
@@ -430,17 +432,18 @@ private[graft] object StreamServingTwins {
       .parquet(in)
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckpt.toString)
-      .foreachBatch { (df: DataFrame, _: Long) =>
-        df.crossJoin(broadcast(cent))
-          .select(col("vec_id"),
-            round(graft.functions.VectorFunctions.dot(
-              col("e"), col("ce")) / (col("nrm") * col("cn")), 6)
-              .as("csim"),
-            col("cid"))
-          .groupBy(col("vec_id"))
-          .agg(max_by(col("cid"), struct(col("csim"), -col("cid")))
-            .as("cell"))
-          .write.mode("append").parquet(relay.toString)
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        writeBatchIdempotent(
+          df.crossJoin(broadcast(cent))
+            .select(col("vec_id"),
+              round(graft.functions.VectorFunctions.dot(
+                col("e"), col("ce")) / (col("nrm") * col("cn")), 6)
+                .as("csim"),
+              col("cid"))
+            .groupBy(col("vec_id"))
+            .agg(max_by(col("cid"), struct(col("csim"), -col("cid")))
+              .as("cell")),
+          relay, bid)
         ()
       }.start()
 
@@ -455,14 +458,14 @@ private[graft] object StreamServingTwins {
     import spark.implicits._
     val asgs = spark.readStream.schema("vec_id BIGINT, cell BIGINT")
       .option("maxFilesPerTrigger", streamShufflePartitions.toString)
-      .option("pathGlobFilter", "part-*")
+      .option("pathGlobFilter", "b*")
       .parquet(relay.toString).as[AsgRow]
     val dd = VersionedStreamDedup.latestPerKeyId[AsgRow](
       asgs, _.cell.toString, _.vec_id.toString, _ => 0L)
     dd.toDF().writeStream.outputMode("update")
       .option("checkpointLocation", ckpt.toString)
-      .foreachBatch { (df: DataFrame, _: Long) =>
-        df.repartition(1).write.mode("append").parquet(log.toString)
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        writeBatchIdempotent(df.repartition(1), log, bid)
         ()
       }.start()
   }
@@ -518,9 +521,10 @@ private[graft] object StreamServingTwins {
         // count — is the per-batch write cost
         val q = dd.toDF().writeStream.outputMode("update")
           .option("checkpointLocation", ckpt.toString)
-          .foreachBatch { (df: DataFrame, _: Long) =>
-            df.repartition(streamShufflePartitions.toInt, col("key"))
-              .write.mode("append").parquet(log.toString)
+          .foreachBatch { (df: DataFrame, bid: Long) =>
+            writeBatchIdempotent(
+              df.repartition(streamShufflePartitions.toInt, col("key")),
+              log, bid)
             ()
           }.start()
         try q.processAllAvailable() finally q.stop()
@@ -574,8 +578,8 @@ private[graft] object StreamServingTwins {
           statRows, _.doc_id.toString, _.frame_idx.toString, _ => 0L)
         val q = dd.toDF().writeStream.outputMode("update")
           .option("checkpointLocation", ckpt.toString)
-          .foreachBatch { (df: DataFrame, _: Long) =>
-            df.repartition(1).write.mode("append").parquet(log.toString)
+          .foreachBatch { (df: DataFrame, bid: Long) =>
+            writeBatchIdempotent(df.repartition(1), log, bid)
             ()
           }.start()
         try q.processAllAvailable() finally q.stop()

@@ -447,8 +447,8 @@ private[graft] object StreamSketchTwins {
             val q = counts.writeStream.outputMode("update")
               .option("checkpointLocation", ckpt.toString)
               .foreachBatch { (df: DataFrame, bid: Long) =>
-                df.withColumn("bid", lit(bid))
-                  .repartition(1).write.mode("append").parquet(log.toString)
+                writeBatchIdempotent(
+                  df.withColumn("bid", lit(bid)).repartition(1), log, bid)
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()
@@ -506,8 +506,8 @@ private[graft] object StreamSketchTwins {
             val q = vocab.writeStream.outputMode("update")
               .option("checkpointLocation", ckpt.toString)
               .foreachBatch { (df: DataFrame, bid: Long) =>
-                df.withColumn("bid", lit(bid))
-                  .repartition(1).write.mode("append").parquet(log.toString)
+                writeBatchIdempotent(
+                  df.withColumn("bid", lit(bid)).repartition(1), log, bid)
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()
@@ -564,8 +564,8 @@ private[graft] object StreamSketchTwins {
             val q = per.writeStream.outputMode("update")
               .option("checkpointLocation", ckpt.toString)
               .foreachBatch { (df: DataFrame, bid: Long) =>
-                df.withColumn("bid", lit(bid))
-                  .repartition(1).write.mode("append").parquet(log.toString)
+                writeBatchIdempotent(
+                  df.withColumn("bid", lit(bid)).repartition(1), log, bid)
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()
@@ -617,8 +617,8 @@ private[graft] object StreamSketchTwins {
             val q = counts.writeStream.outputMode("update")
               .option("checkpointLocation", ckpt.toString)
               .foreachBatch { (df: DataFrame, bid: Long) =>
-                df.withColumn("bid", lit(bid))
-                  .repartition(1).write.mode("append").parquet(log.toString)
+                writeBatchIdempotent(
+                  df.withColumn("bid", lit(bid)).repartition(1), log, bid)
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()
@@ -674,8 +674,8 @@ private[graft] object StreamSketchTwins {
             val q = model.writeStream.outputMode("update")
               .option("checkpointLocation", ckpt.toString)
               .foreachBatch { (df: DataFrame, bid: Long) =>
-                df.withColumn("bid", lit(bid))
-                  .repartition(1).write.mode("append").parquet(log.toString)
+                writeBatchIdempotent(
+                  df.withColumn("bid", lit(bid)).repartition(1), log, bid)
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()

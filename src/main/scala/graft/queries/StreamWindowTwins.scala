@@ -423,8 +423,8 @@ private[graft] object StreamWindowTwins {
             val q = dd.toDF().writeStream.outputMode("update")
               .option("checkpointLocation", ckpt.toString)
               .foreachBatch { (df: DataFrame, bid: Long) =>
-                df.withColumn("bid", lit(bid))
-                  .repartition(1).write.mode("append").parquet(log.toString)
+                writeBatchIdempotent(
+                  df.withColumn("bid", lit(bid)).repartition(1), log, bid)
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()

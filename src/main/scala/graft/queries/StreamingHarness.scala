@@ -295,11 +295,10 @@ private[graft] object StreamingHarness {
           .option("maxFilesPerTrigger", "1")
           .option("pathGlobFilter", "part-*")
           .parquet(in.toString).as[Ev]
-        val logMode = if (mode == "complete") "overwrite" else "append"
         val q = build(() => src).writeStream
           .outputMode(mode)
           .option("checkpointLocation", ckpt.toString)
-          .foreachBatch { (df: DataFrame, _: Long) =>
+          .foreachBatch { (df: DataFrame, bid: Long) =>
             // Bound the log's file count: without this, every microbatch
             // appends one file PER SHUFFLE PARTITION (32 × trigger count
             // small files), and the converge-scan pays the open/footer
@@ -308,7 +307,14 @@ private[graft] object StreamingHarness {
             // emission set funnels through the single write task; a
             // production deployment sizes this to emission volume
             // (one file per few hundred MB) rather than 1.
-            df.repartition(1).write.mode(logMode).parquet(log.toString)
+            // Complete mode overwrites (each trigger carries the full
+            // current answer — re-delivery is idempotent by shape);
+            // update/append modes write through the per-bid idempotent
+            // renamer so a re-delivered batch replaces its first
+            // attempt instead of duplicating the log's max-seq rows.
+            if (mode == "complete")
+              df.repartition(1).write.mode("overwrite").parquet(log.toString)
+            else writeBatchIdempotent(df.repartition(1), log, bid)
             ()
           }.start()
         try q.processAllAvailable() finally q.stop()
