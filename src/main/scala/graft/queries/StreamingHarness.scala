@@ -91,7 +91,21 @@ private[graft] object StreamingHarness {
     * content with no dedup logic of their own. Stable names also mean
     * a streaming file source that already consumed the first attempt
     * sees nothing new. Plain `mode("append")` logs lack exactly this
-    * property (r16 ADVICE on the s65/s66 relay). */
+    * property (r16 ADVICE on the s65/s66 relay).
+    *
+    * CONTRACT: a re-delivery must reproduce the first attempt's FILE
+    * SET — deterministic content AND a stable part count across
+    * attempts. Every caller upholds the count side with a constant
+    * layout (`repartition(1)`, or `repartition(k, key)` with k a
+    * compile-time constant), so the same rows land under the same
+    * names on retry. A re-delivery whose part count DRIFTED anyway is
+    * handled for a fresh lister (the tail-trim below), but a tailing
+    * file source that consumed part of the first attempt mid-batch
+    * cannot be reconciled with a content-repacked retry by ANY
+    * filesystem layout (its path-based seen-files log would skip the
+    * replaced names while the trimmed tails vanish) — which is why
+    * the stable-layout contract, not the trim, is the load-bearing
+    * property. */
   private[graft] def writeBatchIdempotent(df: DataFrame,
       dir: java.nio.file.Path, bid: Long): Unit = {
     val stage = dir.resolveSibling(
@@ -269,7 +283,8 @@ private[graft] object StreamingHarness {
     * ingest directory — at 100 TB this is the object-store prefix new
     * files land in), then readStream consumes one file per trigger
     * through `build`, and every microbatch's emissions land in a
-    * parquet LOG via foreachBatch (append for update/append mode;
+    * parquet LOG via foreachBatch (per-bid idempotent renames via
+    * [[writeBatchIdempotent]] for update/append mode; whole-dir
     * overwrite for complete mode, where each trigger carries the full
     * current answer). Raw update-mode emission volume (typically 5–10×
     * the converged answer) therefore lives only in executor-written

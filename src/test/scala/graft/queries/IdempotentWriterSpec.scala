@@ -22,11 +22,8 @@ import java.nio.file.{Files, Path}
   * this spec pins them in isolation. */
 class IdempotentWriterSpec extends graft.SparkTestBase {
 
-  private def rmTree(p: Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    Files.walk(p).iterator().asScala.toSeq
-      .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
-  }
+  private def rmTree(p: Path): Unit =
+    StreamingHarness.deleteRecursively(p)
 
   private def names(dir: Path): Set[String] =
     StreamingHarness.listDir(dir).map(_.getFileName.toString).toSet

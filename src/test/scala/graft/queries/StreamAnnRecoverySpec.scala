@@ -20,11 +20,8 @@ class StreamAnnRecoverySpec extends graft.SparkTestBase {
   private val sfDir = sys.props.getOrElse("graft.testdata.dir",
     sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001"))
 
-  private def rmTree(p: Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    Files.walk(p).iterator().asScala.toSeq
-      .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
-  }
+  private def rmTree(p: Path): Unit =
+    StreamingHarness.deleteRecursively(p)
 
   private def partFiles(dir: Path): Seq[Path] = {
     import scala.jdk.CollectionConverters._

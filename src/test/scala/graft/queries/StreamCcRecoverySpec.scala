@@ -21,11 +21,8 @@ import org.apache.spark.sql.functions._
 class StreamCcRecoverySpec extends graft.SparkTestBase {
   import spark.implicits._
 
-  private def rmTree(p: Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    Files.walk(p).iterator().asScala.toSeq
-      .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
-  }
+  private def rmTree(p: Path): Unit =
+    StreamingHarness.deleteRecursively(p)
 
   /** (relative path → bytes) of every data file under a snapshot's
     * bucket=k dir — the byte-identity witness for untouched buckets. */

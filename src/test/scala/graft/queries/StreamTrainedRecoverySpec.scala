@@ -30,11 +30,8 @@ class StreamTrainedRecoverySpec extends graft.SparkTestBase {
   private val sfDir = sys.props.getOrElse("graft.testdata.dir",
     sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001"))
 
-  private def rmTree(p: Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    Files.walk(p).iterator().asScala.toSeq
-      .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
-  }
+  private def rmTree(p: Path): Unit =
+    StreamingHarness.deleteRecursively(p)
 
   private def centMap(df: DataFrame): Map[Long, Seq[Double]] =
     df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
