@@ -836,11 +836,17 @@ private[graft] object StreamDedupTwins {
   /** Trickle-batch ceiling for the driver-side quotient contraction in
     * [[applyCcBatch]]: a microbatch with at most this many edges is
     * contracted via [[graft.core.GraphTools.unionFindComponents]] over
-    * its label-space quotient (driver memory ∝ batch size — tens of MB
-    * at this ceiling, the same class as the touched-label broadcast);
-    * anything larger (backfill territory) takes the distributed
-    * contraction. Production sizes this to driver heap. */
-  private[graft] val ccQuotientMaxEdges = 1000000
+    * its label-space quotient; anything larger (backfill territory)
+    * takes the distributed contraction. Driver memory on the trickle
+    * path is ∝ batch size in BOXED row/tuple/map form — the probe's
+    * Rows, the edge array, the endpoint seq, and the endpoint→label
+    * map together run ~100 bytes/edge, so this ceiling keeps the
+    * transient footprint in the tens of MB (it is NOT a raw 16-byte/
+    * edge estimate); the over-cap probe also ships at most cap+1 rows
+    * before bailing to the distributed path. Production sizes this to
+    * driver heap; steady-state s62 replay batches are thousands of
+    * edges, two orders below it. */
+  private[graft] val ccQuotientMaxEdges = 100000
 
   private[graft] def isSnapshotName(n: String): Boolean =
     n.length > 1 && n.startsWith("b") && n.drop(1).forall(_.isDigit)
@@ -1011,13 +1017,15 @@ private[graft] object StreamDedupTwins {
 
   /** One microbatch of the incremental CC engine (see
     * [[incrementalCcQuery]]). Driver-resident values per batch, all
-    * bounded by the MICROBATCH (never by corpus or accumulated-state
-    * size): the endpoint→label mapping (≤ one pair per batch endpoint —
-    * the same memory class as the broadcast those labels must feed
-    * either way), the batch's edge list on the trickle path (explicitly
-    * capped at [[ccQuotientMaxEdges]] by a limit-probe, with the
-    * distributed contraction as the over-cap fallback), and the touched
-    * BUCKET ids (≤ 2·ccForestBuckets ints). */
+    * bounded by the CAP-BOUNDED microbatch or by touched components
+    * (never by corpus, accumulated-state, or backfill-batch size): on
+    * the trickle path, the batch's edge list and its endpoint→label
+    * mapping (both explicitly capped at [[ccQuotientMaxEdges]] by the
+    * limit-probe); on the over-cap path, ONLY the distinct touched
+    * label set (one long per touched component — the same values the
+    * semi/anti joins must broadcast either way, never a per-endpoint
+    * collect); and the touched BUCKET ids (≤ 2·ccForestBuckets
+    * ints). */
   private[graft] def applyCcBatch(spark: SparkSession, newEdges: DataFrame,
                                   bid: Long, stateDir: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -1061,23 +1069,35 @@ private[graft] object StreamDedupTwins {
       case None => edges.select(col("d1").as("ep"))
         .unionAll(edges.select(col("d2").as("ep"))).distinct()
     }
-    // current labels of the batch's endpoints, as the (endpoint →
-    // label) MAPPING: ONE broadcast-hash probe of the forest (no state
-    // shuffle; one scan — a production Delta table would add a
-    // doc-keyed secondary index / file-level bloom to prune this lookup
-    // too), collected in one job. Driver residency is not new risk:
-    // bounded by the microbatch's endpoint count, the same memory class
-    // as the broadcast the touched labels must feed either way, so
-    // collect-then-broadcast costs the same memory as
-    // checkpoint-then-broadcast and saves the extra materialization job
-    // per microbatch.
-    val epLab: Map[Long, Long] = forest match {
-      case Some(f) => f.join(broadcast(endpoints), f("d1") === col("ep"))
-        .select(col("ep"), f("d2")).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      case None => Map.empty
+    // current labels of the batch's endpoints: ONE broadcast-hash
+    // probe of the forest (no state shuffle; one scan — a production
+    // Delta table would add a doc-keyed secondary index / file-level
+    // bloom to prune this lookup too), collected in one job. What gets
+    // driver-resident depends on the branch: the TRICKLE path needs
+    // the full (endpoint → label) MAPPING (the quotient contraction
+    // below maps each batch edge through it), bounded by the
+    // cap-bounded batch's endpoint count; the OVER-CAP path (backfill
+    // territory, batch size unbounded) consumes only the DISTINCT
+    // touched label set, so only that is collected there — the same
+    // memory class as the broadcast those labels must feed either way
+    // (an endpoint-level collect on this branch would scale with
+    // matched endpoints, i.e. with the backfill batch, not with
+    // touched components).
+    val (epLab: Map[Long, Long], oldLabels: Set[Long]) = forest match {
+      case Some(f) =>
+        val probed = f.join(broadcast(endpoints), f("d1") === col("ep"))
+        batchEdges match {
+          case Some(_) =>
+            val m = probed.select(col("ep"), f("d2")).collect()
+              .map(r => r.getLong(0) -> r.getLong(1)).toMap
+            (m, m.values.toSet)
+          case None =>
+            val labs = probed.select(f("d2").as("lab")).distinct()
+              .collect().map(_.getLong(0)).toSet
+            (Map.empty[Long, Long], labs)
+        }
+      case None => (Map.empty[Long, Long], Set.empty[Long])
     }
-    val oldLabels: Set[Long] = epLab.values.toSet
     val touchedLabels = oldLabels.toSeq.toDF("lab")
     val labelBuckets: Set[Int] = oldLabels
       .map(l => java.lang.Math.floorMod(l, ccForestBuckets.toLong).toInt)

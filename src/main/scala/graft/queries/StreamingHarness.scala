@@ -95,15 +95,22 @@ private[graft] object StreamingHarness {
     *
     * CONTRACT: a re-delivery must reproduce the first attempt's FILE
     * SET — deterministic content AND a stable part count across
-    * attempts. Every caller upholds the count side with a constant
-    * layout (`repartition(1)`, or `repartition(k, key)` with k a
-    * compile-time constant), so the same rows land under the same
-    * names on retry. A re-delivery whose part count DRIFTED anyway is
-    * handled for a fresh lister (the tail-trim below), but a tailing
-    * file source that consumed part of the first attempt mid-batch
-    * cannot be reconciled with a content-repacked retry by ANY
-    * filesystem layout (its path-based seen-files log would skip the
-    * replaced names while the trimmed tails vanish) — which is why
+    * attempts. Callers uphold the count side one of two ways: an
+    * explicit constant layout (`repartition(1)`, or
+    * `repartition(k, key)` with k a compile-time constant), or — for
+    * the relay/join-log writers that keep the upstream shuffle layout —
+    * the harness itself, which runs every twin (and therefore every
+    * re-delivery) under [[withStreamConf]]'s compile-time-constant
+    * shuffle width, so the same deterministic plan over the same batch
+    * produces the same non-empty-partition set on retry (AQE included:
+    * its coalescing decisions are a function of the same runtime
+    * stats). A re-delivery whose part count DRIFTED anyway — possible
+    * only if the code or its constants changed between crash and
+    * restart — is handled for a fresh lister (the tail-trim below),
+    * but a tailing file source that consumed part of the first attempt
+    * mid-batch cannot be reconciled with a content-repacked retry by
+    * ANY filesystem layout (its path-based seen-files log would skip
+    * the replaced names while the trimmed tails vanish) — which is why
     * the stable-layout contract, not the trim, is the load-bearing
     * property. */
   private[graft] def writeBatchIdempotent(df: DataFrame,
