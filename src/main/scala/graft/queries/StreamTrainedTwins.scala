@@ -172,15 +172,16 @@ private[graft] object StreamTrainedTwins {
 
     // STREAMED K-MEANS SUFFICIENT STATISTICS — the last trained
     // statistic without a streamed twin: Lloyd's M-step needs only
-    // per-(cell, dim) (Σv, n), a pure sum, so arriving vectors assign
-    // to the broadcast seed centroids SCAN-LOCALLY in their
-    // microbatch (the exact batch assignment — rounded cosine,
-    // lower-cid argmax) and fan out to slim (cell, pos, v) rows whose
-    // native streaming aggregation IS the training-set state
-    // (16 cells × 64 dims of (sum, count) regardless of corpus
-    // size — the s47 moment-matrix argument applied to k-means). The
-    // converged stats produce the round-1 centroids exactly as the
-    // batch updateCentroids does (round(Σv/n, 6) per component) and
+    // per-(cell, dim) (Σq, n), a pure sum over micro-quantized exact
+    // integers, so arriving vectors assign to the broadcast seed
+    // centroids SCAN-LOCALLY in their microbatch (the exact batch
+    // assignment — rounded cosine, lower-cid argmax) and fan out to
+    // slim (cell, pos, q) rows whose native streaming aggregation IS
+    // the training-set state (16 cells × 64 dims of (sum, count)
+    // regardless of corpus size — the s47 moment-matrix argument
+    // applied to k-means). The converged stats produce the round-1
+    // centroids exactly as the batch updateCentroids does
+    // (microMean's deterministic division per component) and
     // the final assignment hash-matches the v_kmeans_assign oracle.
     // At 100 TB this is how an IVF index's centroids refresh while
     // the corpus streams in: the M-step reads 1,024 stat rows that
@@ -212,7 +213,7 @@ private[graft] object StreamTrainedTwins {
     // to Lloyd): round r replays the embedding chunks through a fresh
     // streaming pass whose scan-local assignment broadcasts round
     // r-1's streamed-trained centroids, maintains the per-(cell, dim)
-    // (Σv, n) state, and hands its round(Σv/n, 6) centroids to round
+    // (Σq, n) state, and hands its fixed-point-mean centroids to round
     // r+1. Three such passes reproduce the batch VectorTools.lloyd
     // 3-round trajectory — including cross-round assignment migration
     // and empty-cell dropout — and the final assignment hash-matches
@@ -324,11 +325,15 @@ private[graft] object StreamTrainedTwins {
     * embedding chunks, assign each arriving vector to the broadcast
     * `cent` table SCAN-LOCALLY in its microbatch (the exact batch
     * assignment — rounded cosine, lower-cid argmax), fan out to slim
-    * (cell, pos, v) rows whose native streaming aggregation maintains
-    * the per-(cell, dim) (Σv, n) sufficient statistics — 16 cells ×
-    * 64 dims of state regardless of corpus size — and return the
-    * updated centroid table (cid, ce) via the batch updateCentroids
-    * arithmetic round(Σv/n, 6) over the converged sums.
+    * (cell, pos, q) rows — q the micro-quantized component
+    * floor(v·10⁶ + 0.5), an exact integer (VectorTools.microQuantize,
+    * the same scan-local quantization the batch M-step applies) —
+    * whose native streaming aggregation maintains the per-(cell, dim)
+    * (Σq, n) sufficient statistics — 16 cells × 64 dims of state
+    * regardless of corpus size — and return the updated centroid
+    * table (cid, ce) via the batch updateCentroids arithmetic
+    * (VectorTools.microMean — exact integer sums, one deterministic
+    * division) over the converged sums.
     *
     * RESTART-SAFE: the round's streaming artifacts (relay, converged
     * log, both checkpoints) live under the caller-provided `work` dir,
@@ -337,7 +342,7 @@ private[graft] object StreamTrainedTwins {
     * [[StreamingHarness.writeBatchIdempotent]], so an at-least-once
     * foreachBatch re-delivery (crash between a sink write and its
     * checkpoint commit) REPLACES its first attempt's files instead of
-    * appending duplicate (cell, pos, v) rows into the Σv/n statistics.
+    * appending duplicate (cell, pos, q) rows into the Σq/n statistics.
     * A kill between q1's commit and q2's listing, a re-delivered
     * microbatch on either query, and a mid-chain restart in s66's
     * 3-round trajectory are all driven by StreamTrainedRecoverySpec. */
@@ -362,17 +367,19 @@ private[graft] object StreamTrainedTwins {
           graft.core.VectorTools.assignCells(b, cent)
             .select(col("id"), col("cell"))
             .join(b, "id")
-            .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v"))),
+            .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
+            .select(col("cell"), col("pos"),
+              graft.core.VectorTools.microQuantize(col("v")).as("q")),
           relay, bid)
         ()
       }.start()
     val stats = spark.readStream
-      .schema("cell BIGINT, pos INT, v DOUBLE")
+      .schema("cell BIGINT, pos INT, q BIGINT")
       .option("maxFilesPerTrigger", streamShufflePartitions.toString)
       .option("pathGlobFilter", "b*")
       .parquet(relay.toString)
       .groupBy(col("cell"), col("pos"))
-      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
     val q2 = stats.writeStream.outputMode("update")
       .option("checkpointLocation", ckpt2.toString)
       .foreachBatch { (df: DataFrame, bid: Long) =>
@@ -395,22 +402,22 @@ private[graft] object StreamTrainedTwins {
       try q1.stop() finally q2.stop()
     }
     // converged stats → updated centroids (the batch updateCentroids
-    // arithmetic over maintained sums). Summation-order tolerance
-    // (the s47 moment-matrix argument): the streamed Σv accumulates
-    // in microbatch arrival order while the batch oracle's avg()
-    // sums in partition order, so the doubles can differ in the last
-    // ulps; round(·, 6) absorbs that except for a component sitting
-    // EXACTLY on a 6-decimal rounding boundary — measured green
-    // across all SFs (including three compounded rounds in s66), and
-    // were it ever to flake, the fix is an integer/fixed-point lane
-    // for the sums, not a wider round.
+    // arithmetic over maintained sums). No summation-order hazard:
+    // the relay carries micro-quantized EXACT INTEGERS, so the
+    // streamed Σq is bit-identical whatever the microbatch arrival
+    // order, and microMean's single division reproduces the batch
+    // (and DuckDB-oracle) component exactly — the former double-Σv
+    // lane relied on round(·, 6) absorbing arrival-order ulps, which
+    // could flake on a component sitting exactly on a 6-decimal
+    // boundary (r17 verdict's ask; the integer lane retires the
+    // class instead of widening the round).
     val raw = spark.read.parquet(log.toString)
     val wMax = Window.partitionBy(col("cell"), col("pos"))
     raw
       .withColumn("max_bid", max(col("bid")).over(wMax))
       .filter(col("bid") === col("max_bid"))
       .select(col("cell"), col("pos"),
-        round(col("s") / col("n"), 6).as("c"))
+        graft.core.VectorTools.microMean(col("s"), col("n")).as("c"))
       .groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
         .as("pc"))

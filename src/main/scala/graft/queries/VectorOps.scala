@@ -259,12 +259,19 @@ object VectorOps {
   }
 
   /** The `rounds`-iteration Lloyd CTE chain (v, c0, s1…c$rounds) —
-    * rounded cosines, rounded centroid components, lower-cid argmax
-    * tiebreak (the VectorTools cross-engine determinism contract).
-    * Cells that lose every member drop out of the next round's
-    * centroid CTE on both engines alike. Shared by the assignment
-    * oracles ([[lloydOracleSql]]) and the trained-IVF oracles, which
-    * probe the final `c$rounds` table. */
+    * rounded cosines, lower-cid argmax tiebreak, and FIXED-POINT
+    * centroid means (the VectorTools cross-engine determinism
+    * contract): each component micro-quantizes per row
+    * (floor(v·10⁶ + 0.5) — exact integers, so the sums are
+    * order-independent on both engines, where the retired
+    * round(avg(v), 6) lane could flake on a component sitting exactly
+    * on a 6-decimal boundary), and the mean is the one double
+    * division (S/n)/10⁶ in the same operation order as Spark's
+    * [[graft.core.VectorTools.microMean]]. Cells that lose every
+    * member drop out of the next round's centroid CTE on both
+    * engines alike. Shared by the assignment oracles
+    * ([[lloydOracleSql]]) and the trained-IVF oracles, which probe
+    * the final `c$rounds` table. */
   private def lloydCtesSql(rounds: Int): String = {
     val sb = new StringBuilder(
       s"WITH v AS ($embSql),\n" +
@@ -276,7 +283,9 @@ object VectorOps {
       |a$r AS (SELECT vec_id, cid AS cell FROM (
       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
       |    ORDER BY csim DESC, cid) AS r FROM s$r) WHERE r = 1),
-      |m$r AS (SELECT a$r.cell, i, round(avg(v.e[i]), 6) AS c
+      |m$r AS (SELECT a$r.cell, i,
+      |    (CAST(sum(CAST(floor(v.e[i] * 1000000 + 0.5) AS BIGINT))
+      |      AS DOUBLE) / count(*)) / 1000000.0 AS c
       |  FROM a$r JOIN v USING (vec_id), generate_series(1, $dims) g(i)
       |  GROUP BY 1, 2),
       |c$r AS (SELECT cell AS cid, list(c ORDER BY i) AS ce FROM m$r
@@ -403,15 +412,27 @@ object VectorOps {
     // never a driver-side vector sum. 64 rows per label out; the
     // re-assembled centroid array is one small collect_list away when
     // a consumer (e.g. the next Lloyd iteration) needs it.
+    // Per-label centroids through the same fixed-point M-step lane as
+    // Lloyd (exact integer micro sums, one deterministic division —
+    // VectorTools.microMean): a double avg() accumulates in partition
+    // order on Spark and in DuckDB's own order in the oracle, so a
+    // component landing exactly on a 6-decimal rounding boundary
+    // could hash-flake; the integer lane has no accumulation-order
+    // hazard at all.
     Entry("v_label_centroids",
       (spark, dir) => {
         emb(spark, dir)
           .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
           .groupBy(col("label"), col("pos").cast("long").as("pos"))
-          .agg(round(avg(col("v")), 6).as("c"), count(lit(1)).as("n_vecs"))
+          .agg(graft.core.VectorTools.microMean(
+              sum(graft.core.VectorTools.microQuantize(col("v"))),
+              count(lit(1))).as("c"),
+            count(lit(1)).as("n_vecs"))
           .orderBy(col("label"), col("pos"))
       },
-      Some(s"""SELECT label, i - 1 AS pos, round(avg(e[i]), 6) AS c,
+      Some(s"""SELECT label, i - 1 AS pos,
+        |  (CAST(sum(CAST(floor(e[i] * 1000000 + 0.5) AS BIGINT))
+        |    AS DOUBLE) / count(*)) / 1000000.0 AS c,
         |  count(*) AS n_vecs
         |FROM ($embSql), generate_series(1, $dims) g(i)
         |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin)),

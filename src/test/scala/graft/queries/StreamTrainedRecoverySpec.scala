@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
   *      checkpoint commit re-runs that microbatch; the idempotent
   *      per-bid writer must REPLACE the first attempt's relay files
   *      (same deterministic names, so the restarted q2 sees nothing
-  *      new) instead of appending duplicate (cell, pos, v) rows into
-  *      the Σv/n sufficient statistics;
+  *      new) instead of appending duplicate (cell, pos, q) rows into
+  *      the Σq/n sufficient statistics;
   *  (b) q2 re-delivery — same crash window on the statistics query;
   *      the converged-log fold must not double-count the re-written
   *      log batch;
