@@ -123,6 +123,27 @@ private[graft] object StreamingHarness {
     val parts = listDir(stage)
       .filter(_.getFileName.toString.startsWith("part-"))
       .sortBy(_.getFileName.toString)
+    val prefix = s"b${bid}_p"
+    // total parse of a file's `b<bid>_p<i>` index: None for a name
+    // with no digit run after the prefix (a stray or foreign artifact
+    // in the log dir must be ignored, not crash the microbatch with
+    // NumberFormatException — r17 ADVICE)
+    def partIndex(p: java.nio.file.Path): Option[Int] = {
+      val n = p.getFileName.toString
+      if (!n.startsWith(prefix)) None
+      else n.stripPrefix(prefix).takeWhile(_.isDigit).toIntOption
+    }
+    // part-count drift across a re-delivery (possible only if code or
+    // conf changed between crash and restart) is reconciled for fresh
+    // listers by the tail-trim below, but a TAILING source may then
+    // hold a mixed view — surface it instead of staying silent
+    val prior = listDir(dir).count(partIndex(_).isDefined)
+    if (prior != 0 && prior != parts.length)
+      System.err.println(s"[graft] writeBatchIdempotent: part-count " +
+        s"drift on re-delivery of batch $bid in $dir: " +
+        s"$prior existing vs ${parts.length} staged — a tailing file " +
+        s"source that consumed the first attempt mid-batch may hold a " +
+        s"mixed view (fresh listers are reconciled by the tail-trim)")
     parts.zipWithIndex.foreach { case (p, i) =>
       // ATOMIC_MOVE on POSIX is rename(2): replaces an existing
       // target atomically, so a reader never sees a partial file
@@ -133,13 +154,8 @@ private[graft] object StreamingHarness {
     // (partition-count drift across a restart) must not leave the
     // first attempt's tail files beside the replacement — they would
     // duplicate the batch for any fresh lister of the directory
-    val prefix = s"b${bid}_p"
     listDir(dir)
-      .filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith(prefix) &&
-          n.stripPrefix(prefix).takeWhile(_.isDigit).toInt >= parts.length
-      }
+      .filter(partIndex(_).exists(_ >= parts.length))
       .foreach(java.nio.file.Files.delete(_))
     deleteRecursively(stage)
   }
