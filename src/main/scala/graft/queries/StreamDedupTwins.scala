@@ -1025,7 +1025,23 @@ private[graft] object StreamDedupTwins {
     * label set (one long per touched component — the same values the
     * semi/anti joins must broadcast either way, never a per-endpoint
     * collect); and the touched BUCKET ids (≤ 2·ccForestBuckets
-    * ints). */
+    * ints). Degenerate bound on the over-cap path: a backfill batch
+    * whose edges touch nearly EVERY existing component makes the
+    * touched-label collect proportional to total component count —
+    * at 100 TB the real answer for such a batch is the bulk path's
+    * full contraction (which [[isBulkBatch]] selects exactly then,
+    * skipping the per-component bookkeeping those labels feed), not
+    * a tighter collect.
+    *
+    * The limit-probe's `collect()` is NOT a wasted job on an empty
+    * forest (first batch of a fresh stream): on the trickle path the
+    * collected array IS the edge load for the driver union-find —
+    * skipping it would force the distributed contraction (several
+    * jobs) onto a microbatch-sized graph. What the empty-forest case
+    * does skip is every plan built over the (empty) committed state:
+    * the endpoint frame and label probe (the `forest match` below),
+    * and the relabel join / survivor anti-join over empty frames (the
+    * first-batch short-circuit in the contraction step). */
   private[graft] def applyCcBatch(spark: SparkSession, newEdges: DataFrame,
                                   bid: Long, stateDir: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -1063,7 +1079,9 @@ private[graft] object StreamDedupTwins {
       if (probe.length > ccQuotientMaxEdges) None
       else Some(probe.map(r => (r.getLong(0), r.getLong(1))))
     }
-    val endpoints = batchEdges match {
+    // built only when a committed forest exists to probe (def, not
+    // val: the empty-forest first batch never constructs it)
+    def endpoints: DataFrame = batchEdges match {
       case Some(es) => es.iterator.flatMap(e => Iterator(e._1, e._2))
         .toSeq.distinct.toDF("ep")
       case None => edges.select(col("d1").as("ep"))
@@ -1150,15 +1168,24 @@ private[graft] object StreamDedupTwins {
         val qcomp = graft.core.GraphTools.unionFindComponents(
           es.map { case (a, b) =>
             (epLab.getOrElse(a, a), epLab.getOrElse(b, b)) })
-        val qDf = qcomp.toSeq.toDF("qid", "qlab")
-        val relabeled = touchedRows
-          .join(broadcast(qDf), col("d2") === col("qid"))
-          .select(col("d1"), col("qlab").as("d2"))
-        // quotient nodes that are NOT old labels are first-seen docs —
-        // they have no carried rows and enter the forest directly
-        val stars = relabeled.unionAll(
-          qcomp.toSeq.filterNot { case (q, _) => oldLabels(q) }
-            .toDF("d1", "d2"))
+        val stars =
+          if (forest.isEmpty)
+            // first batch of a fresh stream: every quotient node is a
+            // first-seen doc — no carried rows to relabel, so skip the
+            // join/union plan over the empty state frames entirely
+            qcomp.toSeq.toDF("d1", "d2")
+          else {
+            val qDf = qcomp.toSeq.toDF("qid", "qlab")
+            val relabeled = touchedRows
+              .join(broadcast(qDf), col("d2") === col("qid"))
+              .select(col("d1"), col("qlab").as("d2"))
+            // quotient nodes that are NOT old labels are first-seen
+            // docs — they have no carried rows and enter the forest
+            // directly
+            relabeled.unionAll(
+              qcomp.toSeq.filterNot { case (q, _) => oldLabels(q) }
+                .toDF("d1", "d2"))
+          }
         val buckets = qcomp.valuesIterator
           .map(l => java.lang.Math.floorMod(l, ccForestBuckets.toLong).toInt)
           .toSet
