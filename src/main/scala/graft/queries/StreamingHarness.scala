@@ -133,11 +133,15 @@ private[graft] object StreamingHarness {
       if (!n.startsWith(prefix)) None
       else n.stripPrefix(prefix).takeWhile(_.isDigit).toIntOption
     }
+    // one pre-rename listing serves both the drift check and the
+    // tail-trim: leftover indices >= parts.length are never rename
+    // targets, so the set is identical before and after the moves
+    val existing = listDir(dir)
     // part-count drift across a re-delivery (possible only if code or
     // conf changed between crash and restart) is reconciled for fresh
     // listers by the tail-trim below, but a TAILING source may then
     // hold a mixed view — surface it instead of staying silent
-    val prior = listDir(dir).count(partIndex(_).isDefined)
+    val prior = existing.count(partIndex(_).isDefined)
     if (prior != 0 && prior != parts.length)
       System.err.println(s"[graft] writeBatchIdempotent: part-count " +
         s"drift on re-delivery of batch $bid in $dir: " +
@@ -154,7 +158,7 @@ private[graft] object StreamingHarness {
     // (partition-count drift across a restart) must not leave the
     // first attempt's tail files beside the replacement — they would
     // duplicate the batch for any fresh lister of the directory
-    listDir(dir)
+    existing
       .filter(partIndex(_).exists(_ >= parts.length))
       .foreach(java.nio.file.Files.delete(_))
     deleteRecursively(stage)
