@@ -29,6 +29,28 @@ class VectorToolsSpec extends SparkTestBase {
       20L -> (20L until 40L).toSet), s"clusters not separated: $byCell")
   }
 
+  test("centroid components are the documented fixed-point mean, " +
+    "bit-exactly, including half-boundary inputs") {
+    // components chosen ON and AROUND the 10^-6 half boundary — the
+    // inputs where the retired round(avg, 6) lane could flake on
+    // cross-engine accumulation-order ulps. The integer lane's
+    // contract is stronger than tolerance: the emitted component must
+    // EQUAL the scalar evaluation of the documented formula
+    // ((Σ floor(v*1e6 + 0.5)) / n) / 1e6, bit for bit.
+    val vs = Seq(0.0000005, 0.0000015, 0.1234565, -0.0000005, 0.75)
+    val vecs = vs.zipWithIndex
+      .map { case (v, i) => (i.toLong, Array(v)) }.toDF("id", "e")
+    val asg = vs.indices.map(i => (i.toLong, 7L)).toDF("id", "cell")
+    val got = VectorTools.updateCentroids(vecs, asg).collect()
+    val expected =
+      (vs.map(v => math.floor(v * 1e6 + 0.5).toLong).sum.toDouble /
+        vs.length) / 1e6
+    assert(got.length == 1 && got(0).getLong(0) == 7L)
+    val c = got(0).getSeq[Double](1)
+    assert(c == Seq(expected),
+      s"component ${c.map(_.toString)} != exact ${expected.toString}")
+  }
+
   test("empty cells drop out of the centroid table") {
     val vecs = (0 until 10).map(i => (i.toLong, Array(1.0, 0.01 * i)))
       .toDF("id", "e")
