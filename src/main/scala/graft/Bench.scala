@@ -41,6 +41,19 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // ALL successful samples per query, alongside the min: the host's
+    // 4-session noise bracket (SCALE.md) showed the min is sensitive
+    // to which pass catches the calm window, so the artifacts also
+    // record the per-query MEDIAN (of up to `runs` samples) — a
+    // round-over-round comparison statistic that a single calm or
+    // loaded pass cannot move. Zero measurement cost: same passes.
+    val samples = scala.collection.mutable
+      .LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Double]]()
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     // Per-query failed-pass counts: a failed pass must NEVER reach the
     // min (r13's BENCH_FULL.json had 66 near-zero "timings" from fast
     // failures folded into the min), and the JSON must show that a
@@ -97,8 +110,11 @@ object Bench {
         System.err.println(f"[bench] $name%-28s pass $pass $dt%8.2fs  rows=$n")
         // Only a SUCCESSFUL pass may update the min: a fast failure's
         // near-zero elapsed otherwise masquerades as a measurement.
-        if (n >= 0) best(name) = best.get(name).fold(dt)(math.min(_, dt))
-        else fails(name) = fails.getOrElse(name, 0) + 1
+        if (n >= 0) {
+          best(name) = best.get(name).fold(dt)(math.min(_, dt))
+          samples.getOrElseUpdate(name,
+            scala.collection.mutable.ArrayBuffer[Double]()) += dt
+        } else fails(name) = fails.getOrElse(name, 0) + 1
       }
       pass += 1
       go = pass <= runs && elapsed < budgetSec
@@ -138,9 +154,16 @@ object Bench {
     // reading a smaller (faster-looking) number.
     val valueJson =
       if (incomplete) s"""null,"partial_sum_sec":$total""" else s"$total"
-    val json = s"""{"metric":"total","value":$valueJson,"unit":"sec","queries":${qsJson(slow8)},"nqueries":${best.size},"passes":${pass - 1},"failed_passes":$nfail,"incomplete":$incomplete,"loadavg":$la,"control":$ctl,"sf":"$sfDir"}"""
+    // sum of per-query medians, next to the sum of per-query mins: the
+    // robust round-over-round total (null when incomplete, like value)
+    val totalMedian = samples.values.map(xs => median(xs.toSeq)).sum
+    val medianJson = if (incomplete) "null" else s"$totalMedian"
+    val medQs = (samples.toSeq.map { case (k, xs) =>
+      s"\"$k\":${median(xs.toSeq)}" } ++
+      missing.map(n => s"\"$n\":null")).mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$valueJson,"value_median":$medianJson,"unit":"sec","queries":${qsJson(slow8)},"nqueries":${best.size},"passes":${pass - 1},"failed_passes":$nfail,"incomplete":$incomplete,"loadavg":$la,"control":$ctl,"sf":"$sfDir"}"""
     println(json)
-    val fullJson = s"""{"metric":"total","value":$valueJson,"unit":"sec","queries":$fullQs,"nqueries":${best.size},"passes":${pass - 1},"failed_passes":$nfail,"failures":$failJson,"incomplete":$incomplete,"loadavg":$la,"control":$ctl,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$valueJson,"value_median":$medianJson,"unit":"sec","queries":$fullQs,"queries_median":$medQs,"nqueries":${best.size},"passes":${pass - 1},"failed_passes":$nfail,"failures":$failJson,"incomplete":$incomplete,"loadavg":$la,"control":$ctl,"sf":"$sfDir"}"""
     // Persist the COMPLETE record (all 150 per-query timings) to files
     // the driver/judge can read verbatim.
     // BENCH_FULL.json resolves against the repo root (derived from the

@@ -842,6 +842,28 @@ private[graft] object StreamJoinTwins {
                 try q1.stop() finally q2.stop()
               }
 
+              // The coarsened trigger's soundness argument NEEDS
+              // multi-batch upsert semantics to stay exercised (8
+              // chunks / 4 per trigger = 2+ upserting microbatches per
+              // stage): assert it from the logs' `b<bid>_p*` names so
+              // a future chunking or trigger change can never silently
+              // degrade this row to a single-batch replay that would
+              // no longer witness the batching-independence claim.
+              def distinctBids(d: java.nio.file.Path): Int =
+                listDir(d).flatMap { p =>
+                  val n = p.getFileName.toString
+                  if (n.startsWith("b") && n.contains("_p"))
+                    n.drop(1).takeWhile(_.isDigit).toLongOption
+                  else None
+                }.distinct.size
+              val (abBids, bcBids) = (distinctBids(abLog), distinctBids(bcLog))
+              require(abBids >= 2 && bcBids >= 2,
+                s"s22 replay degraded to a single upserting microbatch " +
+                  s"(ab log: $abBids distinct bids, bc log: $bcBids): " +
+                  "the 4-files-per-trigger coarsening is only sound " +
+                  "because >=2 upserting microbatches per stage keep " +
+                  "multi-batch semantics exercised")
+
               val wMax = Window.partitionBy(col("key"))
               val wBase = Window.partitionBy(col("base_key"))
               // converged stage-2 view with cross-salt suppression: a

@@ -181,14 +181,16 @@ private[graft] object StreamWindowTwins {
     // moment). Asymmetric sides (signup/error lefts probing
     // click/purchase/view rights) so genuinely unmatched lefts exist;
     // the sentinel advances BOTH streams' watermarks past every match
-    // window, flushing the nulls; the quiet-poll then waits for the
-    // post-sentinel no-data batch. The join condition carries only
+    // window, flushing the nulls; the harness's listener-driven
+    // quiesce then waits for the post-sentinel no-data batch to
+    // commit (it runs at the final watermark, so its progress event
+    // is the convergence signal). The join condition carries only
     // key equality + the event-time range (the stream-stream state
     // watermark contract, as in s9); both the matched and the
     // null-extended rows must hash-match the batch left-outer range
     // oracle.
     Entry("s26_stream_range_left_outer",
-      (spark, dir) => runAppendReplay(spark, dir, stableTarget = 4) { src =>
+      (spark, dir) => runAppendReplay(spark, dir) { src =>
         val a = src()
           .filter(expr("event_type IN ('signup','error') " +
             "AND user_id % 3 != 0"))
@@ -219,7 +221,7 @@ private[graft] object StreamWindowTwins {
     // left-outer oracle.
     Entry("s31_stream_native_rocksdb",
       (spark, dir) => VersionedStreamJoin.withStateStoreProvider(spark) {
-        runAppendReplay(spark, dir, stableTarget = 4) { src =>
+        runAppendReplay(spark, dir) { src =>
           val a = src()
             .filter(expr("event_type IN ('signup','error') " +
               "AND user_id % 3 != 0"))
@@ -248,7 +250,7 @@ private[graft] object StreamWindowTwins {
     // right-null rows together hash-match the batch full-outer range
     // join.
     Entry("s27_stream_range_full_outer",
-      (spark, dir) => runAppendReplay(spark, dir, stableTarget = 4) { src =>
+      (spark, dir) => runAppendReplay(spark, dir) { src =>
         val a = src()
           .filter(expr("event_type IN ('signup','error') " +
             "AND user_id % 3 != 0"))
@@ -275,7 +277,7 @@ private[graft] object StreamWindowTwins {
     // EXISTS shape a feed filter runs ("keep signups that saw
     // activity within 30 minutes").
     Entry("s28_stream_range_semi",
-      (spark, dir) => runAppendReplay(spark, dir, stableTarget = 4) { src =>
+      (spark, dir) => runAppendReplay(spark, dir) { src =>
         val a = src()
           .filter(expr("event_type IN ('signup','error') " +
             "AND user_id % 3 != 0"))

@@ -408,8 +408,7 @@ private[graft] object StreamingHarness {
     * each closed window lands exactly once in a parquet FILE sink (a
     * downstream consumer needs no upsert handling) and closed-window
     * state is dropped. */
-  private[graft] def runAppendReplay(spark: SparkSession, dir: String,
-                              stableTarget: Int = 1)(
+  private[graft] def runAppendReplay(spark: SparkSession, dir: String)(
       agg: (() => DataFrame) => DataFrame)(
       finish: DataFrame => DataFrame): DataFrame = withStreamConf(spark) {
     val tmp = java.nio.file.Files.createTempDirectory("graft_app_")
@@ -464,40 +463,99 @@ private[graft] object StreamingHarness {
         .parquet(in.toString)
         .withColumn("ets", expr("timestamp_micros(ts_us)"))
         .withWatermark("ets", "35 days")
-      val q = agg(() => src())
-        .writeStream.outputMode("append")
-        .format("parquet").option("path", out.toString)
-        .option("checkpointLocation", ckpt.toString)
-        .start()
-      try {
-        q.processAllAvailable()
-        // the append emission happens in the no-data batch AFTER the
-        // sentinel advances the watermark (nothing at all is emitted
-        // before the sentinel); processAllAvailable can return before
-        // that batch commits, so poll until the sink exists, is
-        // non-empty, and has gone quiet
-        def sinkCount(): Long =
-          try spark.read.parquet(out.toString).count()
-          catch { case _: Exception => -1L } // sink not created yet
-        // `stableTarget` consecutive stable non-empty samples: the
-        // window rows land everything in the one post-sentinel batch
-        // (one stable pair suffices, the default), but an outer join
-        // emits matched rows across many batches and its null flush
-        // arrives in a LATER no-data batch — those rows demand a 2 s
-        // observed-quiet window so a lucky stable pair can never end
-        // the poll between the matched rows and the flush
-        var prev = -2L
-        var cur = sinkCount()
-        var stable = 0
-        var spins = 0
-        while ((stable < stableTarget || cur <= 0) && spins < 120) {
-          Thread.sleep(500)
-          prev = cur
-          cur = sinkCount()
-          stable = if (cur == prev && cur > 0) stable + 1 else 0
-          spins += 1
+      // EVENT-DRIVEN QUIESCE (replaces the former 500 ms sink-count
+      // sleep-poll, which set a 1–2 s wall-clock floor per row and was
+      // the surface co-tenant noise coupled into). The emissions these
+      // rows wait for land in the NO-DATA batch(es) that run once the
+      // sentinel has advanced the watermark — processAllAvailable can
+      // return before those commit (it only covers source DATA), so
+      // the waiter below blocks on the listener bus instead of
+      // sleeping: each completed batch (its file-sink commit included)
+      // posts a QueryProgressEvent carrying the watermark that batch
+      // ran at. The query is converged exactly when (a) some committed
+      // batch ran AT the final watermark — any state that can ever
+      // flush, flushed in it or an immediately-following batch, since
+      // no new data exists to move the watermark further — (b) the
+      // engine has gone quiet (no event for a grace window and no
+      // trigger in flight: follow-up no-data batches run back-to-back,
+      // so a pending one is always either active or already reported
+      // inside the grace), and (c) the sink is non-empty.
+      //
+      // The final watermark is exact, not observed: event-time stats
+      // are tracked in ms (the watermark operator floor-divides the
+      // micros column), the sentinel is the max event at
+      // maxUs + 40 days, and the delay is 35 days:
+      val finalWmMs = (maxUs + 40L * 86400000000L) / 1000L -
+        35L * 86400000L
+      val monitor = new Object
+      val flushSeen = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[java.util.UUID]()
+      val lastEvent = new java.util.concurrent.ConcurrentHashMap[
+        java.util.UUID, java.lang.Long]()
+      // the listener is registered BEFORE start() (events are not
+      // replayed to late subscribers) and keyed by progress.id so a
+      // concurrently-running query on the same session cannot satisfy
+      // this row's conditions
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          lastEvent.put(e.progress.id, System.nanoTime())
+          val wm = Option(e.progress.eventTime.get("watermark"))
+          if (wm.exists(w =>
+              java.time.Instant.parse(w).toEpochMilli >= finalWmMs))
+            flushSeen.add(e.progress.id)
+          monitor.synchronized(monitor.notifyAll())
         }
-      } finally q.stop()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          monitor.synchronized(monitor.notifyAll())
+      }
+      spark.streams.addListener(listener)
+      try {
+        val q = agg(() => src())
+          .writeStream.outputMode("append")
+          .format("parquet").option("path", out.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        try {
+          q.processAllAvailable()
+          def sinkCount(): Long =
+            try spark.read.parquet(out.toString).count()
+            catch { case _: Exception => -1L } // sink not created yet
+          val graceNs = 300L * 1000000L
+          val deadline = System.nanoTime() + 60L * 1000000000L
+          var done = false
+          while (!done && System.nanoTime() < deadline) {
+            val ready = monitor.synchronized {
+              val last = Option(lastEvent.get(q.id))
+                .fold(Long.MinValue)(_.longValue)
+              val quietNs =
+                if (last == Long.MinValue) Long.MaxValue
+                else System.nanoTime() - last
+              val ok = flushSeen.contains(q.id) && quietNs >= graceNs &&
+                !q.status.isTriggerActive
+              if (!ok) monitor.wait(
+                // no flush batch observed yet: block until the bus
+                // delivers one (bounded re-check vs a lost wake-up);
+                // inside the grace: sleep exactly the remainder;
+                // only a trigger in flight: short re-check
+                if (!flushSeen.contains(q.id)) 1000L
+                else if (quietNs < graceNs)
+                  math.max(1L, (graceNs - quietNs) / 1000000L + 1)
+                else 50L)
+              ok
+            }
+            // the sink check costs a Spark job, so it runs only once
+            // the engine is quiet — empty here means the flush batch
+            // emitted nothing yet (cannot happen for these shapes, but
+            // the deadline bounds it rather than an assumption)
+            if (ready) {
+              if (sinkCount() > 0) done = true
+              else monitor.synchronized(monitor.wait(200L))
+            }
+          }
+        } finally q.stop()
+      } finally spark.streams.removeListener(listener)
       finish(spark.read.parquet(out.toString))
         .localCheckpoint() // materialize before the tmp dir is deleted
     } finally deleteRecursively(tmp)

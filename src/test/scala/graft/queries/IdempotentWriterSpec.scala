@@ -106,6 +106,136 @@ class IdempotentWriterSpec extends graft.SparkTestBase {
     } finally rmTree(tmp)
   }
 
+  test("re-delivery after EVERY k-of-n mid-rename crash point " +
+    "reproduces exactly the retry's file set (randomized-crash soak)") {
+    import spark.implicits._
+    // The single-point spec above pins one crash (last part
+    // un-renamed); this soak closes the CLASS: a kill can land between
+    // ANY two of the n Files.move calls — k parts renamed, n-k still
+    // staged — or before the first rename (stage complete, log dir
+    // untouched). Re-delivery from every such state must converge to
+    // the same exactly-once file set and content.
+    val tmp = Files.createTempDirectory("graft_idem_")
+    try {
+      val dir = tmp.resolve("log")
+      // one complete write to learn the committer's part layout
+      StreamingHarness.writeBatchIdempotent(
+        spark.range(0, 90).toDF("v").repartition(3), dir, 4L)
+      val full = names(dir).toSeq.sorted
+      val n = full.size
+      assert(n >= 2, s"need >=2 parts to soak crash points: $full")
+      val stage = dir.resolveSibling("log.stage_b4")
+      for (k <- 0 until n) {
+        // reconstruct the crash state "k parts renamed": parts k..n-1
+        // moved back into the stage under pre-rename committer names
+        // (k = 0 is the crash BEFORE any rename)
+        Files.createDirectories(stage)
+        full.drop(k).zipWithIndex.foreach { case (f, i) =>
+          Files.move(dir.resolve(f),
+            stage.resolve(f"part-${90 + i}%05d-leftover.snappy.parquet"))
+        }
+        assert(names(dir) == full.take(k).toSet)
+        // re-delivery: deterministic recomputation of the same batch
+        StreamingHarness.writeBatchIdempotent(
+          spark.range(0, 90).toDF("v").repartition(3), dir, 4L)
+        assert(names(dir) == full.toSet,
+          s"crash point k=$k left ${names(dir)} instead of $full")
+        assert(spark.read.parquet(dir.toString).as[Long].collect().sorted
+          .sameElements(0L until 90L), s"content wrong at crash point k=$k")
+        assert(!Files.exists(stage), s"stage survived crash point k=$k")
+      }
+    } finally rmTree(tmp)
+  }
+
+  test("part-count drift across a re-delivery: fresh listers see " +
+    "exactly the retry, a mid-batch tailing reader holds the " +
+    "documented mixed view, and the drift warning fires") {
+    import spark.implicits._
+    // End-to-end drive of the hazard the writer's warning names
+    // (StreamingHarness drift check): a re-delivery whose part count
+    // drifted from the first attempt — possible only if code or conf
+    // changed between crash and restart — is reconciled for any FRESH
+    // lister by same-name replacement + tail-trim, but a TAILING
+    // streaming file source that consumed part of the first attempt
+    // mid-batch tracks seen PATHS, so it re-reads nothing for replaced
+    // names and still sees never-seen names: its view mixes attempts.
+    // This spec constructs exactly that reader and pins both contracts.
+    val tmp = Files.createTempDirectory("graft_drift_")
+    try {
+      val dir = tmp.resolve("log")
+      val sink = tmp.resolve("sink")
+      val ckpt = tmp.resolve("ckpt")
+
+      // ATTEMPT 1 of bid 3, interrupted mid-rename: only part 0 of 3
+      // ever landed in the log dir (the crash-state reconstruction of
+      // the soak above, kept at k=1)
+      StreamingHarness.writeBatchIdempotent(
+        spark.range(0, 90).toDF("v").repartition(3), dir, 3L)
+      val first = names(dir).toSeq.sorted
+      assume(first.size == 3, s"committer layout changed: $first")
+      val stage = dir.resolveSibling("log.stage_b3")
+      Files.createDirectories(stage)
+      first.drop(1).zipWithIndex.foreach { case (f, i) =>
+        Files.move(dir.resolve(f),
+          stage.resolve(f"part-${90 + i}%05d-leftover.snappy.parquet"))
+      }
+      val attempt1Part0 = spark.read
+        .parquet(dir.resolve(first.head).toString).as[Long].collect().toSet
+
+      // the TAILING reader consumes the partial first attempt NOW
+      val q = spark.readStream.schema("v BIGINT").parquet(dir.toString)
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", sink.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try {
+        q.processAllAvailable()
+
+        // RE-DELIVERY of bid 3 with a DRIFTED layout (2 parts, where
+        // the crashed attempt had renamed 1 of its 3) and — drift
+        // implies changed code — different content packing; the
+        // warning must fire on stderr
+        val errBuf = new java.io.ByteArrayOutputStream()
+        val realErr = System.err
+        System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+        try StreamingHarness.writeBatchIdempotent(
+          spark.range(100, 190).toDF("v").repartition(2), dir, 3L)
+        finally System.setErr(realErr)
+        assert(errBuf.toString("UTF-8").contains("part-count drift"),
+          s"drift warning did not fire; stderr: ${errBuf.toString("UTF-8")}")
+
+        // CONTRACT 1 — fresh lister: exactly the retry's file set and
+        // content, attempt 1 fully replaced
+        assert(names(dir) ==
+          Set("b3_p00000.parquet", "b3_p00001.parquet"), s"got ${names(dir)}")
+        assert(spark.read.parquet(dir.toString).as[Long].collect().sorted
+          .sameElements(100L until 190L))
+
+        // CONTRACT 2 — the tailing reader holds a MIXED view: p0 was
+        // already consumed, so its replacement is NEVER re-read (the
+        // file source's seen log is path-based), while the retry's
+        // never-seen p1 IS read. Its total view is attempt 1's p0 +
+        // the retry's p1 — rows from BOTH attempts, equal to neither:
+        // exactly why the writer's stable-layout contract (not the
+        // tail-trim) is the load-bearing property for tailing
+        // consumers.
+        q.processAllAvailable()
+        val retryPart1 = spark.read
+          .parquet(dir.resolve("b3_p00001.parquet").toString)
+          .as[Long].collect().toSet
+        val seen = spark.read.parquet(sink.toString).as[Long].collect().toSet
+        assert(seen == (attempt1Part0 ++ retryPart1),
+          s"tailing reader saw ${seen.size} rows, expected attempt 1's " +
+            s"p0 (${attempt1Part0.size}) + the retry's p1 " +
+            s"(${retryPart1.size})")
+        assert((seen -- (100L until 190L).toSet).nonEmpty,
+          "the mixed view should hold rows the retry no longer has")
+        assert(seen != (100L until 190L).toSet && seen != (0L until 90L).toSet,
+          "the mixed view should equal neither attempt alone")
+      } finally q.stop()
+    } finally rmTree(tmp)
+  }
+
   test("a stray non-numeric b<bid>_p* artifact is ignored, not fatal") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_idem_")

@@ -35,6 +35,13 @@ def load(path):
         return json.load(fh)["queries"]
 
 
+def load_totals(path):
+    """(min-total, median-total) — median present from r19 artifacts."""
+    with open(path) as fh:
+        d = json.load(fh)
+    return d.get("value"), d.get("value_median")
+
+
 def ratio(num, den):
     return f"{num / den:.2f}" if den > 0 else "n/a"
 
@@ -68,6 +75,15 @@ def main():
     print(f"| **total** | {tn} | {t1:.1f} | {t2:.1f} | {t3:.1f} | "
           f"**{ratio(t3, t2)}** | **{ratio(t3, t1)}** |")
     print()
+    # the min totals above are what the family table sums; the median
+    # totals (recorded from r19 on) are the noise-robust comparator —
+    # print both whenever the artifacts carry them
+    meds = [load_totals(p) for p in (a, b, c)]
+    if all(m is not None for _, m in meds):
+        print("median totals (sum of per-query medians): " +
+              " / ".join(f"{m:.1f}s" for _, m in meds) +
+              "  (min totals: " +
+              " / ".join(f"{v:.1f}s" for v, _ in meds) + ")")
     print("steepest individual queries sf0.01 -> sf0.1:")
     ratios = sorted(((qc[q] / qb[q], q) for q in common if qb[q] > 0.2),
                     reverse=True)[:8]
