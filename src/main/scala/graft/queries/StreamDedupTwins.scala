@@ -95,8 +95,12 @@ private[graft] object StreamDedupTwins {
                 .repartitionByRange(chunks, col("doc_id"))
                 .write.parquet(p.toString)
             }
+            // coarsened trigger (StreamingHarness.coarseFilesPerTrigger):
+            // signature state is a pure latest-per-doc upsert and the
+            // max-seq fold is batching-independent; s19 keeps this
+            // family's per-file-fidelity archetype
             val src = spark.readStream.schema("doc_id BIGINT, text STRING")
-              .option("maxFilesPerTrigger", "1")
+              .option("maxFilesPerTrigger", coarseFilesPerTrigger)
               .option("pathGlobFilter", "part-*")
               .parquet(in.toString)
             // each projection materializes the previous stage's array
@@ -121,6 +125,7 @@ private[graft] object StreamDedupTwins {
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()
+            requireMultiBatch(ckpt, "s21_stream_minhash_sig")
             val raw = spark.read.parquet(log.toString)
             val wMax = Window.partitionBy(col("key"))
             raw
@@ -161,7 +166,10 @@ private[graft] object StreamDedupTwins {
                 .write.parquet(p.toString)
             }
             val src = spark.readStream.schema("doc_id BIGINT, text STRING")
-              .option("maxFilesPerTrigger", "1")
+              // coarsened trigger (StreamingHarness.coarseFilesPerTrigger):
+              // order-independent converged fold (see entry comment);
+              // s19 keeps this family's per-file archetype
+              .option("maxFilesPerTrigger", coarseFilesPerTrigger)
               .option("pathGlobFilter", "part-*")
               .parquet(in.toString)
             val bandStructs = (0 until SketchFunctions.numBands).map { j =>
@@ -191,6 +199,7 @@ private[graft] object StreamDedupTwins {
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()
+            requireMultiBatch(ckpt, "s24_stream_lsh_pairs")
             val raw = spark.read.parquet(log.toString)
             val wMax = Window.partitionBy(col("key"))
             val members = raw
@@ -241,7 +250,10 @@ private[graft] object StreamDedupTwins {
               .localCheckpoint()
             val q1 = spark.readStream
               .schema("vec_id BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE")
-              .option("maxFilesPerTrigger", "1")
+              // coarsened trigger (StreamingHarness.coarseFilesPerTrigger):
+              // order-independent converged fold (see entry comment);
+              // s19 keeps this family's per-file archetype
+              .option("maxFilesPerTrigger", coarseFilesPerTrigger)
               .option("pathGlobFilter", "part-*")
               .parquet(in.toString)
               .writeStream.outputMode("append")
@@ -283,6 +295,7 @@ private[graft] object StreamDedupTwins {
             } finally {
               try q1.stop() finally q2.stop()
             }
+            requireMultiBatch(ckpt1, "s30_stream_semantic_dedup")
             val raw = spark.read.parquet(log.toString)
             val wMax = Window.partitionBy(col("vec_id"))
             raw
@@ -349,7 +362,10 @@ private[graft] object StreamDedupTwins {
               .localCheckpoint()
             val q1 = spark.readStream
               .schema("doc_id BIGINT, text STRING")
-              .option("maxFilesPerTrigger", "1")
+              // coarsened trigger (StreamingHarness.coarseFilesPerTrigger):
+              // order-independent converged fold (see entry comment);
+              // s19 keeps this family's per-file archetype
+              .option("maxFilesPerTrigger", coarseFilesPerTrigger)
               .option("pathGlobFilter", "part-*")
               .parquet(in.toString)
               .writeStream.outputMode("append")
@@ -407,6 +423,7 @@ private[graft] object StreamDedupTwins {
             } finally {
               try q1.stop() finally { try q2.stop() finally q3.stop() }
             }
+            requireMultiBatch(ckpt1, "s32_stream_curation")
             def latestKept(log: java.nio.file.Path): DataFrame = {
               val w = Window.partitionBy(col("vec_id"))
               spark.read.parquet(log.toString)
@@ -493,7 +510,10 @@ private[graft] object StreamDedupTwins {
                 .write.parquet(p.toString)
             }
             val src = spark.readStream.schema("doc_id BIGINT, text STRING")
-              .option("maxFilesPerTrigger", "1")
+              // coarsened trigger (StreamingHarness.coarseFilesPerTrigger):
+              // order-independent converged fold (see entry comment);
+              // s19 keeps this family's per-file archetype
+              .option("maxFilesPerTrigger", coarseFilesPerTrigger)
               .option("pathGlobFilter", "part-*")
               .parquet(in.toString)
             val k = DedupOps.substringGramLen
@@ -525,6 +545,7 @@ private[graft] object StreamDedupTwins {
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()
+            requireMultiBatch(ckpt, "s36_stream_substring_spans")
             val raw = spark.read.parquet(log.toString)
             val wMax = Window.partitionBy(col("key"))
             val members = raw
@@ -577,7 +598,10 @@ private[graft] object StreamDedupTwins {
                 .write.parquet(p.toString)
             }
             val src = spark.readStream.schema("doc_id BIGINT, text STRING")
-              .option("maxFilesPerTrigger", "1")
+              // coarsened trigger (StreamingHarness.coarseFilesPerTrigger):
+              // order-independent converged fold (see entry comment);
+              // s19 keeps this family's per-file archetype
+              .option("maxFilesPerTrigger", coarseFilesPerTrigger)
               .option("pathGlobFilter", "part-*")
               .parquet(in.toString)
             val chunkRows = cdcChunkCountRows(src).as[ChunkRow]
@@ -590,6 +614,7 @@ private[graft] object StreamDedupTwins {
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()
+            requireMultiBatch(ckpt, "s37_stream_cdc_chunk_dedup")
             val raw = spark.read.parquet(log.toString)
             val wMax = Window.partitionBy(col("key"))
             raw
@@ -639,7 +664,10 @@ private[graft] object StreamDedupTwins {
                 .write.parquet(p.toString)
             }
             val src = spark.readStream.schema("doc_id BIGINT, text STRING")
-              .option("maxFilesPerTrigger", "1")
+              // coarsened trigger (StreamingHarness.coarseFilesPerTrigger):
+              // order-independent converged fold (see entry comment);
+              // s19 keeps this family's per-file archetype
+              .option("maxFilesPerTrigger", coarseFilesPerTrigger)
               .option("pathGlobFilter", "part-*")
               .parquet(in.toString)
             val k = DedupOps.substringGramLen
@@ -690,6 +718,7 @@ private[graft] object StreamDedupTwins {
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()
+            requireMultiBatch(ckpt, "s42_stream_substring_trim")
             val raw = spark.read.parquet(log.toString)
             val wMax = Window.partitionBy(col("key"))
             val members = raw

@@ -38,7 +38,9 @@ private[graft] object StreamJoinTwins {
     // any SF (verified), so latest-wins needs no tiebreak here.
     Entry("s5_stream_left_outer",
       (spark, dir) => { import spark.implicits._
-      runFileStream(spark, dir) { src =>
+      runFileStream(spark, dir,
+          // coarsened trigger (StreamingHarness.coarseFilesPerTrigger): s4 keeps the per-file archetype; converged max-seq view is batching-independent
+          filesPerTrigger = coarseFilesPerTrigger.toInt) { src =>
         VersionedStreamJoin.leftOuter[Ev, Ev](
           src().filter(isX _), src().filter(isY _),
           x => x.user_id.toString, y => y.user_id.toString,
@@ -54,7 +56,9 @@ private[graft] object StreamJoinTwins {
     Entry("s6_stream_left_outer_seq",
       (spark, dir) => {
         import spark.implicits._
-        runFileStream(spark, dir) { src =>
+        runFileStream(spark, dir,
+            // coarsened trigger (StreamingHarness.coarseFilesPerTrigger): same max-seq fold as s5
+            filesPerTrigger = coarseFilesPerTrigger.toInt) { src =>
           VersionedStreamJoin.leftOuterSeq[Ev, Ev](
             src().filter(isX _), src().filter(isY _),
             x => x.user_id.toString, y => y.user_id.toString,
@@ -86,7 +90,9 @@ private[graft] object StreamJoinTwins {
     Entry("s7_stream_full_outer_seq",
       (spark, dir) => {
         import spark.implicits._
-        runFileStream(spark, dir) { src =>
+        runFileStream(spark, dir,
+            // coarsened trigger (StreamingHarness.coarseFilesPerTrigger): same max-seq fold as s5
+            filesPerTrigger = coarseFilesPerTrigger.toInt) { src =>
           VersionedStreamJoin.fullOuterSeq[Ev, Ev](
             src().filter(isX _), src().filter(isY _),
             x => x.user_id.toString, y => y.user_id.toString,
@@ -142,7 +148,12 @@ private[graft] object StreamJoinTwins {
     // cogroupFunctions.scala:7-87).
     Entry("s10_stream_inner",
       (spark, dir) => { import spark.implicits._
-      runFileStream(spark, dir) { src =>
+      // coarsened trigger (see StreamingHarness.coarseFilesPerTrigger):
+      // the converged max-seq view is batching-independent (upsert
+      // versions monotone per key — the s22 soundness argument); s4
+      // keeps the per-file-fidelity archetype for this state machine
+      runFileStream(spark, dir,
+          filesPerTrigger = coarseFilesPerTrigger.toInt) { src =>
         VersionedStreamJoin.inner[Ev, Ev](
           src().filter(isX _), src().filter(isY _),
           x => x.user_id.toString, y => y.user_id.toString,
@@ -160,7 +171,9 @@ private[graft] object StreamJoinTwins {
     Entry("s14_stream_rocksdb",
       (spark, dir) => { import spark.implicits._
       VersionedStreamJoin.withStateStoreProvider(spark) {
-        runFileStream(spark, dir) { src =>
+        runFileStream(spark, dir,
+            // coarsened trigger (StreamingHarness.coarseFilesPerTrigger): RocksDB round-trip still exercised each batch; max-seq fold batching-independent
+            filesPerTrigger = coarseFilesPerTrigger.toInt) { src =>
           VersionedStreamJoin.fullOuter[Ev, Ev](
             src().filter(isX _), src().filter(isY _),
             x => x.user_id.toString, y => y.user_id.toString,
@@ -186,7 +199,9 @@ private[graft] object StreamJoinTwins {
     Entry("s16_stream_salted_inner",
       (spark, dir) => { import spark.implicits._
         val salts = 4
-        runFileStream(spark, dir) { src =>
+        runFileStream(spark, dir,
+            // coarsened trigger (StreamingHarness.coarseFilesPerTrigger): per-sub-key max-seq fold, batching-independent
+            filesPerTrigger = coarseFilesPerTrigger.toInt) { src =>
           val ys = src().filter(isY _)
             .flatMap(y => (0 until salts).map(s => (s, y)))
           VersionedStreamJoin.inner[Ev, (Int, Ev)](
@@ -232,7 +247,9 @@ private[graft] object StreamJoinTwins {
       (spark, dir) => { import spark.implicits._
       VersionedStreamJoin.withEventTimeTtl(ms = 1000L * 365 * 86400 * 1000,
           watermarkDelay = "36500 days") {
-        runFileStream(spark, dir) { src =>
+        runFileStream(spark, dir,
+            // coarsened trigger (StreamingHarness.coarseFilesPerTrigger): TTL sized beyond the replay horizon (never fires mid-replay), so batching cannot shift retirement; s45 keeps the firing-TTL per-file row
+            filesPerTrigger = coarseFilesPerTrigger.toInt) { src =>
           VersionedStreamJoin.fullOuter[Ev, Ev](
             src().filter(isX _), src().filter(isY _),
             x => x.user_id.toString, y => y.user_id.toString,
@@ -261,7 +278,9 @@ private[graft] object StreamJoinTwins {
           VersionedStreamJoin.withEventTimeTtl(
               ms = 1000L * 365 * 86400 * 1000,
               watermarkDelay = "36500 days") {
-            runFileStream(spark, dir) { src =>
+            runFileStream(spark, dir,
+                // coarsened trigger (StreamingHarness.coarseFilesPerTrigger): beyond-horizon TTL as s17; cross-salt fold over converged view is batching-independent
+                filesPerTrigger = coarseFilesPerTrigger.toInt) { src =>
               val ys = src().filter(isY _)
                 .flatMap(y => (0 until salts).map(s => (s, y)))
               VersionedStreamJoin.fullOuter[Ev, (Int, Ev)](
@@ -336,7 +355,9 @@ private[graft] object StreamJoinTwins {
     Entry("s23_stream_tws_left_outer",
       (spark, dir) => { import spark.implicits._
         VersionedStreamJoin.withStateStoreProvider(spark) {
-          runFileStream(spark, dir) { src =>
+          runFileStream(spark, dir,
+              // coarsened trigger (StreamingHarness.coarseFilesPerTrigger): s20 keeps the tws per-file archetype; beyond-horizon TTL
+              filesPerTrigger = coarseFilesPerTrigger.toInt) { src =>
             graft.streaming.TwsVersionedJoin.leftOuter[Ev, Ev](
               src().filter(isX _), src().filter(isY _),
               x => x.user_id.toString, y => y.user_id.toString,
@@ -358,7 +379,9 @@ private[graft] object StreamJoinTwins {
     Entry("s34_stream_tws_left_outer_seq",
       (spark, dir) => { import spark.implicits._
         VersionedStreamJoin.withStateStoreProvider(spark) {
-          runFileStream(spark, dir) { src =>
+          runFileStream(spark, dir,
+              // coarsened trigger (StreamingHarness.coarseFilesPerTrigger): as s23
+              filesPerTrigger = coarseFilesPerTrigger.toInt) { src =>
             graft.streaming.TwsVersionedJoin.leftOuterSeq[Ev, Ev](
               src().filter(isX _), src().filter(isY _),
               x => x.user_id.toString, y => y.user_id.toString,
@@ -391,7 +414,9 @@ private[graft] object StreamJoinTwins {
     Entry("s35_stream_tws_full_outer_seq",
       (spark, dir) => { import spark.implicits._
         VersionedStreamJoin.withStateStoreProvider(spark) {
-          runFileStream(spark, dir) { src =>
+          runFileStream(spark, dir,
+              // coarsened trigger (StreamingHarness.coarseFilesPerTrigger): as s23
+              filesPerTrigger = coarseFilesPerTrigger.toInt) { src =>
             graft.streaming.TwsVersionedJoin.fullOuterSeq[Ev, Ev](
               src().filter(isX _), src().filter(isY _),
               x => x.user_id.toString, y => y.user_id.toString,
@@ -425,7 +450,9 @@ private[graft] object StreamJoinTwins {
     Entry("s49_stream_tws_inner",
       (spark, dir) => { import spark.implicits._
         VersionedStreamJoin.withStateStoreProvider(spark) {
-          runFileStream(spark, dir) { src =>
+          runFileStream(spark, dir,
+              // coarsened trigger (StreamingHarness.coarseFilesPerTrigger): as s23
+              filesPerTrigger = coarseFilesPerTrigger.toInt) { src =>
             graft.streaming.TwsVersionedJoin.inner[Ev, Ev](
               src().filter(isX _), src().filter(isY _),
               x => x.user_id.toString, y => y.user_id.toString,
@@ -495,7 +522,9 @@ private[graft] object StreamJoinTwins {
     // DuckDB's native ASOF with the flipped inequality.
     Entry("s51_stream_asof_forward",
       (spark, dir) => { import spark.implicits._
-        runFileStream(spark, dir) { src =>
+        runFileStream(spark, dir,
+            // coarsened trigger (StreamingHarness.coarseFilesPerTrigger): s48 keeps the as-of per-file archetype; converged max-seq corrections are arrival-order-free
+            filesPerTrigger = coarseFilesPerTrigger.toInt) { src =>
           VersionedStreamJoin.asOfForward[Ev, Ev](
             src().filter((e: Ev) =>
               e.event_type == "signup" || e.event_type == "error"),
@@ -539,7 +568,9 @@ private[graft] object StreamJoinTwins {
     // and accepts the documented late-drop.
     Entry("s9_stream_range_join",
       (spark, dir) => {
-        runFileStream(spark, dir, mode = "append") { src =>
+        runFileStream(spark, dir, mode = "append",
+            // coarsened trigger (StreamingHarness.coarseFilesPerTrigger): inner range join with beyond-span watermark: every pair emitted exactly once whatever the batching; e1<e2 fold batching-independent
+            filesPerTrigger = coarseFilesPerTrigger.toInt) { src =>
           val a = src().toDF()
             .select(col("user_id"), col("event_id"), col("ts_us"))
             .withColumn("ats", expr("timestamp_micros(ts_us)"))

@@ -127,8 +127,12 @@ private[graft] object StreamServingTwins {
             val in = StreamTrainedTwins.kmeansIngestChunks(spark, dir)
             val cent = VectorOps.ivfSeedCentroids(spark, dir)
               .localCheckpoint()
+            // coarsened trigger (StreamingHarness.coarseFilesPerTrigger):
+            // membership upsert state, converged fold batching-
+            // independent; s25 keeps the relay per-file archetype (and
+            // StreamAnnRecoverySpec drives this stage per-file)
             val q1 = startIvfAssignStream(spark, in.toString, cent,
-              ckpt1, relay)
+              ckpt1, relay, filesPerTrigger = coarseFilesPerTrigger.toInt)
             java.nio.file.Files.createDirectories(relay)
             val q2 = startIvfMembershipStream(spark, relay, ckpt2, log)
             try {
@@ -137,6 +141,7 @@ private[graft] object StreamServingTwins {
             } finally {
               try q1.stop() finally q2.stop()
             }
+            requireMultiBatch(ckpt1, "s44_stream_ann_serving")
             // SERVE: probe → fetch members from the streamed index →
             // int8 score → top-k (the batch entry's exact tail)
             VectorOps.quantScoredTopk(spark, dir,
@@ -178,7 +183,10 @@ private[graft] object StreamServingTwins {
             val cb = VectorOps.pqCodebook(spark, dir).localCheckpoint()
             val q1 = spark.readStream
               .schema("vec_id BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE")
-              .option("maxFilesPerTrigger", "1")
+              // coarsened trigger (StreamingHarness.coarseFilesPerTrigger):
+              // latest-per-id upsert state, converged max-seq fold is
+              // batching-independent
+              .option("maxFilesPerTrigger", coarseFilesPerTrigger)
               .option("pathGlobFilter", "part-*")
               .parquet(in.toString)
               .writeStream.outputMode("append")
@@ -210,6 +218,7 @@ private[graft] object StreamServingTwins {
             } finally {
               try q1.stop() finally q2.stop()
             }
+            requireMultiBatch(ckpt1, "s46_stream_pq_serving")
             // the converged code table, read back from state output
             val raw = spark.read.parquet(log.toString)
             val wMax = Window.partitionBy(col("key"))
@@ -332,7 +341,10 @@ private[graft] object StreamServingTwins {
             }
             val src = spark.readStream
               .schema("vec_id BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE")
-              .option("maxFilesPerTrigger", "1")
+              // coarsened trigger (StreamingHarness.coarseFilesPerTrigger):
+              // latest-per-id upsert state, converged max-seq fold is
+              // batching-independent
+              .option("maxFilesPerTrigger", coarseFilesPerTrigger)
               .option("pathGlobFilter", "part-*")
               .parquet(in.toString)
             val codeRows = VectorOps.signPackedFrom(src).as[SignCodeRow]
@@ -345,6 +357,7 @@ private[graft] object StreamServingTwins {
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()
+            requireMultiBatch(ckpt, "s53_stream_hamming_serving")
             val raw = spark.read.parquet(log.toString)
             val wMax = Window.partitionBy(col("key"))
             val codes = raw
@@ -423,11 +436,12 @@ private[graft] object StreamServingTwins {
     * lower-cid argmax) and relay slim (vec_id, cell) rows; the vectors
     * themselves never enter streaming state. */
   private[graft] def startIvfAssignStream(spark: SparkSession, in: String,
-      cent: DataFrame, ckpt: java.nio.file.Path, relay: java.nio.file.Path)
+      cent: DataFrame, ckpt: java.nio.file.Path, relay: java.nio.file.Path,
+      filesPerTrigger: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream
       .schema("vec_id BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE")
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
       .option("pathGlobFilter", "part-*")
       .parquet(in)
       .writeStream.outputMode("append")
@@ -507,8 +521,11 @@ private[graft] object StreamServingTwins {
             .repartitionByRange(chunks, col("doc_id"))
             .write.parquet(p.toString)
         }
+        // coarsened trigger (StreamingHarness.coarseFilesPerTrigger):
+        // doc-keyed feature upserts, converged max-seq fold is
+        // batching-independent
         val src = spark.readStream.schema("doc_id BIGINT")
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", coarseFilesPerTrigger)
           .option("pathGlobFilter", "part-*")
           .parquet(in.toString)
         val featRows = src
@@ -528,6 +545,7 @@ private[graft] object StreamServingTwins {
             ()
           }.start()
         try q.processAllAvailable() finally q.stop()
+        requireMultiBatch(ckpt, "runMediaFeatureStream")
         val raw = spark.read.parquet(log.toString)
         val wMax = Window.partitionBy(col("key"))
         val feats = raw
@@ -568,8 +586,11 @@ private[graft] object StreamServingTwins {
             .repartitionByRange(chunks, col("doc_id"))
             .write.parquet(p.toString)
         }
+        // coarsened trigger (StreamingHarness.coarseFilesPerTrigger):
+        // (doc, frame)-keyed stat upserts, converged fold is
+        // batching-independent
         val src = spark.readStream.schema("doc_id BIGINT")
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", coarseFilesPerTrigger)
           .option("pathGlobFilter", "part-*")
           .parquet(in.toString)
         val statRows = MultimodalOps.videoFrameStats(src)
@@ -583,6 +604,7 @@ private[graft] object StreamServingTwins {
             ()
           }.start()
         try q.processAllAvailable() finally q.stop()
+        requireMultiBatch(ckpt, "runFrameStatStream")
         val raw = spark.read.parquet(log.toString)
         val wMax = Window.partitionBy(col("key"))
         val stats = raw

@@ -32,7 +32,9 @@ private[graft] object StreamSketchTwins {
     Entry("s38_stream_kmv_users",
       (spark, dir) => {
         import graft.functions.{KmvSketch, TextFunctions}
-        runFileStream(spark, dir, mode = "complete") { src =>
+        runFileStream(spark, dir, mode = "complete",
+            // coarsened trigger: complete-mode sketch agg, batching-independent
+            filesPerTrigger = coarseFilesPerTrigger.toInt) { src =>
           src().toDF()
             .select(col("event_type"),
               TextFunctions.fingerprint64(col("user_id").cast("string"))
@@ -75,7 +77,9 @@ private[graft] object StreamSketchTwins {
                 .write.parquet(p.toString)
             }
             val src = spark.readStream.schema("doc_id BIGINT, text STRING")
-              .option("maxFilesPerTrigger", "1")
+              // coarsened trigger (StreamingHarness.coarseFilesPerTrigger):
+              // monoid streaming-agg state, batching-independent convergence
+              .option("maxFilesPerTrigger", coarseFilesPerTrigger)
               .option("pathGlobFilter", "part-*")
               .parquet(in.toString)
             val k = 256
@@ -96,6 +100,7 @@ private[graft] object StreamSketchTwins {
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()
+            requireMultiBatch(ckpt, "s39_stream_kmv_contamination")
             val conv = spark.read.parquet(log.toString)
             val tr = conv.filter(col("split") === "train")
               .select(col("hs").as("train_hs"))
@@ -188,7 +193,9 @@ private[graft] object StreamSketchTwins {
                 .write.parquet(p.toString)
             }
             val src = spark.readStream.schema("doc_id BIGINT, text STRING")
-              .option("maxFilesPerTrigger", "1")
+              // coarsened trigger (StreamingHarness.coarseFilesPerTrigger):
+              // monoid streaming-agg state, batching-independent convergence
+              .option("maxFilesPerTrigger", coarseFilesPerTrigger)
               .option("pathGlobFilter", "part-*")
               .parquet(in.toString)
             val cmsStream = src
@@ -204,6 +211,7 @@ private[graft] object StreamSketchTwins {
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()
+            requireMultiBatch(ckpt, "s40_stream_cms_heavy_hitters")
             val cms = spark.read.parquet(log.toString)
             val top = Registry.table(spark, dir, "documents")
               .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
@@ -275,7 +283,9 @@ private[graft] object StreamSketchTwins {
                 .write.parquet(p.toString)
             }
             val src = spark.readStream.schema("doc_id BIGINT, text STRING")
-              .option("maxFilesPerTrigger", "1")
+              // coarsened trigger (StreamingHarness.coarseFilesPerTrigger):
+              // monoid streaming-agg state, batching-independent convergence
+              .option("maxFilesPerTrigger", coarseFilesPerTrigger)
               .option("pathGlobFilter", "part-*")
               .parquet(in.toString)
             def shingleHashes(df: DataFrame): DataFrame = df
@@ -300,6 +310,7 @@ private[graft] object StreamSketchTwins {
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()
+            requireMultiBatch(ckpt, "s41_stream_bloom_contamination")
             val bits = spark.read.parquet(log.toString)
               .select(col("pos")).withColumn("set", lit(1))
             val sh = shingleHashes(
@@ -439,7 +450,9 @@ private[graft] object StreamSketchTwins {
             }
             val src = spark.readStream
               .schema("doc_id BIGINT, lang STRING")
-              .option("maxFilesPerTrigger", "1")
+              // coarsened trigger (StreamingHarness.coarseFilesPerTrigger):
+              // monoid streaming-agg state, batching-independent convergence
+              .option("maxFilesPerTrigger", coarseFilesPerTrigger)
               .option("pathGlobFilter", "part-*")
               .parquet(in.toString)
             val counts = src.groupBy(col("lang"))
@@ -452,6 +465,7 @@ private[graft] object StreamSketchTwins {
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()
+            requireMultiBatch(ckpt, "s54_stream_domain_mix")
             // converged counts = each language's LAST emitted running sum
             val raw = spark.read.parquet(log.toString)
             val wMax = Window.partitionBy(col("lang"))
@@ -494,7 +508,9 @@ private[graft] object StreamSketchTwins {
             }
             val src = spark.readStream
               .schema("doc_id BIGINT, text STRING")
-              .option("maxFilesPerTrigger", "1")
+              // coarsened trigger (StreamingHarness.coarseFilesPerTrigger):
+              // monoid streaming-agg state, batching-independent convergence
+              .option("maxFilesPerTrigger", coarseFilesPerTrigger)
               .option("pathGlobFilter", "part-*")
               .parquet(in.toString)
             val vocab = src
@@ -511,6 +527,7 @@ private[graft] object StreamSketchTwins {
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()
+            requireMultiBatch(ckpt, "s55_stream_lm_filter")
             // converged model = each token's LAST emitted running count
             val raw = spark.read.parquet(log.toString)
             val wMax = Window.partitionBy(col("tok"))
@@ -553,7 +570,9 @@ private[graft] object StreamSketchTwins {
             }
             val src = spark.readStream
               .schema("doc_id BIGINT, source STRING, text STRING")
-              .option("maxFilesPerTrigger", "1")
+              // coarsened trigger (StreamingHarness.coarseFilesPerTrigger):
+              // monoid streaming-agg state, batching-independent convergence
+              .option("maxFilesPerTrigger", coarseFilesPerTrigger)
               .option("pathGlobFilter", "part-*")
               .parquet(in.toString)
             val per = TextOps.sourceQmicro(src)
@@ -569,6 +588,7 @@ private[graft] object StreamSketchTwins {
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()
+            requireMultiBatch(ckpt, "s59_stream_temp_mix")
             // converged stats = each source's LAST emitted running sums
             val raw = spark.read.parquet(log.toString)
             val wMax = Window.partitionBy(col("source"))
@@ -609,7 +629,9 @@ private[graft] object StreamSketchTwins {
             }
             val src = spark.readStream
               .schema("doc_id BIGINT, lang STRING")
-              .option("maxFilesPerTrigger", "1")
+              // coarsened trigger (StreamingHarness.coarseFilesPerTrigger):
+              // monoid streaming-agg state, batching-independent convergence
+              .option("maxFilesPerTrigger", coarseFilesPerTrigger)
               .option("pathGlobFilter", "part-*")
               .parquet(in.toString)
             val counts = src.groupBy(col("lang"))
@@ -622,6 +644,7 @@ private[graft] object StreamSketchTwins {
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()
+            requireMultiBatch(ckpt, "s60_stream_tfidf_model")
             val raw = spark.read.parquet(log.toString)
             val wMax = Window.partitionBy(col("lang"))
             val converged = raw
@@ -665,7 +688,9 @@ private[graft] object StreamSketchTwins {
             }
             val src = spark.readStream
               .schema("doc_id BIGINT, text STRING")
-              .option("maxFilesPerTrigger", "1")
+              // coarsened trigger (StreamingHarness.coarseFilesPerTrigger):
+              // monoid streaming-agg state, batching-independent convergence
+              .option("maxFilesPerTrigger", coarseFilesPerTrigger)
               .option("pathGlobFilter", "part-*")
               .parquet(in.toString)
             val model = TextOps.tfidfDocTokens(src)
@@ -679,6 +704,7 @@ private[graft] object StreamSketchTwins {
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()
+            requireMultiBatch(ckpt, "s60_stream_tfidf_model")
             // converged model = each token's LAST emitted running df
             val raw = spark.read.parquet(log.toString)
             val wMax = Window.partitionBy(col("tok"))

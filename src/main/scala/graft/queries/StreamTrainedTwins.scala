@@ -46,7 +46,10 @@ private[graft] object StreamTrainedTwins {
             }
             val src = spark.readStream
               .schema("vec_id BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE")
-              .option("maxFilesPerTrigger", "1")
+              // coarsened trigger (StreamingHarness.coarseFilesPerTrigger):
+              // monoid/upsert state, converged max-bid fold is
+              // batching-independent
+              .option("maxFilesPerTrigger", coarseFilesPerTrigger)
               .option("pathGlobFilter", "part-*")
               .parquet(in.toString)
             val cells = src
@@ -65,6 +68,7 @@ private[graft] object StreamTrainedTwins {
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()
+            requireMultiBatch(ckpt, "s47_stream_pca_moment")
             // converged matrix = each cell's LAST emitted running sum
             val raw = spark.read.parquet(log.toString)
             val wMax = Window.partitionBy(col("i"), col("j"))
@@ -107,7 +111,10 @@ private[graft] object StreamTrainedTwins {
             }
             val rows = spark.readStream
               .schema("vec_id BIGINT, label INT, e ARRAY<DOUBLE>, nrm DOUBLE")
-              .option("maxFilesPerTrigger", "1")
+              // coarsened trigger (StreamingHarness.coarseFilesPerTrigger):
+              // monoid/upsert state, converged max-bid fold is
+              // batching-independent
+              .option("maxFilesPerTrigger", coarseFilesPerTrigger)
               .option("pathGlobFilter", "part-*")
               .parquet(in.toString).as[EmbLabRow]
             val dd = VersionedStreamDedup.latestPerKeyId[EmbLabRow](
@@ -128,6 +135,7 @@ private[graft] object StreamTrainedTwins {
                 ()
               }.start()
             try q.processAllAvailable() finally q.stop()
+            requireMultiBatch(ckpt, "s63_stream_hard_negatives")
             val raw = spark.read.parquet(log.toString)
             val wMax = Window.partitionBy(col("key"))
             val corpus = raw
@@ -161,11 +169,12 @@ private[graft] object StreamTrainedTwins {
         withStreamConf(spark) {
           val in = bpeIngestChunks(spark, dir)
           val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_")
-          try
-            TextOps.bpeTrainFromCounts(spark,
-                streamedBpeCounts(spark, in, tmp))
+          try {
+            val counts = streamedBpeCounts(spark, in, tmp)
+            requireMultiBatch(tmp.resolve("ckpt"), "s64_stream_bpe_train")
+            TextOps.bpeTrainFromCounts(spark, counts)
               .localCheckpoint()
-          finally deleteRecursively(tmp)
+          } finally deleteRecursively(tmp)
         }
       },
       Some(TextOps.bpeTrainSharedOracleSql)),
@@ -199,7 +208,13 @@ private[graft] object StreamTrainedTwins {
             graft.core.VectorTools.assignCells(
                 VectorOps.embSlim(spark, dir)
                   .select(col("vec_id").as("id"), col("e")),
-                streamedLloydRound(spark, in, cent, tmp.resolve("r1")))
+                {
+                  val r1 = streamedLloydRound(spark, in, cent,
+                    tmp.resolve("r1"))
+                  requireMultiBatch(tmp.resolve("r1").resolve("ckpt1"),
+                    "s65_stream_kmeans_stats")
+                  r1
+                })
               .select(col("id").as("vec_id"), col("cell"), col("csim"))
               .orderBy(col("vec_id"))
               .localCheckpoint()
@@ -235,8 +250,11 @@ private[graft] object StreamTrainedTwins {
           try {
             var cent = VectorOps.ivfSeedCentroids(spark, dir)
               .select(col("cid"), col("ce")).localCheckpoint()
-            for (r <- 1 to 3)
+            for (r <- 1 to 3) {
               cent = streamedLloydRound(spark, in, cent, tmp.resolve(s"r$r"))
+              requireMultiBatch(tmp.resolve(s"r$r").resolve("ckpt1"),
+                "s66_stream_kmeans_lloyd3")
+            }
             graft.core.VectorTools.assignCells(
                 VectorOps.embSlim(spark, dir)
                   .select(col("vec_id").as("id"), col("e")),
@@ -287,7 +305,10 @@ private[graft] object StreamTrainedTwins {
     val ckpt = work.resolve("ckpt")
     val src = spark.readStream
       .schema("doc_id BIGINT, text STRING")
-      .option("maxFilesPerTrigger", "1")
+      // coarsened trigger (StreamingHarness.coarseFilesPerTrigger):
+      // word-count agg state is a monoid; max-bid fold batching-
+      // independent (recovery surfaces unchanged — spec-driven)
+      .option("maxFilesPerTrigger", coarseFilesPerTrigger)
       .option("pathGlobFilter", "part-*")
       .parquet(in.toString)
     val counts = TextOps.bpePreTokens(src)
@@ -356,7 +377,10 @@ private[graft] object StreamTrainedTwins {
     java.nio.file.Files.createDirectories(relay)
     val q1 = spark.readStream
       .schema("vec_id BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE")
-      .option("maxFilesPerTrigger", "1")
+      // coarsened trigger (StreamingHarness.coarseFilesPerTrigger):
+      // the (cell,pos) sums are exact-integer monoids; any batching
+      // converges to the same statistics (recovery spec-driven)
+      .option("maxFilesPerTrigger", coarseFilesPerTrigger)
       .option("pathGlobFilter", "part-*")
       .parquet(in.toString)
       .writeStream.outputMode("append")

@@ -28,7 +28,9 @@ private[graft] object StreamWindowTwins {
     Entry("s2_stream_window_agg",
       (spark, dir) => {
         import spark.implicits._
-        runFileStream(spark, dir, mode = "complete") { src =>
+        runFileStream(spark, dir, mode = "complete",
+            // coarsened trigger (StreamingHarness.coarseFilesPerTrigger): complete-mode agg, final overwrite is the converged answer at any batching
+            filesPerTrigger = coarseFilesPerTrigger.toInt) { src =>
           src().toDF()
             .withColumn("ts", expr("timestamp_micros(ts_us)"))
             .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
@@ -112,7 +114,9 @@ private[graft] object StreamWindowTwins {
     Entry("s12_stream_session_window",
       (spark, dir) => {
         import spark.implicits._
-        runFileStream(spark, dir, mode = "complete") { src =>
+        runFileStream(spark, dir, mode = "complete",
+            // coarsened trigger (StreamingHarness.coarseFilesPerTrigger): complete-mode session state, batching-independent final emission
+            filesPerTrigger = coarseFilesPerTrigger.toInt) { src =>
           src().toDF()
             .withColumn("ts", expr("timestamp_micros(ts_us)"))
             .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -336,7 +340,9 @@ private[graft] object StreamWindowTwins {
       (spark, dir) => {
         val dim = broadcast(Registry.table(spark, dir, "customer")
           .select(col("c_custkey"), col("c_name"), col("c_mktsegment")))
-        runFileStream(spark, dir, mode = "append") { src =>
+        runFileStream(spark, dir, mode = "append",
+            // coarsened trigger (StreamingHarness.coarseFilesPerTrigger): stateless enrichment, each event emitted exactly once at any batching
+            filesPerTrigger = coarseFilesPerTrigger.toInt) { src =>
           src().toDF()
             .join(dim, col("user_id") === col("c_custkey"))
             .select(col("event_id"), col("user_id"), col("event_type"),

@@ -19,6 +19,36 @@ private[graft] object StreamingHarness {
 
   private[graft] val chunks = 8
 
+  /** Coarsened replay trigger size — the s22 trigger discipline (r18)
+    * generalized: 4 files per trigger over the 8 replay chunks gives
+    * 2+ microbatches, amortizing the per-microbatch fixed costs
+    * (state-store commit, sink write + rename, incremental planning,
+    * offset/commit WAL) that dominate these rows at replay scale
+    * (guide §1/§2: the data barely registers; measured ~0.2–0.5 s per
+    * microbatch against a converged answer that is identical at any
+    * batching). ONLY sound for rows whose converged answer is
+    * batching-independent — upsert/monoid state with max-seq/max-bid
+    * folds; rows where batch boundaries are load-bearing (TTL firing
+    * schedules: s17/s18/s45; watermark-horizon dedup: s29; the
+    * batch-size-capped incremental CC paths: s62; the per-family
+    * per-file-fidelity archetypes: s4, s8, s11, s19, s20, s25, s48)
+    * keep maxFilesPerTrigger=1. Every coarsened row must call
+    * [[requireMultiBatch]] (or run through runFileStream, which does)
+    * so replay can never silently degrade to a single batch. */
+  private[graft] val coarseFilesPerTrigger = "4"
+
+  /** Assert a coarsened replay actually ran ≥2 committed microbatches,
+    * from the engine's own commit log (works for every output mode —
+    * update/append logs and complete-mode overwrite sinks alike). */
+  private[graft] def requireMultiBatch(ckpt: java.nio.file.Path,
+                                       what: String): Unit = {
+    val commits = listDir(ckpt.resolve("commits"))
+      .count(_.getFileName.toString.forall(_.isDigit))
+    require(commits >= 2,
+      s"$what: coarsened replay ran $commits committed microbatch(es); " +
+        ">=2 required so multi-batch upsert semantics stay exercised")
+  }
+
   /** State-store parallelism for the replay runs. Each microbatch
     * writes one checkpoint delta file per state partition, and on a
     * local filesystem without native Hadoop libs every file costs an
@@ -321,7 +351,8 @@ private[graft] object StreamingHarness {
     * deleted. Arrival order varies with file mtimes, but versions are
     * unique per (key, id) so converged state is order-independent. */
   private[graft] def runFileStream(spark: SparkSession, dir: String,
-                            mode: String = "update")(
+                            mode: String = "update",
+                            filesPerTrigger: Int = 1)(
       build: (() => org.apache.spark.sql.Dataset[Ev]) => DataFrame)(
       finish: DataFrame => DataFrame): DataFrame =
     withStreamConf(spark) {
@@ -334,7 +365,7 @@ private[graft] object StreamingHarness {
         // and sink log stay private to this row
         val in = sharedEventsChunks(spark, dir)
         def src = spark.readStream.schema(evReplaySchema)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", filesPerTrigger.toString)
           .option("pathGlobFilter", "part-*")
           .parquet(in.toString).as[Ev]
         val q = build(() => src).writeStream
@@ -360,6 +391,10 @@ private[graft] object StreamingHarness {
             ()
           }.start()
         try q.processAllAvailable() finally q.stop()
+        // a coarsened replay (see [[coarseFilesPerTrigger]]) must keep
+        // multi-batch semantics exercised — enforced from the engine's
+        // own commit log
+        if (filesPerTrigger > 1) requireMultiBatch(ckpt, "runFileStream")
         // converge BEFORE materializing: only the small final answer is
         // pinned (executor block manager, not driver), then the raw log
         // — which carries every emission — can be deleted.
