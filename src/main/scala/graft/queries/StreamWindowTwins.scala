@@ -165,7 +165,9 @@ private[graft] object StreamWindowTwins {
     // and is never emitted. Must hash-match the batch q_session_window
     // oracle, proving merging-window state in append mode end-to-end.
     Entry("s15_stream_session_append",
-      (spark, dir) => runAppendReplay(spark, dir) { src =>
+      (spark, dir) => runAppendReplay(spark, dir,
+                          // coarsened trigger (StreamingHarness.coarseFilesPerTrigger): s13 keeps the tumbling-window per-file archetype; session closure happens only at the sentinel flush
+                          filesPerTrigger = coarseFilesPerTrigger.toInt) { src =>
         src().groupBy(session_window(col("ets"), "30 minutes"),
             col("user_id"))
           .agg(count(lit(1)).as("n_events"),
@@ -194,7 +196,9 @@ private[graft] object StreamWindowTwins {
     // null-extended rows must hash-match the batch left-outer range
     // oracle.
     Entry("s26_stream_range_left_outer",
-      (spark, dir) => runAppendReplay(spark, dir) { src =>
+      (spark, dir) => runAppendReplay(spark, dir,
+                          // coarsened trigger (StreamingHarness.coarseFilesPerTrigger): matched rows and the sentinel-flushed nulls are the same set at any batching
+                          filesPerTrigger = coarseFilesPerTrigger.toInt) { src =>
         val a = src()
           .filter(expr("event_type IN ('signup','error') " +
             "AND user_id % 3 != 0"))
@@ -225,7 +229,9 @@ private[graft] object StreamWindowTwins {
     // left-outer oracle.
     Entry("s31_stream_native_rocksdb",
       (spark, dir) => VersionedStreamJoin.withStateStoreProvider(spark) {
-        runAppendReplay(spark, dir) { src =>
+        runAppendReplay(spark, dir,
+            // coarsened trigger (StreamingHarness.coarseFilesPerTrigger): as s26, on the RocksDB backend
+            filesPerTrigger = coarseFilesPerTrigger.toInt) { src =>
           val a = src()
             .filter(expr("event_type IN ('signup','error') " +
               "AND user_id % 3 != 0"))
@@ -254,7 +260,9 @@ private[graft] object StreamWindowTwins {
     // right-null rows together hash-match the batch full-outer range
     // join.
     Entry("s27_stream_range_full_outer",
-      (spark, dir) => runAppendReplay(spark, dir) { src =>
+      (spark, dir) => runAppendReplay(spark, dir,
+                          // coarsened trigger (StreamingHarness.coarseFilesPerTrigger): as s26
+                          filesPerTrigger = coarseFilesPerTrigger.toInt) { src =>
         val a = src()
           .filter(expr("event_type IN ('signup','error') " +
             "AND user_id % 3 != 0"))
@@ -281,7 +289,9 @@ private[graft] object StreamWindowTwins {
     // EXISTS shape a feed filter runs ("keep signups that saw
     // activity within 30 minutes").
     Entry("s28_stream_range_semi",
-      (spark, dir) => runAppendReplay(spark, dir) { src =>
+      (spark, dir) => runAppendReplay(spark, dir,
+                          // coarsened trigger (StreamingHarness.coarseFilesPerTrigger): as s26
+                          filesPerTrigger = coarseFilesPerTrigger.toInt) { src =>
         val a = src()
           .filter(expr("event_type IN ('signup','error') " +
             "AND user_id % 3 != 0"))

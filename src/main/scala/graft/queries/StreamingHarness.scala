@@ -443,7 +443,8 @@ private[graft] object StreamingHarness {
     * each closed window lands exactly once in a parquet FILE sink (a
     * downstream consumer needs no upsert handling) and closed-window
     * state is dropped. */
-  private[graft] def runAppendReplay(spark: SparkSession, dir: String)(
+  private[graft] def runAppendReplay(spark: SparkSession, dir: String,
+                              filesPerTrigger: Int = 1)(
       agg: (() => DataFrame) => DataFrame)(
       finish: DataFrame => DataFrame): DataFrame = withStreamConf(spark) {
     val tmp = java.nio.file.Files.createTempDirectory("graft_app_")
@@ -492,8 +493,15 @@ private[graft] object StreamingHarness {
       }
       // a FACTORY so joins can open two independently-watermarked
       // streams over the same replay dir (the sentinel advances both)
+      // a coarsened replay (see [[coarseFilesPerTrigger]]) is sound
+      // here because the sentinel file's mtime bump keeps it in the
+      // LAST batch whatever the trigger size, the 35-day delay exceeds
+      // the corpus span (no real row is ever beyond-late at any
+      // batching), and every append emission flushes only once the
+      // sentinel advances the watermark — so the sink's final content
+      // is batching-independent by construction
       def src(): DataFrame = spark.readStream.schema(evReplaySchema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", filesPerTrigger.toString)
         .option("pathGlobFilter", "part-*")
         .parquet(in.toString)
         .withColumn("ets", expr("timestamp_micros(ts_us)"))
@@ -591,6 +599,7 @@ private[graft] object StreamingHarness {
           }
         } finally q.stop()
       } finally spark.streams.removeListener(listener)
+      if (filesPerTrigger > 1) requireMultiBatch(ckpt, "runAppendReplay")
       finish(spark.read.parquet(out.toString))
         .localCheckpoint() // materialize before the tmp dir is deleted
     } finally deleteRecursively(tmp)
