@@ -37,18 +37,46 @@ object VectorTools {
 
   /** Nearest-centroid assignment by cosine: (id, cell, csim).
     * vectors: (id, e array<double>); centroids: (cid, ce array<double>). */
-  def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = vectors.crossJoin(broadcast(
-        centroids.select(col("cid"), col("ce"),
-          VectorFunctions.norm(col("ce")).as("cn"))))
-      .select(col("id"),
-        round(VectorFunctions.dot(col("e"), col("ce")) /
-          (VectorFunctions.norm(col("e")) * col("cn")), 6).as("csim"),
-        col("cid"))
-    scored.groupBy(col("id"))
-      .agg(max_by(struct(col("cid"), col("csim")),
-        struct(col("csim"), -col("cid"))).as("t"))
-      .select(col("id"), col("t.cid").as("cell"), col("t.csim").as("csim"))
+  def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    assignFull(vectors, centroids)
+      .select(col("id"), col("cell"), col("csim"))
+
+  /** Scan-local assignment carrying the vector through: (id, e, cell,
+    * csim). The k-way argmax runs per ROW against a one-row broadcast
+    * array of the k centroids, so the E-step plans with NO exchange at
+    * all — the former shape fanned every vector out to k scored rows
+    * and funneled them back through a per-id SortAggregate pair around
+    * a hash exchange (plans/r19/v_kmeans_assign_before.txt: Exchange +
+    * 2× Sort for the argmax alone), which at corpus scale shuffles one
+    * slim row per vector per Lloyd round for no information the scan
+    * didn't already hold (guide §2.4: remove shuffles outright).
+    * Arithmetic is bit-identical to the former shape and the DuckDB
+    * oracle: the same round(dot/(‖e‖·‖c‖), 6) per (vector, centroid)
+    * — norms hoisted, not re-derived — and the same argmax order
+    * (csim DESC, cid ASC) via the lexicographic struct max over
+    * (csim, -cid); cid is unique, so the winner is unique. The
+    * centroid array is sorted (deterministic plan input) and an EMPTY
+    * centroid table yields no assignment rows, exactly as the former
+    * crossJoin did. */
+  private def assignFull(vectors: DataFrame,
+                         centroids: DataFrame): DataFrame = {
+    val centArr = broadcast(
+      centroids
+        .select(struct(col("cid"), col("ce"),
+          VectorFunctions.norm(col("ce")).as("cn")).as("c"))
+        .agg(sort_array(collect_list(col("c"))).as("cents"))
+        .filter(size(col("cents")) > 0))
+    vectors
+      .select(col("id"), col("e"), VectorFunctions.norm(col("e")).as("nrm"))
+      .crossJoin(centArr)
+      .select(col("id"), col("e"),
+        array_max(transform(col("cents"), c =>
+          struct(
+            round(VectorFunctions.dot(col("e"), c.getField("ce")) /
+              (col("nrm") * c.getField("cn")), 6).as("csim"),
+            (-c.getField("cid")).as("ncid")))).as("t"))
+      .select(col("id"), col("e"),
+        (-col("t.ncid")).as("cell"), col("t.csim").as("csim"))
   }
 
   /** Micro-quantize one vector component for the M-step sums: an
@@ -73,7 +101,17 @@ object VectorTools {
     * out — k can only shrink, which is Lloyd's standard empty-cell
     * behavior. */
   def updateCentroids(vectors: DataFrame, asg: DataFrame): DataFrame =
-    vectors.join(asg.select(col("id"), col("cell")), "id")
+    statMeans(vectors.join(asg.select(col("id"), col("cell")), "id"))
+
+  /** The M-step statistic over rows already carrying (cell, e): fixed-
+    * point mean per (cell, pos), folded back to centroid arrays. The
+    * ONLY exchange of a fused Lloyd round (the 1,024-group partial
+    * agg); shared by [[updateCentroids]] (which re-attaches `e` by id
+    * for callers holding a bare assignment) and the fused [[lloyd]]
+    * path (where the scan-local assignment already carries `e`, so no
+    * join exists to pay for). */
+  private def statMeans(assigned: DataFrame): DataFrame =
+    assigned
       .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
       .agg(microMean(sum(microQuantize(col("v"))), count(lit(1))).as("c"))
@@ -84,12 +122,16 @@ object VectorTools {
 
   /** `iterations` full Lloyd rounds from a seed centroid table.
     * localCheckpoint truncates the growing plan between rounds (the
-    * GraphTools discipline; a real checkpoint/table at 100 TB). */
+    * GraphTools discipline; a real checkpoint/table at 100 TB). Each
+    * round is ONE exchange (the (cell, pos) stat agg): the scan-local
+    * E-step carries `e` through, so the former per-round argmax
+    * exchange AND the vectors⋈assignment re-attach join both
+    * disappear (guide §2.4; plan diff in plans/r19/
+    * v_kmeans_lloyd3_{before,after}.txt). */
   def lloyd(vectors: DataFrame, seed: DataFrame, iterations: Int): DataFrame = {
     var cent = seed
     for (_ <- 0 until iterations)
-      cent = updateCentroids(vectors, assignCells(vectors, cent))
-        .localCheckpoint()
+      cent = statMeans(assignFull(vectors, cent)).localCheckpoint()
     cent
   }
 }
