@@ -103,12 +103,31 @@ object DedupOps {
     * the shared core of dedup_shingle_jaccard and dedup_clusters. See
     * the dedup_shingle_jaccard entry for the localCheckpoint + df-cutoff
     * rationale. */
-  private[queries] def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def jaccardPairs(spark: SparkSession, dir: String,
+                                    materialize: Boolean = false): DataFrame = {
     val sh = explodedShingles(spark, dir).localCheckpoint()
     val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // filt feeds three consumers (shared, na, nb), whose plans each
+    // re-evaluate the df aggregation + cutoff join. Deliberately NOT
+    // materialized: the duplicated subtrees run concurrently inside
+    // one job wave and the box absorbs them, while a checkpoint here
+    // is a barrier plus a full write of the exploded rows — measured
+    // +0.9–1.4 s per consumer query at sf0.1 (A/B, min-of-3). At
+    // cluster scale, where the duplicate df shuffles dominate instead,
+    // the substitution is a reliable checkpoint of filt to shared
+    // storage.
     val filt = sh.join(df.filter(col("df") <= maxShingleDf), "sh")
       .select(col("doc_id"), col("sh"))
     val sizes = filt.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // The pair self-join stays a join (not a collect_list-per-shingle
+    // group + in-task upper-triangle expansion): at bench scale both
+    // filt sides broadcast, so the join is pipelined with zero
+    // exchange, and the A/B (min-of-5, sf0.1) read the grouped form
+    // +0.4 s per consumer (the ObjectHashAggregate + nested
+    // transform/slice expansion costs more than the broadcast probe).
+    // At 100 TB, where filt no longer broadcasts, the grouped form's
+    // single sh-shuffle with df-bounded (≤ maxShingleDf) posting lists
+    // is the shape to switch to.
     val shared = filt.as("a")
       .join(filt.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -116,11 +135,17 @@ object DedupOps {
       .agg(count(lit(1)).as("shared"))
     val na = sizes.select(col("doc_id").as("d1"), col("n").as("n1"))
     val nb = sizes.select(col("doc_id").as("d2"), col("n").as("n2"))
-    shared.join(na, "d1").join(nb, "d2")
+    val pairs = shared.join(na, "d1").join(nb, "d2")
       .withColumn("jaccard", round(col("shared").cast("double") /
         (col("n1") + col("n2") - col("shared")), 6))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("d1"), col("d2"), col("jaccard"))
+    // materialize=true for callers that consume the pairs more than
+    // once (the CC entries: connectedComponents' symmetrized union
+    // evaluates its input twice) — the pair set is tiny (near-dup
+    // pairs only), so pinning it costs one small block write and
+    // saves a full re-derivation of the pipeline per extra consumer
+    if (materialize) pairs.localCheckpoint() else pairs
   }
 
   /** DuckDB CTE chain producing the same (d1, d2, jaccard) pairs. */
@@ -220,7 +245,7 @@ object DedupOps {
     Entry("dedup_clusters",
       (spark, dir) => {
         graft.core.GraphTools
-          .connectedComponents(jaccardPairs(spark, dir), "d1", "d2")
+          .connectedComponents(jaccardPairs(spark, dir, materialize = true), "d1", "d2")
           .select(col("id").as("doc_id"), col("component").as("cluster_id"))
           .orderBy(col("doc_id"))
       },
@@ -235,7 +260,7 @@ object DedupOps {
     Entry("dedup_clusters_logn",
       (spark, dir) => {
         graft.core.GraphTools
-          .connectedComponentsLogN(jaccardPairs(spark, dir), "d1", "d2")
+          .connectedComponentsLogN(jaccardPairs(spark, dir, materialize = true), "d1", "d2")
           .select(col("id").as("doc_id"), col("component").as("cluster_id"))
           .orderBy(col("doc_id"))
       },
@@ -251,7 +276,7 @@ object DedupOps {
     Entry("dedup_canonical",
       (spark, dir) => canonicalFrom(spark, dir,
         graft.core.GraphTools
-          .connectedComponents(jaccardPairs(spark, dir), "d1", "d2")
+          .connectedComponents(jaccardPairs(spark, dir, materialize = true), "d1", "d2")
           .select(col("id").as("doc_id"), col("component").as("cluster_id"))),
       Some(canonicalOracleSql)),
 
