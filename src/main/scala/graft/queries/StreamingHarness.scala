@@ -54,8 +54,16 @@ private[graft] object StreamingHarness {
     * local filesystem without native Hadoop libs every file costs an
     * exec'd `chmod` (measured: the dominant cost of these queries).
     * 8 partitions is ample for ~150 join keys; a real cluster against
-    * object storage would size this to executor count instead. */
-  private[graft] val streamShufflePartitions = "8"
+    * object storage would size this to executor count instead — hence
+    * the env knob (must be constant across a query's restarts: the
+    * idempotent sink's stable-part-count contract rides this width).
+    * Widening was A/B-measured at replay scale and LOSES: 8/16/32
+    * over six representative rows (min-of-3, sf0.1) read totals
+    * 28.9 / 30.5 / 52.2 s — the per-partition per-batch commit cost
+    * (RocksDB instance + changelog file each) grows faster than the
+    * state-update critical path shrinks. */
+  private[graft] val streamShufflePartitions =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
 
   private[graft] def withStreamConf[T](spark: SparkSession)(body: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -1097,8 +1097,14 @@ object VectorOps {
     // argmin cross-engine.
     Entry("ann_pq_trained_topk",
       (spark, dir) => {
-        val dist = pqTrainedDist(spark, dir)
-        pqAdcRanked(dist, pqCodes(dist), identity, 5)
+        // the trained codebook is 128 rows but derives from a
+        // full-corpus M-step agg — pin it once for its two consumers
+        // (scan-local codes + the panel distance table)
+        val tcb = pqTrainedCodebook(spark, dir).localCheckpoint()
+        pqAdcRanked(queryDist(spark, dir, tcb, quantize = true),
+          codesWithSlices(subSlices(spark, gridded(spark, dir)), tcb,
+            quantize = true),
+          identity, 5)
           .orderBy(col("query_id"), col("rank"))
       },
       Some(pqTrainedTopkOracleSql)),
@@ -1119,8 +1125,11 @@ object VectorOps {
       (spark, dir) => {
         val exact = gridL2TopkPairs(spark, dir)
           .select(col("query_id"), col("neighbor_id"))
-        val dist = pqTrainedDist(spark, dir)
-        val approx = pqAdcRanked(dist, pqCodes(dist), identity, 5)
+        val tcb = pqTrainedCodebook(spark, dir).localCheckpoint()
+        val approx = pqAdcRanked(queryDist(spark, dir, tcb, quantize = true),
+          codesWithSlices(subSlices(spark, gridded(spark, dir)), tcb,
+            quantize = true),
+          identity, 5)
           .select(col("query_id"), col("neighbor_id"))
           .withColumn("hit", lit(1))
         exact.join(approx, Seq("query_id", "neighbor_id"), "left")
@@ -1881,11 +1890,11 @@ object VectorOps {
       VectorFunctions.dot(cs, cs)
 
   /** (vec_id, s, cid, d2) — the full per-subspace distance matrix of
-    * the corpus against the PQ codebook. Materialized ONCE per query:
-    * the code assignment AND the query distance table are both
-    * projections of it (the ivfCandidates diamond lesson). The
-    * subspace fan-out and the codebook are fixed-size broadcasts
-    * (8 rows / 128 rows) — never data. */
+    * the corpus against the PQ codebook. No query path materializes
+    * this anymore (encoding is scan-local via [[codesWithSlices]] and
+    * the ADC tail builds its panel table via [[queryDist]]); retained
+    * for the PqPcaSpec invariants, which assert over the explicit
+    * matrix. */
   private[queries] def pqDist(spark: SparkSession, dir: String): DataFrame =
     subSlices(spark, gridded(spark, dir))
       .join(broadcast(pqCodebook(spark, dir)), col("s") === col("cb_s"))
@@ -1895,11 +1904,71 @@ object VectorOps {
 
   /** PQ encoding: per (vector, subspace) the argmin-d2 centroid id,
     * ties to the lower cid (matches the oracle's ORDER BY d2, cid).
-    * These 4-bit codes ARE the stored corpus at 100 TB. */
+    * These 4-bit codes ARE the stored corpus at 100 TB. (Retained for
+    * the PqPcaSpec invariants; the query paths encode scan-locally via
+    * [[codesWithSlices]] — same argmin, no distance-matrix exchange.) */
   private[queries] def pqCodes(dist: DataFrame): DataFrame =
     dist.groupBy(col("vec_id"), col("s"))
       .agg(max_by(col("cid"), struct(-col("d2"), -col("cid")))
         .as("code"))
+
+  /** A codebook rolled to ONE array row per subspace (cb_s, cents
+    * sorted by cid) — the 8-row broadcast that makes code assignment
+    * scan-local. ‖cs‖² is hoisted per centroid here (computed once per
+    * codebook, not once per (row, centroid) in the interpreted argmin
+    * lambda — higher-order lambdas don't codegen, so per-element work
+    * must be minimal). */
+  private def cbArr(cb: DataFrame): DataFrame =
+    cb.groupBy(col("cb_s"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("cs"),
+        VectorFunctions.dot(col("cs"), col("cs")).as("cc"))))
+        .as("cents"))
+
+  /** SCAN-LOCAL code assignment carrying the subvector through:
+    * (vec_id, s, xs, code). The former shape fanned every (vector,
+    * subspace) slice out to one row per codebook centroid through the
+    * distance join, materialized that n×(subspaces·centroids) matrix
+    * (pqDist's localCheckpoint), and funneled the argmin back through
+    * a groupBy(vec_id, s) exchange; the argmin now runs per ROW
+    * against the 8-row broadcast codebook-array table, so encoding
+    * plans with NO exchange and no distance-matrix materialization at
+    * all — the assignFull/Lloyd E-step fusion (guide §2.4) applied to
+    * the PQ rung. Arithmetic and tie-break are bit-identical to
+    * pqCodes∘pqDist / pqCodes∘pqTrainedDist: the same exact-integer
+    * grid d2 per (slice, centroid) — ‖xs‖² hoisted once per slice —
+    * with quantize=true applying pqTrainedDist's identical scan-local
+    * floor(d2·10⁶ + 0.5); the winner is the lexicographic struct max
+    * over (−d2, −cid) = the former max_by(cid, struct(−d2, −cid)),
+    * unique because cid is. */
+  private def codesWithSlices(slices: DataFrame, cb: DataFrame,
+                              quantize: Boolean): DataFrame =
+    slices.join(broadcast(cbArr(cb)), col("s") === col("cb_s"))
+      .withColumn("xx", VectorFunctions.dot(col("xs"), col("xs")))
+      .select(col("vec_id"), col("s"), col("xs"),
+        (-array_max(transform(col("cents"), c => {
+          val d2 = col("xx") -
+            lit(2d) * VectorFunctions.dot(col("xs"), c.getField("cs")) +
+            c.getField("cc")
+          val d = if (quantize) floor(d2 * lit(1000000d) + lit(0.5))
+                  else d2
+          struct((-d).as("nd"), (-c.getField("cid")).as("ncid"))
+        })).getField("ncid")).as("code"))
+
+  /** The query PANEL's per-(subspace, centroid) distance table — the
+    * broadcast side of the ADC tail, built by restricting to the
+    * panel BEFORE the codebook fan-out (queryCount×subspaces×centroids
+    * rows; the former path projected it out of the full n×1024
+    * matrix). Same d2 arithmetic as pqDist, with quantize=true the
+    * same scan-local micro-quantization as pqTrainedDist. */
+  private def queryDist(spark: SparkSession, dir: String, cb: DataFrame,
+                        quantize: Boolean): DataFrame =
+    subSlices(spark, gridded(spark, dir).filter(col("vec_id") < queryCount))
+      .join(broadcast(cb), col("s") === col("cb_s"))
+      .select(col("vec_id"), col("s"), col("cid"), {
+        val d2 = pqD2(col("xs"), col("cs"))
+        (if (quantize) floor(d2 * lit(1000000d) + lit(0.5)) else d2)
+          .as("d2")
+      })
 
   /** Encode arbitrary (vec_id, e) vector rows against a supplied
     * codebook → (vec_id, s, code). Shared with StreamingOps (s46):
@@ -1907,11 +1976,10 @@ object VectorOps {
     * and tie-break to the batch index build. */
   private[queries] def pqEncode(spark: SparkSession, vecs: DataFrame,
                                 cb: DataFrame): DataFrame =
-    pqCodes(
-      subSlices(spark, vecs.select(col("vec_id"), toGrid(col("e")).as("g")))
-        .join(broadcast(cb), col("s") === col("cb_s"))
-        .select(col("vec_id"), col("s"), col("cid"),
-          pqD2(col("xs"), col("cs")).as("d2")))
+    codesWithSlices(
+      subSlices(spark, vecs.select(col("vec_id"), toGrid(col("e")).as("g"))),
+      cb, quantize = false)
+      .select(col("vec_id"), col("s"), col("code"))
 
   /** ADC scoring tail shared by the all-pairs, IVF-candidate and
     * streamed-serving variants: join the SUPPLIED codes to the
@@ -1935,16 +2003,21 @@ object VectorOps {
 
   /** PQ-ADC top-5 of the query panel against the whole coded corpus. */
   private def pqAdcTopk(spark: SparkSession, dir: String): DataFrame = {
-    val dist = pqDist(spark, dir)
-    pqAdcRanked(dist, pqCodes(dist), identity, 5)
+    val cb = pqCodebook(spark, dir)
+    pqAdcRanked(queryDist(spark, dir, cb, quantize = false),
+      codesWithSlices(subSlices(spark, gridded(spark, dir)), cb,
+        quantize = false),
+      identity, 5)
   }
 
   /** PQ-ADC top-k restricted to supplied (query_id, neighbor_id)
     * candidates — the IVF+PQ serving tail. */
   private def pqAdcScoredTopk(spark: SparkSession, dir: String,
                               cand: DataFrame): DataFrame = {
-    val dist = pqDist(spark, dir)
-    pqAdcRanked(dist, pqCodes(dist),
+    val cb = pqCodebook(spark, dir)
+    pqAdcRanked(queryDist(spark, dir, cb, quantize = false),
+      codesWithSlices(subSlices(spark, gridded(spark, dir)), cb,
+        quantize = false),
       _.join(cand, Seq("query_id", "neighbor_id"), "leftsemi"), ivfTopK)
   }
 
@@ -1953,7 +2026,9 @@ object VectorOps {
     * standing query panel through the exact batch read path. */
   private[queries] def pqAdcServe(spark: SparkSession, dir: String,
                                   codes: DataFrame): DataFrame =
-    pqAdcRanked(pqDist(spark, dir), codes, identity, 5)
+    pqAdcRanked(
+      queryDist(spark, dir, pqCodebook(spark, dir), quantize = false),
+      codes, identity, 5)
 
   /** Exact grid-L2 top-5 for the query panel (the ground truth ADC
     * approximates) — the same allow-listed tiny-broadcast BNLJ shape
@@ -2055,9 +2130,12 @@ object VectorOps {
     * — every seed centroid IS a corpus subvector and assigns to
     * itself at d2 = 0 — but the coalesce keeps the operator total). */
   private def pqTrainedCodebook(spark: SparkSession, dir: String): DataFrame = {
-    val dist = pqDist(spark, dir)
-    val xs = subSlices(spark, gridded(spark, dir))
-    val means = xs.join(pqCodes(dist), Seq("vec_id", "s"))
+    // scan-local encoding carries xs through, so the former
+    // xs⋈codes(vec_id, s) M-step re-attach join (and the n×1024
+    // distance matrix feeding it) disappears — the lloyd/statMeans
+    // fusion applied per subspace
+    val means = codesWithSlices(subSlices(spark, gridded(spark, dir)),
+        pqCodebook(spark, dir), quantize = false)
       .select(col("s"), col("code"), posexplode(col("xs")).as(Seq("pos", "v")))
       .groupBy(col("s"), col("code"), col("pos"))
       .agg((sum(col("v")).cast("long") / count(lit(1))).as("c"))
