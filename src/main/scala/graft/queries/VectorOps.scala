@@ -1573,33 +1573,46 @@ object VectorOps {
     * probe selection and tiebreaks are identical. */
   private[queries] def ivfCandidatesWith(base: DataFrame, cent: DataFrame,
                                          nq: Int): DataFrame = {
-    // (vector × centroid) scored rows, projected slim map-side
-    // before any shuffle. Materialized ONCE: both the assignment
-    // and the probe branches consume it, and their differing
-    // filters would otherwise re-run the corpus scan + 16-way
-    // scoring per branch (the dedup_shingle_jaccard diamond
-    // lesson; a checkpoint/table at 100 TB).
-    val scored = base.crossJoin(broadcast(cent))
+    // SCAN-LOCAL cell assignment (the VectorTools.assignFull / PQ
+    // codesWithSlices fusion applied to the IVF rung): the k-way
+    // argmax runs per row against a one-row broadcast array of the k
+    // centroids, so assignment plans with no exchange and the former
+    // (vector × centroid) scored-row materialization (n×cells rows
+    // through a localCheckpoint, funneled back through a
+    // groupBy(vec_id) argmax) disappears. Arithmetic and tie-break
+    // are bit-identical: the same round(dot/(nrm·cn), 6) per
+    // (vector, centroid) and the same (csim DESC, cid ASC) winner
+    // via the lexicographic struct max over (csim, −cid) — the
+    // former max_by(cid, struct(csim, −cid)). An empty centroid
+    // table still yields no assignments (the size>0 filter empties
+    // the crossJoin exactly as the former broadcast did).
+    val centArr = broadcast(cent
+      .select(struct(col("cid"), col("ce"), col("cn")).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("cents"))
+      .filter(size(col("cents")) > 0))
+    val asg = base.crossJoin(centArr)
       .select(col("vec_id"),
-        round(VectorFunctions.dot(col("e"), col("ce")) /
-          (col("nrm") * col("cn")), 6).as("csim"),
-        col("cid"))
-      .localCheckpoint()
-    // Cell assignment: argmax csim, ties to the lower cid (matches
-    // the oracle's ORDER BY csim DESC, cid).
-    val asg = scored.groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("csim"), -col("cid")))
-        .as("cell"))
+        (-array_max(transform(col("cents"), c =>
+          struct(
+            round(VectorFunctions.dot(col("e"), c.getField("ce")) /
+              (col("nrm") * c.getField("cn")), 6).as("csim"),
+            (-c.getField("cid")).as("ncid")))).getField("ncid"))
+          .as("cell"))
     // Probe selection is itself a top-k tail (k = nprobe cells per
     // query, csim DESC with ties to the lower cid — TopKPairsAgg's
     // (neg-score ASC, id ASC) order exactly): the same mergeable
     // map-side aggregate as every serving tail, so the nprobe-trim
     // runs before the exchange instead of a row_number window
     // shipping all queries×cells scored rows to per-query reducers.
+    // Scored rows exist only for the PANEL (nq×cells — the filter
+    // runs before the centroid fan-out, not over a materialized
+    // corpus×cells matrix).
     val probes = topkTail(
-        scored.filter(col("vec_id") < nq)
+        base.filter(col("vec_id") < nq).crossJoin(broadcast(cent))
           .select(col("vec_id").as("query_id"),
-            col("cid").as("neighbor_id"), col("csim")),
+            col("cid").as("neighbor_id"),
+            round(VectorFunctions.dot(col("e"), col("ce")) /
+              (col("nrm") * col("cn")), 6).as("csim")),
         ivfProbes, "csim", desc = true)
       .select(col("query_id"), col("neighbor_id").as("pcell"))
     // Cells partition the corpus, so each neighbor appears at most
