@@ -259,17 +259,14 @@ private[graft] object StreamDedupTwins {
               .writeStream.outputMode("append")
               .option("checkpointLocation", ckpt1.toString)
               .foreachBatch { (df: DataFrame, bid: Long) =>
+                // scan-local per-batch assignment carrying e/nrm
+                // through (the former groupBy + first(e) re-attach
+                // disappears); replay chunks are PK-unique, so the
+                // dropped per-vec_id collapse changed nothing
                 writeBatchIdempotent(
-                  df.crossJoin(broadcast(cent))
-                    .select(col("vec_id"), col("e"), col("nrm"),
-                      round(graft.functions.VectorFunctions.dot(
-                        col("e"), col("ce")) / (col("nrm") * col("cn")), 6)
-                        .as("csim"),
-                      col("cid"))
-                    .groupBy(col("vec_id"))
-                    .agg(max_by(col("cid"), struct(col("csim"), -col("cid")))
-                      .as("cell"),
-                      first(col("e")).as("e"), first(col("nrm")).as("nrm")),
+                  VectorOps.assignScan(df, cent)
+                    .select(col("vec_id"), col("cell"), col("e"),
+                      col("nrm")),
                   relay, bid)
                 ()
               }.start()

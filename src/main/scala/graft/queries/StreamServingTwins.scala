@@ -55,16 +55,14 @@ private[graft] object StreamServingTwins {
               .writeStream.outputMode("append")
               .option("checkpointLocation", ckpt1.toString)
               .foreachBatch { (df: DataFrame, bid: Long) =>
+                // scan-local per-batch assignment (VectorOps.assignScan
+                // — no per-microbatch argmax exchange; replay chunks
+                // are PK-unique, so the dropped groupBy changed
+                // nothing); stable part count = the batch's input
+                // split count, deterministic on re-delivery
                 writeBatchIdempotent(
-                  df.crossJoin(broadcast(cent))
-                    .select(col("vec_id"),
-                      round(graft.functions.VectorFunctions.dot(
-                        col("e"), col("ce")) / (col("nrm") * col("cn")), 6)
-                        .as("csim"),
-                      col("cid"))
-                    .groupBy(col("vec_id"))
-                    .agg(max_by(col("cid"), struct(col("csim"), -col("cid")))
-                      .as("cell")),
+                  VectorOps.assignScan(df, cent)
+                    .select(col("vec_id"), col("cell")),
                   relay, bid)
                 ()
               }.start()
@@ -447,16 +445,10 @@ private[graft] object StreamServingTwins {
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (df: DataFrame, bid: Long) =>
+        // scan-local per-batch assignment — see the s25 site note
         writeBatchIdempotent(
-          df.crossJoin(broadcast(cent))
-            .select(col("vec_id"),
-              round(graft.functions.VectorFunctions.dot(
-                col("e"), col("ce")) / (col("nrm") * col("cn")), 6)
-                .as("csim"),
-              col("cid"))
-            .groupBy(col("vec_id"))
-            .agg(max_by(col("cid"), struct(col("csim"), -col("cid")))
-              .as("cell")),
+          VectorOps.assignScan(df, cent)
+            .select(col("vec_id"), col("cell")),
           relay, bid)
         ()
       }.start()

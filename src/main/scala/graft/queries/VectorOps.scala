@@ -1571,6 +1571,36 @@ object VectorOps {
     * vectors, the trained variant (ann_ivf_trained_topk) the Lloyd
     * output. The centroid SOURCE is the only difference; assignment,
     * probe selection and tiebreaks are identical. */
+  /** SCAN-LOCAL nearest-cell assignment over (vec_id, e, nrm) rows
+    * against a (cid, ce, cn) centroid table: (vec_id, e, nrm, cell),
+    * the input row carried through. The k-way argmax runs per row
+    * against a one-row broadcast array of the centroids, so the plan
+    * has no exchange; arithmetic and tie-break are bit-identical to
+    * the former crossJoin + groupBy(vec_id) max_by shape — the same
+    * round(dot/(nrm·cn), 6) per (vector, centroid) and the same
+    * (csim DESC, cid ASC) winner via the (csim, −cid) struct max. An
+    * empty centroid table yields no rows (the size>0 filter empties
+    * the crossJoin exactly as an empty broadcast build side did).
+    * NOTE: unlike the groupBy form this does not collapse duplicate
+    * vec_ids inside one input — callers feed PK-unique rows (the
+    * embeddings corpus / its replay chunks). Shared by the batch IVF
+    * candidate generator and the incremental assignment microbatches
+    * (s25/s44/s30), whose relays must assign identically. */
+  private[queries] def assignScan(vecs: DataFrame, cent: DataFrame): DataFrame = {
+    val centArr = broadcast(cent
+      .select(struct(col("cid"), col("ce"), col("cn")).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("cents"))
+      .filter(size(col("cents")) > 0))
+    vecs.crossJoin(centArr)
+      .select(col("vec_id"), col("e"), col("nrm"),
+        (-array_max(transform(col("cents"), c =>
+          struct(
+            round(VectorFunctions.dot(col("e"), c.getField("ce")) /
+              (col("nrm") * c.getField("cn")), 6).as("csim"),
+            (-c.getField("cid")).as("ncid")))).getField("ncid"))
+          .as("cell"))
+  }
+
   private[queries] def ivfCandidatesWith(base: DataFrame, cent: DataFrame,
                                          nq: Int): DataFrame = {
     // SCAN-LOCAL cell assignment (the VectorTools.assignFull / PQ
@@ -1586,18 +1616,7 @@ object VectorOps {
     // former max_by(cid, struct(csim, −cid)). An empty centroid
     // table still yields no assignments (the size>0 filter empties
     // the crossJoin exactly as the former broadcast did).
-    val centArr = broadcast(cent
-      .select(struct(col("cid"), col("ce"), col("cn")).as("c"))
-      .agg(sort_array(collect_list(col("c"))).as("cents"))
-      .filter(size(col("cents")) > 0))
-    val asg = base.crossJoin(centArr)
-      .select(col("vec_id"),
-        (-array_max(transform(col("cents"), c =>
-          struct(
-            round(VectorFunctions.dot(col("e"), c.getField("ce")) /
-              (col("nrm") * c.getField("cn")), 6).as("csim"),
-            (-c.getField("cid")).as("ncid")))).getField("ncid"))
-          .as("cell"))
+    val asg = assignScan(base, cent).select(col("vec_id"), col("cell"))
     // Probe selection is itself a top-k tail (k = nprobe cells per
     // query, csim DESC with ties to the lower cid — TopKPairsAgg's
     // (neg-score ASC, id ASC) order exactly): the same mergeable
