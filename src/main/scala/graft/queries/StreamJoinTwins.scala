@@ -645,7 +645,22 @@ private[graft] object StreamJoinTwins {
           // taking up to a full stage-1 batch's files per trigger —
           // sound because the converged max-seq view is batching-
           // independent (upsert versions are monotone per key).
-          val q1 = VersionedStreamJoin.fullOuter[CustRow, OrdRow](
+          // DELTA emission (fullOuterDelta, r20): each touched key
+          // relays only the pairs that changed this batch instead of
+          // its full current result — every relayed row is a stage-2
+          // state upsert, so the full re-emission made stage-2's
+          // per-row RocksDB/encoder work quadratic in a key's update
+          // count (measured: allUpdatesTimeMs dominates both chain
+          // rows). Content convergence is unchanged: every (customer,
+          // order) pair is still delivered at least once per content
+          // change with a monotone per-key seq, which is all the
+          // stage-2 upsert (keyed by o_orderkey, versioned by that
+          // seq) consumes. The a-only arm below stays sound because a
+          // key's LAST changed-row emission carries a non-null
+          // o_orderkey iff the key ever saw an order ((cust, None) is
+          // only ever emitted while ys is empty, and no deletions
+          // exist to empty it again).
+          val q1 = VersionedStreamJoin.fullOuterDelta[CustRow, OrdRow](
               src(custDir, "c_custkey BIGINT, c_name STRING").as[CustRow],
               src(ordDir, "o_orderkey BIGINT, o_custkey BIGINT, " +
                 "o_ver BIGINT, o_totalprice DOUBLE").as[OrdRow],
@@ -676,8 +691,10 @@ private[graft] object StreamJoinTwins {
           // independent: however stage-1 emissions land in microbatches,
           // the final upsert state is the same. The dir must exist
           // before the source starts listing it.
+          // stage 2 also emits deltas: its fold below converges per
+          // row identity (key, l_linenumber) instead of per key
           java.nio.file.Files.createDirectories(abLog)
-          val q2 = VersionedStreamJoin.fullOuter[AbRel, LiRow](
+          val q2 = VersionedStreamJoin.fullOuterDelta[AbRel, LiRow](
               src(abLog, abSchema,
                 filesPerTrigger = streamShufflePartitions.toInt, glob = "b*")
                 .where(col("o_orderkey").isNotNull)
@@ -700,6 +717,12 @@ private[graft] object StreamJoinTwins {
                   col("x.o_totalprice").as("o_totalprice"),
                   col("y.l_linenumber").as("l_linenumber"),
                   col("y.l_extendedprice").as("l_extendedprice")),
+                // NOT repartition(1)-bounded like runFileStream's sinks:
+                // the chain rows' per-batch emission sets are large
+                // (~10^5 rows), and funneling them through one write
+                // task was A/B-measured at +1.3–1.8 s per row (min-of-4,
+                // sf0.1, matched controls) — the serial parquet encode
+                // costs more than the fold's per-file footer tax saves
                 bcLog, bid)
               ()
             }.start()
@@ -713,22 +736,50 @@ private[graft] object StreamJoinTwins {
             try q1.stop() finally q2.stop()
           }
 
-          val wMax = Window.partitionBy(col("key"))
-          // converged stage-2 view: the b-carrying + c-orphan arms
-          val viaBc = spark.read
+          // converged stage-2 view under DELTA emission: the last
+          // emission for a key is only its last CHANGE, so convergence
+          // is per row identity — latest seq per (key, l_linenumber)
+          // for the lineitem-carrying rows (an AB-row update re-emits
+          // every pair at a higher seq, so the latest row per identity
+          // always carries the latest AB content; a (None, li) row is
+          // superseded the same way once its AB row arrives) — plus
+          // the null-linenumber group, a key's (x, None) rows, valid
+          // only while the key never emitted a pair (no deletions
+          // exist, so "has a lineitem row" is monotone per key).
+          // Folded as groupBy + max_by — ONE partially-aggregating
+          // exchange over the log instead of a whole-log window sort
+          // (guide §2.3: aggregate before you shuffle); seq ties per
+          // group are impossible (a key emits each identity at most
+          // once per batch, and seq increases per batch).
+          val bcStruct = struct(col("c_custkey"), col("c_name"),
+            col("o_orderkey"), col("o_totalprice"), col("l_linenumber"),
+            col("l_extendedprice"))
+          val folded = spark.read
             .schema(abSchema + ", l_linenumber INT, l_extendedprice DOUBLE")
             .parquet(bcLog.toString)
-            .withColumn("max_seq", max(col("seq")).over(wMax))
-            .filter(col("seq") === col("max_seq"))
-            .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
-              col("o_totalprice"), col("l_linenumber"),
-              col("l_extendedprice"))
-          // converged stage-1 view: the a-only arm (no order ever came)
+            .groupBy(col("key"), col("l_linenumber"))
+            .agg(max_by(bcStruct, col("seq")).as("r"))
+          val wKeyBc = Window.partitionBy(col("key"))
+          val viaBc = folded
+            .withColumn("has_li",
+              max(when(col("l_linenumber").isNotNull, 1).otherwise(0))
+                .over(wKeyBc))
+            .filter(col("l_linenumber").isNotNull || col("has_li") === 0)
+            .select(col("r.c_custkey"), col("r.c_name"),
+              col("r.o_orderkey"), col("r.o_totalprice"),
+              col("r.l_linenumber"), col("r.l_extendedprice"))
+          // converged stage-1 view: the a-only arm (no order ever came).
+          // Same agg fold; among a max-seq TIE (one batch changing two
+          // of a key's orders) max_by picks arbitrarily, but every tied
+          // row then carries a non-null o_orderkey and is filtered out
+          // either way — an a-only key's surviving row is unique.
           val aOnly = spark.read.schema(abSchema).parquet(abLog.toString)
-            .withColumn("max_seq", max(col("seq")).over(wMax))
-            .filter(col("seq") === col("max_seq") &&
-              col("o_orderkey").isNull)
-            .select(col("c_custkey"), col("c_name"),
+            .groupBy(col("key"))
+            .agg(max_by(struct(col("c_custkey"), col("c_name"),
+              col("o_orderkey")), col("seq")).as("r"))
+            .filter(col("r.o_orderkey").isNull)
+            .select(col("r.c_custkey").as("c_custkey"),
+              col("r.c_name").as("c_name"),
               lit(null).cast("long").as("o_orderkey"),
               lit(null).cast("double").as("o_totalprice"),
               lit(null).cast("int").as("l_linenumber"),
@@ -805,7 +856,13 @@ private[graft] object StreamJoinTwins {
                   .option("pathGlobFilter", glob)
                   .parquet(d.toString)
 
-              val q1 = VersionedStreamJoin.fullOuter[CustRow, OrdRow](
+              // DELTA emission on both stages (fullOuterDelta — the
+              // s11 rationale: every relayed row is a stage-2 RocksDB
+              // upsert, and full re-emission is quadratic in a key's
+              // update count); the converged folds below consume it
+              // per row identity. State machinery, TTL and salting
+              // are unchanged.
+              val q1 = VersionedStreamJoin.fullOuterDelta[CustRow, OrdRow](
                   src(custDir, "c_custkey BIGINT, c_name STRING").as[CustRow],
                   src(ordDir, "o_orderkey BIGINT, o_custkey BIGINT, " +
                     "o_ver BIGINT, o_totalprice DOUBLE").as[OrdRow],
@@ -838,7 +895,7 @@ private[graft] object StreamJoinTwins {
               val lis = src(liDir, "l_orderkey BIGINT, l_linenumber INT, " +
                   "l_ver BIGINT, l_extendedprice DOUBLE").as[LiRow]
                 .flatMap(li => (0 until salts).map(s => (s, li)))
-              val q2 = VersionedStreamJoin.fullOuter[AbRel, (Int, LiRow)](
+              val q2 = VersionedStreamJoin.fullOuterDelta[AbRel, (Int, LiRow)](
                   src(abLog, abSchema,
                     filesPerTrigger = streamShufflePartitions.toInt,
                     glob = "b*")
@@ -863,6 +920,7 @@ private[graft] object StreamJoinTwins {
                       col("x.o_totalprice").as("o_totalprice"),
                       col("y._2.l_linenumber").as("l_linenumber"),
                       col("y._2.l_extendedprice").as("l_extendedprice")),
+                    // not repartition(1)-bounded — the s11 A/B evidence
                     bcLog, bid)
                   ()
                 }.start()
@@ -895,35 +953,48 @@ private[graft] object StreamJoinTwins {
                   "because >=2 upserting microbatches per stage keep " +
                   "multi-batch semantics exercised")
 
-              val wMax = Window.partitionBy(col("key"))
-              val wBase = Window.partitionBy(col("base_key"))
-              // converged stage-2 view with cross-salt suppression: a
-              // (None, lineitem) row is real only if NO sub-key of its
-              // base o_orderkey holds an AB row (none here — every
-              // lineitem's order exists — but the plan must not assume
-              // that), and survivors are salts-fold replicas → distinct
-              val viaBc = spark.read
+              // converged stage-2 view under DELTA emission (per-row-
+              // identity groupBy + max_by fold, the s11 rationale) with
+              // cross-salt suppression on top: a (None, lineitem) row
+              // is real only if NO sub-key of its base o_orderkey holds
+              // an AB row (none here — every lineitem's order exists —
+              // but the plan must not assume that), and survivors are
+              // salts-fold replicas → distinct
+              val bcStruct = struct(col("c_custkey"), col("c_name"),
+                col("o_orderkey"), col("o_totalprice"),
+                col("l_linenumber"), col("l_extendedprice"))
+              val folded = spark.read
                 .schema(abSchema + ", l_linenumber INT, l_extendedprice DOUBLE")
                 .parquet(bcLog.toString)
-                .withColumn("max_seq", max(col("seq")).over(wMax))
-                .filter(col("seq") === col("max_seq"))
+                .groupBy(col("key"), col("l_linenumber"))
+                .agg(max_by(bcStruct, col("seq")).as("r"))
+              val wKeyBc = Window.partitionBy(col("key"))
+              val wBase = Window.partitionBy(col("base_key"))
+              val viaBc = folded
+                .withColumn("has_li",
+                  max(when(col("l_linenumber").isNotNull, 1).otherwise(0))
+                    .over(wKeyBc))
+                .filter(col("l_linenumber").isNotNull || col("has_li") === 0)
                 .withColumn("base_key", substring_index(col("key"), "#", 1))
                 // x present ⟺ o_orderkey non-null: AbRel.o_orderkey is
                 // mandatory, so (None, li) emissions are the only rows
                 // where it is null
                 .withColumn("has_x",
-                  max(when(col("o_orderkey").isNotNull, 1).otherwise(0))
+                  max(when(col("r.o_orderkey").isNotNull, 1).otherwise(0))
                     .over(wBase))
-                .filter(col("o_orderkey").isNotNull || col("has_x") === 0)
-                .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
-                  col("o_totalprice"), col("l_linenumber"),
-                  col("l_extendedprice"))
+                .filter(col("r.o_orderkey").isNotNull || col("has_x") === 0)
+                .select(col("r.c_custkey"), col("r.c_name"),
+                  col("r.o_orderkey"), col("r.o_totalprice"),
+                  col("r.l_linenumber"), col("r.l_extendedprice"))
                 .distinct()
+              // a-only arm: agg fold, the s11 max_by tie argument
               val aOnly = spark.read.schema(abSchema).parquet(abLog.toString)
-                .withColumn("max_seq", max(col("seq")).over(wMax))
-                .filter(col("seq") === col("max_seq") &&
-                  col("o_orderkey").isNull)
-                .select(col("c_custkey"), col("c_name"),
+                .groupBy(col("key"))
+                .agg(max_by(struct(col("c_custkey"), col("c_name"),
+                  col("o_orderkey")), col("seq")).as("r"))
+                .filter(col("r.o_orderkey").isNull)
+                .select(col("r.c_custkey").as("c_custkey"),
+                  col("r.c_name").as("c_name"),
                   lit(null).cast("long").as("o_orderkey"),
                   lit(null).cast("double").as("o_totalprice"),
                   lit(null).cast("int").as("l_linenumber"),

@@ -168,11 +168,72 @@ object VersionedStreamJoin {
       ej: Encoder[JoinState[X, Y]],
       ee: Encoder[Emitted[X, Y]]): Dataset[Emitted[X, Y]] =
     joined(dsx, dsy, keyFromX, keyFromY, idFromX, idFromY, tsFromX, tsFromY) {
-      (key, seq, xs, ys) =>
+      (key, seq, _, _, xs, ys) =>
         if (xs.isEmpty) ys.valuesIterator.map(y => Emitted(key, seq, None, Some(y)))
         else if (ys.isEmpty) xs.valuesIterator.map(x => Emitted(key, seq, Some(x), None))
         else for (x <- xs.valuesIterator; y <- ys.values)
           yield Emitted(key, seq, Some(x), Some(y))
+    }
+
+  /** [[fullOuter]] with DELTA emission: per trigger a touched key emits
+    * only the join rows whose content CHANGED this batch — the pairs
+    * involving a newly-arrived or newly-superseded version on either
+    * side — instead of re-emitting its full current result. State,
+    * upsert semantics, seq stamping and TTL behavior are byte-identical
+    * to [[fullOuter]]; only the emission set shrinks. The changed set
+    * is exact for the full-outer shape:
+    *   - both sides populated: (changed x) × (all y) ∪ (unchanged x) ×
+    *     (changed y) — covers the None→Some side transitions too, since
+    *     a previously-empty side makes every entry of it "changed" and
+    *     therefore re-pairs the whole key;
+    *   - one side empty: the changed entries of the populated side as
+    *     (x, None) / (None, y) rows.
+    * A downstream fold must therefore converge per ROW IDENTITY —
+    * latest seq per (key, x-id, y-id), with (x, None) rows valid only
+    * while the key has never emitted a pair — instead of [[fullOuter]]'s
+    * whole-key max-seq filter, because the last emission for a key no
+    * longer carries its full result. ((None, y) rows need no such
+    * guard: the pair that supersedes one always carries a higher seq
+    * for the same y id, so per-identity latest-wins already retires
+    * it.) Used by the chain rows (s11/s22), where every stage-1
+    * re-emission is a stage-2 state upsert: pruning the relay volume
+    * cuts the downstream per-row state work at its source — the
+    * guide's "shuffle fewer bytes" applied to a stream relay. At
+    * 100 TB the full re-emission is quadratic in a hot key's update
+    * count; the delta is linear. */
+  def fullOuterDelta[X, Y](
+      dsx: Dataset[X], dsy: Dataset[Y],
+      keyFromX: X => String, keyFromY: Y => String,
+      idFromX: X => String, idFromY: Y => String,
+      tsFromX: X => Long, tsFromY: Y => Long)(
+      implicit ex: Encoder[X], ey: Encoder[Y],
+      et: Encoder[Tagged[X, Y]], es: Encoder[String],
+      ej: Encoder[JoinState[X, Y]],
+      ee: Encoder[Emitted[X, Y]]): Dataset[Emitted[X, Y]] =
+    joined(dsx, dsy, keyFromX, keyFromY, idFromX, idFromY, tsFromX, tsFromY) {
+      (key, seq, xs0, ys0, xs, ys) =>
+        // an entry changed iff absent before the batch or replaced by a
+        // strictly newer version (upsert is strict >, so an equal
+        // version is the same entry)
+        def xChanged(id: String): Boolean =
+          !xs0.contains(id) || tsFromX(xs0(id)) != tsFromX(xs(id))
+        def yChanged(id: String): Boolean =
+          !ys0.contains(id) || tsFromY(ys0(id)) != tsFromY(ys(id))
+        if (xs.isEmpty)
+          ys.iterator.collect { case (id, y) if yChanged(id) =>
+            Emitted[X, Y](key, seq, None, Some(y)) }
+        else if (ys.isEmpty)
+          xs.iterator.collect { case (id, x) if xChanged(id) =>
+            Emitted[X, Y](key, seq, Some(x), None) }
+        else {
+          val (newX, oldX) = xs.partition { case (id, _) => xChanged(id) }
+          val newYs = ys.iterator
+            .collect { case (id, y) if yChanged(id) => y }.toList
+          (for (x <- newX.valuesIterator; y <- ys.values)
+            yield Emitted(key, seq, Some(x), Some(y))) ++
+          (for (x <- oldX.valuesIterator; y <- newYs.iterator)
+            yield Emitted(key, seq, Some(x), Some(y)))
+        }
     }
 
   /** J2: left-outer — at most one x per key (latest by ts over the
@@ -188,7 +249,7 @@ object VersionedStreamJoin {
       ej: Encoder[JoinState[X, Y]],
       ee: Encoder[Emitted[X, Y]]): Dataset[Emitted[X, Y]] =
     joined(dsx, dsy, keyFromX, keyFromY, idFromX, idFromY, tsFromX, tsFromY) {
-      (key, seq, xs, ys) =>
+      (key, seq, _, _, xs, ys) =>
         VersionedDedup.latestOne(xs.valuesIterator, tsFromX) match {
           case None => Iterator.empty
           case Some(x) =>
@@ -208,7 +269,7 @@ object VersionedStreamJoin {
       ej: Encoder[JoinState[X, Y]],
       ee: Encoder[Emitted[X, Y]]): Dataset[Emitted[X, Y]] =
     joined(dsx, dsy, keyFromX, keyFromY, idFromX, idFromY, tsFromX, tsFromY) {
-      (key, seq, xs, ys) =>
+      (key, seq, _, _, xs, ys) =>
         for (x <- xs.valuesIterator; y <- ys.values)
           yield Emitted(key, seq, Some(x), Some(y))
     }
@@ -254,7 +315,7 @@ object VersionedStreamJoin {
       ej: Encoder[JoinState[X, Y]],
       ee: Encoder[Emitted[X, Y]]): Dataset[Emitted[X, Y]] =
     joined(dsx, dsy, keyFromX, keyFromY, idFromX, idFromY, tsFromX, tsFromY) {
-      (key, seq, xs, ys) =>
+      (key, seq, _, _, xs, ys) =>
         // (length, lexicographic) ≡ numeric ONLY for unpadded
         // non-negative decimal ids — see the tie-break scaladoc
         val timeline = ys.valuesIterator.toIndexedSeq
@@ -294,7 +355,7 @@ object VersionedStreamJoin {
       ej: Encoder[JoinState[X, Y]],
       ee: Encoder[Emitted[X, Y]]): Dataset[Emitted[X, Y]] =
     joined(dsx, dsy, keyFromX, keyFromY, idFromX, idFromY, tsFromX, tsFromY) {
-      (key, seq, xs, ys) =>
+      (key, seq, _, _, xs, ys) =>
         // (length, lexicographic) ≡ numeric ONLY for unpadded
         // non-negative decimal ids — see the tie-break scaladoc
         val timeline = ys.valuesIterator.toIndexedSeq
@@ -325,7 +386,7 @@ object VersionedStreamJoin {
       ej: Encoder[JoinState[X, Y]],
       ee: Encoder[EmittedSeq[X, Y]]): Dataset[EmittedSeq[X, Y]] =
     joined[X, Y, EmittedSeq[X, Y]](dsx, dsy, keyFromX, keyFromY,
-      idFromX, idFromY, tsFromX, tsFromY) { (key, seq, xs, ys) =>
+      idFromX, idFromY, tsFromX, tsFromY) { (key, seq, _, _, xs, ys) =>
       VersionedDedup.latestOne(xs.valuesIterator, tsFromX) match {
         case None    => Iterator.empty
         case Some(x) => Iterator.single(EmittedSeq(key, seq, Seq(x),
@@ -345,19 +406,23 @@ object VersionedStreamJoin {
       ej: Encoder[JoinState[X, Y]],
       ee: Encoder[EmittedSeq[X, Y]]): Dataset[EmittedSeq[X, Y]] =
     joined[X, Y, EmittedSeq[X, Y]](dsx, dsy, keyFromX, keyFromY,
-      idFromX, idFromY, tsFromX, tsFromY) { (key, seq, xs, ys) =>
+      idFromX, idFromY, tsFromX, tsFromY) { (key, seq, _, _, xs, ys) =>
       Iterator.single(EmittedSeq(key, seq,
         xs.toSeq.sortBy(_._1).map(_._2), ys.toSeq.sortBy(_._1).map(_._2)))
     }
 
   /** Shared core: tagged union → keyed latest-wins upsert state →
-    * per-trigger re-expansion via `expand`. */
+    * per-trigger re-expansion via `expand`, which receives the key's
+    * state maps BEFORE and AFTER the batch's upserts (pre-batch maps
+    * let [[fullOuterDelta]] emit only changed rows; the full-result
+    * variants ignore them). */
   private def joined[X, Y, U](
       dsx: Dataset[X], dsy: Dataset[Y],
       keyFromX: X => String, keyFromY: Y => String,
       idFromX: X => String, idFromY: Y => String,
       tsFromX: X => Long, tsFromY: Y => Long)(
-      expand: (String, Long, Map[String, X], Map[String, Y]) => Iterator[U])(
+      expand: (String, Long, Map[String, X], Map[String, Y],
+        Map[String, X], Map[String, Y]) => Iterator[U])(
       implicit ex: Encoder[X], ey: Encoder[Y],
       et: Encoder[Tagged[X, Y]], es: Encoder[String],
       ej: Encoder[JoinState[X, Y]],
@@ -411,6 +476,8 @@ object VersionedStreamJoin {
           }
           val seq = st.seq + 1
           state.update(JoinState(xs, ys, seq))
+          val xs0 = st.xs
+          val ys0 = st.ys
           ttl.foreach {
             case TtlConf(ms, ProcessingTimeTtl) => state.setTimeoutDuration(ms)
             case TtlConf(ms, _: EventTimeTtl) =>
@@ -429,7 +496,7 @@ object VersionedStreamJoin {
               if (anchor > Long.MinValue)
                 state.setTimeoutTimestamp(anchor + ms)
           }
-          expand(key, seq, xs, ys)
+          expand(key, seq, xs0, ys0, xs, ys)
         }
     }
   }
