@@ -99,40 +99,87 @@ object DedupOps {
        |GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin
   }
 
+  /** Source-size threshold (bytes of documents parquet) above which
+    * [[jaccardPairs]] switches from the broadcast self-join to the
+    * grouped posting-list expansion + filt checkpoint (the 100 TB
+    * shape — rationale at the branch below). The default keeps every
+    * bench/test SF (≤ ~1 MB of documents) on the small branch, which
+    * the r19 A/Bs measured faster there; a deployment overrides via
+    * env to its own broadcast comfort point (filt is a few × source
+    * bytes, and a broadcast relation beyond a few hundred MB starts
+    * costing real driver+executor memory and build time). */
+  private[queries] val jaccardGroupedMinBytes: Long =
+    sys.env.get("SPARK_GRAFT_JACCARD_GROUPED_MIN_BYTES")
+      .map(_.toLong).getOrElse(256L << 20)
+
   /** Near-duplicate candidate pairs (d1 < d2, jaccard ≥ threshold) —
     * the shared core of dedup_shingle_jaccard and dedup_clusters. See
     * the dedup_shingle_jaccard entry for the localCheckpoint + df-cutoff
-    * rationale. */
+    * rationale. The pair-generation shape is STATS-DRIVEN (r20,
+    * replacing a prose note with code): documents-source bytes — known
+    * from the file index, no job — pick the broadcast self-join below
+    * [[jaccardGroupedMinBytes]] and the grouped posting-list expansion
+    * above it. Both branches are pinned pair-identical by
+    * JaccardScaleInversionSpec. */
   private[queries] def jaccardPairs(spark: SparkSession, dir: String,
                                     materialize: Boolean = false): DataFrame = {
+    val srcBytes = Registry.table(spark, dir, "documents")
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    jaccardPairsImpl(spark, dir, materialize,
+      grouped = srcBytes > jaccardGroupedMinBytes)
+  }
+
+  private[queries] def jaccardPairsImpl(spark: SparkSession, dir: String,
+                                        materialize: Boolean,
+                                        grouped: Boolean): DataFrame = {
     val sh = explodedShingles(spark, dir).localCheckpoint()
     val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // filt feeds three consumers (shared, na, nb), whose plans each
-    // re-evaluate the df aggregation + cutoff join. Deliberately NOT
-    // materialized: the duplicated subtrees run concurrently inside
-    // one job wave and the box absorbs them, while a checkpoint here
-    // is a barrier plus a full write of the exploded rows — measured
-    // +0.9–1.4 s per consumer query at sf0.1 (A/B, min-of-3). At
-    // cluster scale, where the duplicate df shuffles dominate instead,
-    // the substitution is a reliable checkpoint of filt to shared
-    // storage.
-    val filt = sh.join(df.filter(col("df") <= maxShingleDf), "sh")
+    // re-evaluate the df aggregation + cutoff join. On the SMALL
+    // branch deliberately NOT materialized: the duplicated subtrees
+    // run concurrently inside one job wave and the box absorbs them,
+    // while a checkpoint here is a barrier plus a full write of the
+    // exploded rows — measured +0.9–1.4 s per consumer query at sf0.1
+    // (A/B, min-of-3). On the LARGE branch the trade inverts (the
+    // re-derived df shuffles dominate, idle cores don't exist), so
+    // filt is pinned once.
+    val filt0 = sh.join(df.filter(col("df") <= maxShingleDf), "sh")
       .select(col("doc_id"), col("sh"))
+    val filt = if (grouped) filt0.localCheckpoint() else filt0
     val sizes = filt.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // The pair self-join stays a join (not a collect_list-per-shingle
-    // group + in-task upper-triangle expansion): at bench scale both
-    // filt sides broadcast, so the join is pipelined with zero
-    // exchange, and the A/B (min-of-5, sf0.1) read the grouped form
-    // +0.4 s per consumer (the ObjectHashAggregate + nested
-    // transform/slice expansion costs more than the broadcast probe).
-    // At 100 TB, where filt no longer broadcasts, the grouped form's
-    // single sh-shuffle with df-bounded (≤ maxShingleDf) posting lists
-    // is the shape to switch to.
-    val shared = filt.as("a")
-      .join(filt.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("shared"))
+    val shared =
+      if (!grouped) {
+        // SMALL branch: the pair self-join. At bench scale both filt
+        // sides broadcast, so the join is pipelined with zero
+        // exchange, and the A/B (min-of-5, sf0.1) read the grouped
+        // form +0.4 s per consumer (the ObjectHashAggregate + nested
+        // transform/slice expansion costs more than the broadcast
+        // probe).
+        filt.as("a")
+          .join(filt.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("shared"))
+      } else {
+        // LARGE branch: ONE sh-shuffle building df-bounded posting
+        // lists (≤ maxShingleDf docs by construction — the df cutoff
+        // already ran, so no list can blow a task), then an in-task
+        // upper-triangle expansion. At 100 TB the self-join's two
+        // shuffles of the exploded rows (no side broadcasts anymore)
+        // are the dominant term; this shape moves each filt row
+        // across the wire once and expands pairs where they land.
+        // doc_ids are distinct per shingle (array_distinct upstream),
+        // so the sorted posting list is strictly increasing and the
+        // slice expansion yields exactly the join's d1 < d2 pairs.
+        filt.groupBy(col("sh"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+          .select(explode(expr(
+            "flatten(transform(ds, (x, i) -> " +
+              "transform(slice(ds, i + 2, size(ds) - i - 1), " +
+              "y -> struct(x AS d1, y AS d2))))")).as("p"))
+          .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+          .agg(count(lit(1)).as("shared"))
+      }
     val na = sizes.select(col("doc_id").as("d1"), col("n").as("n1"))
     val nb = sizes.select(col("doc_id").as("d2"), col("n").as("n2"))
     val pairs = shared.join(na, "d1").join(nb, "d2")
