@@ -62,8 +62,18 @@ private[graft] object StreamingHarness {
     * 28.9 / 30.5 / 52.2 s — the per-partition per-batch commit cost
     * (RocksDB instance + changelog file each) grows faster than the
     * state-update critical path shrinks. */
-  private[graft] val streamShufflePartitions =
-    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
+  private[graft] val streamShufflePartitions = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
+    // validate ONCE at class load and fail fast with a clear message:
+    // this value becomes spark.sql.shuffle.partitions AND relay
+    // trigger sizes, where a non-numeric or non-positive value would
+    // otherwise surface as an opaque mid-query failure (r19 ADVICE)
+    require(raw.toIntOption.exists(_ > 0),
+      s"SPARK_GRAFT_STREAM_PARTS must be a positive integer, got '$raw'" +
+        " (it must also stay constant across a query's restarts - the" +
+        " idempotent sink's stable-part-count contract rides it)")
+    raw
+  }
 
   private[graft] def withStreamConf[T](spark: SparkSession)(body: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

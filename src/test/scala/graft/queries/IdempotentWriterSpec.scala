@@ -236,6 +236,55 @@ class IdempotentWriterSpec extends graft.SparkTestBase {
     } finally rmTree(tmp)
   }
 
+  test("re-delivery under a CHANGED stream width (the restart-with-" +
+    "different-SPARK_GRAFT_STREAM_PARTS hazard) surfaces drift and " +
+    "keeps fresh listers exactly-once") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // The relay writers keep the upstream shuffle layout, whose width
+    // IS streamShufflePartitions — so a crash-restart under a changed
+    // knob value re-delivers the same bid with a different part count.
+    // Drive exactly that through the real path (a shuffle-terminated
+    // plan whose part count follows spark.sql.shuffle.partitions, no
+    // explicit repartition), and pin the documented contract: the
+    // drift warning fires and a fresh lister of the log sees exactly
+    // the retry's content once — the same ROWS either width, since
+    // the computation is deterministic.
+    val tmp = Files.createTempDirectory("graft_widthdrift_")
+    try {
+      val dir = tmp.resolve("log")
+      def agg = spark.range(0, 500).toDF("v")
+        .groupBy((col("v") % 53).as("k")).agg(sum(col("v")).as("s"))
+      def writeAt(width: Int): Unit = {
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.shuffle.partitions", width.toString)
+        // AQE off so the written part count IS the configured width
+        // (with it on, coalescing collapses this tiny shuffle to one
+        // partition at either width and the drift never manifests)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try StreamingHarness.writeBatchIdempotent(agg, dir, 5L)
+        finally {
+          spark.conf.set("spark.sql.shuffle.partitions", prev)
+          spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        }
+      }
+      val expected = agg.as[(Long, Long)].collect().toSet
+      writeAt(8)
+      assume(names(dir).size > 4, s"first attempt layout: ${names(dir)}")
+      val errBuf = new java.io.ByteArrayOutputStream()
+      val realErr = System.err
+      System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+      try writeAt(4) finally System.setErr(realErr)
+      assert(errBuf.toString("UTF-8").contains("part-count drift"),
+        s"drift warning did not fire; stderr: ${errBuf.toString("UTF-8")}")
+      assert(names(dir).size <= 4, s"tail not trimmed: ${names(dir)}")
+      assert(spark.read.parquet(dir.toString)
+        .as[(Long, Long)].collect().toSet == expected,
+        "fresh lister must see the retry's content exactly once")
+    } finally rmTree(tmp)
+  }
+
   test("a stray non-numeric b<bid>_p* artifact is ignored, not fatal") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_idem_")

@@ -32,6 +32,19 @@ class ScanLocalPlanSpec extends graft.SparkTestBase {
     * walkable tree (AQE wraps the plan in an adaptive root whose
     * inner tree is not visible to collect); AQE on/off does not
     * change whether an exchange exists. */
+  /** The ONLY corpus-scan range predicates a shuffle may sit above:
+    * the bounded centroid/codebook/query-panel slices (vec_id <
+    * ivfCells / pqSubspaces·pqCentroids / queryCount), built from the
+    * same constants the queries use. A bare `contains("<")` exemption
+    * would let any future corpus-sized range predicate slip past the
+    * pin (r19 ADVICE). */
+  private val boundedSlice = {
+    val bounds = Seq(VectorOps.ivfCells,
+      VectorOps.pqSubspaces * VectorOps.pqCentroids,
+      VectorOps.queryCount).distinct.mkString("|")
+    (s"vec_id#\\d+L? < ($bounds)\\b").r
+  }
+
   private def corpusShuffles(mkDf: => DataFrame): Seq[ShuffleExchangeExec] = {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -44,7 +57,8 @@ class ScanLocalPlanSpec extends graft.SparkTestBase {
             case f: FileSourceScanExec =>
               f.relation.location.rootPaths.mkString(",")
                 .contains("embeddings") &&
-                !f.dataFilters.exists(_.toString.contains("<"))
+                !f.dataFilters.exists(d => boundedSlice.findFirstIn(
+                  d.toString).isDefined)
             case _ => false
           }.isDefined => e
       }
